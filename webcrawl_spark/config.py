@@ -1,0 +1,61 @@
+"""Crawl configuration — every knob of the reference that affects which URLs
+are visited and in what order (Backend/Crawler.cs:3364-3374 defaults).
+
+Frozen dataclass; broadcast to executors (a small pickled closure constant —
+pandas UDFs capture it once per task, never per row).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # --- budgets / politeness (Crawler.cs:533-562, 3364) ---
+    max_connections: Optional[int] = 10   # global per-round fetch budget; None = unlimited
+    max_connections_per_server: int = 2   # per-host per-round budget
+    politeness_quantum_s: float = 1.0     # seconds one round represents, for robots crawl_delay
+
+    # --- limits (Crawler.cs:564-669, 3364-3366) ---
+    depth_limit: int = 50
+    max_retries: int = 1
+    max_queued_links: Optional[int] = None          # None = Infinite
+    max_query_strings_per_file: int = 500
+    max_file_size: int = 50 * 1024 * 1024           # body truncation bytes
+
+    # --- scope rules (Crawler.cs:19-52, 470-496) ---
+    directory_navigation: str = "Down"              # Same|Up|Down|UpAndDown
+    domain_navigation: str = "SameHostName"         # SameHostName|SameDomain|SameTLD|Everywhere
+    want_html: bool = True                          # DownloadFlags.Html
+    want_nonhtml: bool = True                       # DownloadFlags.NonHtml
+    external_resources: bool = True                 # DownloadFlags.ExternalResources
+    prioritize_nonhtml: bool = False                # DownloadFlags.PrioritizeNonHtml
+
+    # --- identity (Crawler.cs:401-407, 2618-2625) ---
+    case_sensitive_paths: bool = True
+
+    # --- URL hacks (UrlFilters, Crawler.cs:3387-3437) ---
+    strip_www: bool = False
+    normalize_query: bool = False
+
+    # --- user filters (console semantics, Crawler/main.cs:285-319) ---
+    change_filters: tuple = ()       # ((pattern, replacement-with-$n), ...)
+    positive_filters: tuple = ()     # URL must match ALL
+    negative_filters: tuple = ()     # URL rejected if ANY matches
+    content_filters: tuple = ()      # ((pattern, replacement), ...) over decoded text
+
+    # --- engine knobs (ours, not the reference's) ---
+    max_rounds: int = 10_000
+    num_partitions: int = 32         # host-hash partition count P
+    salt_buckets: int = 1            # S sub-splits per mega-host (skew); 1 = off
+    bloom_enabled: bool = True       # Bloom prefilter in front of the seen anti-join
+    bloom_fpp: float = 0.01
+    robots_enabled: bool = True
+
+    def with_(self, **kw) -> "CrawlConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = CrawlConfig()
