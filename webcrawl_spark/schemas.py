@@ -1,0 +1,94 @@
+"""Fixed StructType schemas for all engine tables (SURVEY.md §1.5).
+
+The input `pages` shape is mandated by BASELINE.json:input_hint.
+At production scale these are Iceberg tables partitioned
+``bucket(N, host)`` (pages/frontier/seen co-bucketed so the fetch join and
+the dedup anti-join are storage-partitioned, shuffle-free); in-sandbox they
+are plain Parquet snapshots with the same logical layout.
+"""
+
+from pyspark.sql import types as T
+
+PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),   # null = retryable fetch failure
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+FRONTIER = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_key", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("host_hash", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("referrer", T.StringType(), True),
+        T.StructField("link_type", T.StringType(), False),  # 'link' | 'resource'
+        T.StructField("is_external", T.BooleanType(), False),
+        T.StructField("priority", T.IntegerType(), False),  # 0 html-ish, 1 binary
+        T.StructField("seq", T.LongType(), False),           # global discovery sequence
+        T.StructField("failures", T.IntegerType(), False),
+        T.StructField("round", T.IntegerType(), False),      # round enqueued
+    ]
+)
+
+SEEN = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("host_hash", T.IntegerType(), False),
+        T.StructField("url_key", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("query", T.StringType(), False),
+        T.StructField("first_depth", T.IntegerType(), False),
+        T.StructField("first_round", T.IntegerType(), False),
+    ]
+)
+
+FETCHED = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_key", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("fetch_seq", T.LongType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("link_type", T.StringType(), False),
+        T.StructField("http_status", T.IntegerType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("charset", T.StringType(), True),
+        T.StructField("bytes", T.LongType(), True),
+        T.StructField("extracted_text", T.StringType(), True),
+    ]
+)
+
+ERRORS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("failures", T.IntegerType(), False),
+        T.StructField("fatal", T.BooleanType(), False),
+        T.StructField("reason", T.StringType(), True),
+    ]
+)
+
+ROBOTS = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("path_prefix", T.StringType(), True),
+        T.StructField("allow", T.BooleanType(), False),
+        T.StructField("crawl_delay", T.DoubleType(), True),
+    ]
+)
+
+COUNTERS = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("value", T.LongType(), False),
+    ]
+)
