@@ -1,0 +1,66 @@
+"""Golden-trace tests across every fixture topology (SURVEY.md §5 item 1).
+
+Each topology stresses a different operator set:
+- tree     BFS order, html-vs-resource priority, dedup, min-depth merge
+- star     mega-host skew + politeness (salted selection path)
+- cycle    canonicalization dedup (fragment/slash/query-order variants)
+- trap     MaxQueryStringsPerFile cap
+- scope    DomainNavigation × DirectoryNavigation matrix + external resources
+- charset  decode precedence (BOM, meta override, us-ascii exemption)
+- broken   404 + retry routing
+- filters  URI change/± filters, content-filter-before-scan ordering
+- robots   disallow rules + crawl_delay budgets
+"""
+
+import pytest
+
+from webcrawl_spark.fixtures import gen
+
+from .golden import run_and_check
+
+
+def test_tree_golden(spark, tmp_path):
+    run_and_check(spark, gen.tree(branching=2, depth=3), tmp_path)
+
+
+def test_star_golden(spark, tmp_path):
+    run_and_check(
+        spark, gen.star_megahost(hub_pages=16, small_hosts=3, pages_per_small=3),
+        tmp_path,
+    )
+
+
+def test_cycle_golden(spark, tmp_path):
+    run_and_check(spark, gen.cycle(n=12), tmp_path)
+
+
+def test_trap_golden(spark, tmp_path):
+    run_and_check(spark, gen.trap(n_queries=30, cap=20), tmp_path)
+
+
+def test_scope_golden(spark, tmp_path):
+    run_and_check(spark, gen.scope_matrix(), tmp_path)
+
+
+def test_charset_golden(spark, tmp_path):
+    run_and_check(spark, gen.charset_mix(), tmp_path)
+
+
+def test_broken_golden(spark, tmp_path):
+    run_and_check(spark, gen.broken(), tmp_path)
+
+
+def test_filters_golden(spark, tmp_path):
+    run_and_check(spark, gen.filters_fixture(), tmp_path)
+
+
+def test_robots_golden(spark, tmp_path):
+    run_and_check(spark, gen.robots_fixture(), tmp_path)
+
+
+def test_max_queued_links_golden(spark, tmp_path):
+    fx = gen.chain(n=10, depth_limit=9)
+    fx = gen.Fixture(
+        "chain_cap", fx.pages, fx.seeds, fx.config.with_(max_queued_links=2)
+    )
+    run_and_check(spark, fx, tmp_path)

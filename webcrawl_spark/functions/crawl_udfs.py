@@ -1,0 +1,196 @@
+"""mapInPandas stage functions for the per-round crawl pipeline.
+
+Each stage is a generator over Arrow record batches (pandas DataFrames) and
+calls the shared ``kernels`` — the same code the sequential oracle runs, so
+engine-vs-oracle byte identity of ``extracted_text`` and link handling is
+structural, not coincidental.
+
+Stages (SURVEY.md §3.2):
+
+- :func:`decode_stage`     — charset decode + content filters + MIME
+  (Crawler.cs:1619-1656, 2085-2119; filter-before-scan order 1622 vs 1658).
+- :func:`parse_stage`      — link extraction in reference scan order with
+  ``<base href>`` override (Crawler.cs:1878-1921).
+- :func:`candidate_stage`  — resolve → user URI filters → canonicalize →
+  scope → robots → depth rule, emitting flagged candidate rows
+  (Crawler.cs:1773-1797, 3108-3164; main.cs:285-319).
+
+Config objects are captured in closures (small, pickled once per task);
+the robots rule index rides a Spark broadcast.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from ..config import CrawlConfig
+from ..kernels import links as L
+from ..kernels import mime as M
+from ..kernels import robots as R
+from ..kernels.filters import apply_content_filters, apply_uri_filters
+from ..kernels.scope import scope_filter
+from ..kernels.textdec import decode_batch
+from ..kernels.urlnorm import canonicalize, resolve_links
+
+DECODE_COLS = [
+    "url", "url_key", "host", "path", "query", "depth", "link_type",
+    "is_external", "priority", "seq", "failures", "fetch_seq",
+    "rtype", "mime", "charset", "bytes", "text",
+]
+
+DECODE_SCHEMA = (
+    "url string, url_key string, host string, path string, query string, "
+    "depth int, link_type string, is_external boolean, priority int, "
+    "seq long, failures int, fetch_seq long, rtype string, mime string, "
+    "charset string, bytes long, text string"
+)
+
+PARSE_SCHEMA = (
+    "parent_url string, parent_depth int, pos_f long, pos_o int, "
+    "href string, link_type string, dec boolean, base_url string"
+)
+
+CANDIDATE_SCHEMA = (
+    "url string, url_key string, host string, path string, query string, "
+    "depth int, referrer string, link_type string, is_external boolean, "
+    "priority int, pos_f long, pos_o int, passes boolean"
+)
+
+
+def make_decode_stage(cfg: CrawlConfig):
+    def decode_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rtype = M.guess_types_batch(pdf["path"])
+            # no response headers: unfetched-type pages are HTML (oracle ADAPT)
+            rtype = rtype.where(rtype != M.UNKNOWN, M.HTML)
+            mime = rtype.map(M.mime_of_type)
+            is_binary = rtype == M.BINARY
+            dec = decode_batch(
+                pdf["html"].where(~is_binary, None), None, rtype
+            )
+            text = dec["text"]
+            if cfg.content_filters:
+                text = apply_content_filters(text, cfg.content_filters)
+            out = pdf.drop(columns=["html"]).copy()
+            out["rtype"] = rtype
+            out["mime"] = mime
+            out["charset"] = dec["charset"]
+            out["bytes"] = (
+                pdf["html"].map(lambda b: 0 if b is None else min(len(b), cfg.max_file_size))
+            ).astype("int64")
+            out["text"] = text
+            yield out[DECODE_COLS]
+
+    return decode_stage
+
+
+def make_parse_stage():
+    def parse_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, depth, fseq, rtype, text in zip(
+                pdf["url"], pdf["depth"], pdf["fetch_seq"], pdf["rtype"], pdf["text"]
+            ):
+                if not isinstance(text, str) or rtype not in (M.HTML, M.CSS):
+                    continue
+                found = L.scan_html(text) if rtype == M.HTML else L.scan_css(text)
+                if not found:
+                    continue
+                base_url = url
+                if rtype == M.HTML:
+                    b = L.find_base_href(text)
+                    if b and canonicalize(pd.Series([b])).iloc[0]["url"] is not None:
+                        base_url = b  # absolute <base href> override (Crawler.cs:1884-1890)
+                rows.extend(
+                    (url, depth, fseq, i, href, lt, de, base_url)
+                    for i, (href, lt, de) in enumerate(found)
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "parent_url", "parent_depth", "pos_f", "pos_o",
+                        "href", "link_type", "dec", "base_url",
+                    ],
+                )
+
+    return parse_stage
+
+
+def make_candidate_stage(cfg: CrawlConfig, base_uris: list, uri_filters, rule_index_bc):
+    def candidate_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rule_index = rule_index_bc.value if rule_index_bc is not None else {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            resolved = resolve_links(pdf["href"], pdf["base_url"], pdf["dec"])
+            filtered = apply_uri_filters(resolved, *uri_filters)
+            c = canonicalize(
+                filtered,
+                strip_www=cfg.strip_www,
+                normalize_query=cfg.normalize_query,
+                case_sensitive_paths=cfg.case_sensitive_paths,
+            )
+            ok = c["url"].notna()
+            if not ok.any():
+                continue
+            c = c[ok]
+            sub = pdf[ok]
+            sc = scope_filter(
+                pd.DataFrame(
+                    {
+                        "scheme": c["scheme"],
+                        "host": c["host"],
+                        "path": c["path"],
+                        "link_type": sub["link_type"],
+                    }
+                ),
+                base_uris,
+                domain_nav=cfg.domain_navigation,
+                dir_nav=cfg.directory_navigation,
+                want_nonhtml=cfg.want_nonhtml,
+                external_resources=cfg.external_resources,
+                case_sensitive_paths=cfg.case_sensitive_paths,
+            )
+            keep = sc["allowed"].to_numpy()
+            if not keep.any():
+                continue
+            c = c[keep]
+            sub = sub[keep]
+            is_ext = sc["is_external"][keep]
+            depth = (sub["parent_depth"] + 1).astype("int32")
+            binary = M.guess_types_batch(c["path"]).eq(M.BINARY)
+            prio = binary.astype("int32")
+            if cfg.prioritize_nonhtml:
+                prio = 1 - prio
+            robots_ok = (
+                R.robots_allowed(c["host"], c["path"], rule_index)
+                if rule_index
+                else pd.Series(True, index=c.index)
+            )
+            pass_depth = (depth < cfg.depth_limit) | (
+                sub["link_type"].eq("resource") & is_ext
+            )
+            yield pd.DataFrame(
+                {
+                    "url": c["url"],
+                    "url_key": c["url_key"],
+                    "host": c["host"],
+                    "path": c["path"],
+                    "query": c["query"],
+                    "depth": depth,
+                    "referrer": sub["parent_url"],
+                    "link_type": sub["link_type"],
+                    "is_external": is_ext.astype(bool),
+                    "priority": prio,
+                    "pos_f": sub["pos_f"].astype("int64"),
+                    "pos_o": sub["pos_o"].astype("int32"),
+                    "passes": (pass_depth & robots_ok).astype(bool),
+                }
+            )
+
+    return candidate_stage

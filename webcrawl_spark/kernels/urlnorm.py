@@ -117,6 +117,9 @@ def sort_query(query: str) -> str:
 def _split_authority(auth: pd.Series) -> tuple[pd.Series, pd.Series, pd.Series]:
     """authority → (userinfo, host, port); host lower-cased."""
     a = auth.fillna("")
+    if len(a) == 0:
+        empty = pd.Series([], index=a.index, dtype="object")
+        return empty, empty.copy(), empty.copy()
     has_user = a.str.contains("@", regex=False)
     userinfo = pd.Series(np.where(has_user, a.str.rpartition("@")[0], ""), index=a.index)
     hostport = pd.Series(np.where(has_user, a.str.rpartition("@")[2], a), index=a.index)

@@ -1,0 +1,65 @@
+"""Deterministic, scalable global sequence assignment.
+
+The engine needs data-derived total orders (fetch_seq, discovery seq) that
+are identical at any parallelism (SURVEY.md §4 item 2: never
+``monotonically_increasing_id`` — its values depend on partition layout).
+
+Strategy (no single-partition window, scales to 10^10 rows):
+
+1. range-repartition on the order columns (partition i holds keys ≤
+   partition i+1's) and sort within partitions → a global total order;
+2. count rows per partition (tiny P-row aggregate collected to the driver);
+3. seq = start + prefix_offset[partition] + (row_number within partition − 1).
+
+Correctness does not depend on where the range boundaries land — any split
+of a totally ordered sequence yields the same global numbering. The input is
+``localCheckpoint``-ed so the count job and the numbering job see the same
+partitioning (on a cluster the caller's per-round Parquet/Iceberg commit
+plays this role).
+"""
+
+from __future__ import annotations
+
+from itertools import accumulate
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_global_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    start: int,
+    out_col: str = "seq",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Add ``out_col`` = start, start+1, … in ``order_cols`` order.
+
+    ``order_cols`` tuples must be unique (the engine's orders are: they end
+    in a unique per-row sequence/ordinal).
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = dict(
+        ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    pids = sorted(counts)
+    offsets = dict(zip(pids, accumulate([0] + [counts[p] for p in pids[:-1]])))
+    if offsets:
+        off_expr = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )[F.col("__pid")]
+    else:
+        off_expr = F.lit(0)
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn(
+            out_col,
+            (F.lit(start) + off_expr + F.row_number().over(w) - F.lit(1)).cast("long"),
+        )
+        .drop("__pid")
+    )

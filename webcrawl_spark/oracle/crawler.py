@@ -188,12 +188,17 @@ class OracleCrawler:
             sel_ids = {id(e) for e in selected}
             frontier = [e for e in frontier if id(e) not in sel_ids]
 
+            # 2.+3. FETCH + DECODE all selected first (canonical set-based
+            # phase split: retries are collected before any enqueue so the
+            # frontier-cap accounting is a per-round set property the
+            # distributed engine reproduces exactly — ADAPT of the
+            # reference's page-interleaved loop, Crawler.cs:1449-1725).
             new_entries: list[Entry] = []
+            parsed: list[tuple[Entry, int, str | None, str]] = []
             for e in selected:
                 my_fetch_seq = fetch_seq
                 fetch_seq += 1
 
-                # 2. FETCH
                 if e.url not in self.pages:
                     error_rows.append((e.url, rnd, e.failures + 1, True, "http_404"))
                     continue
@@ -208,7 +213,6 @@ class OracleCrawler:
                         new_entries.append(e)  # requeue, same seq (Crawler.cs:2308)
                     continue
 
-                # 3. DECODE + content filters
                 c = _canon1(e.url, cfg)
                 rtype = M.guess_resource_type_from_path(c.path)
                 if rtype == M.UNKNOWN:
@@ -228,8 +232,10 @@ class OracleCrawler:
                     (e.url, e.url_key, e.host, rnd, my_fetch_seq, e.depth, e.link_type,
                      200, mime, charset, min(len(body), cfg.max_file_size), text)
                 )
+                parsed.append((e, my_fetch_seq, text, rtype))
 
-                # 4. PARSE + 5. ENQUEUE
+            # 4. PARSE + 5. ENQUEUE in fetch order
+            for e, my_fetch_seq, text, rtype in parsed:
                 if text is None:
                     continue
                 found = L.scan_html(text) if rtype == M.HTML else (

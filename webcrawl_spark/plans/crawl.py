@@ -1,0 +1,247 @@
+"""Multi-round BFS crawl driver: seeds → round loop → checkpointed state.
+
+Re-expresses the reference's continuous thread-pool loop
+(``Crawler.Start``/``CrawlServices``, Backend/Crawler.cs:983-1008,
+2823-2878; termination ``IsDone`` Crawler.cs:507-511) as synchronous,
+atomically-committed rounds over snapshot state: stop = finish current
+round; kill mid-round = resume from the last committed manifest with an
+identical future trace (north_rule resumability).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..config import CrawlConfig
+from ..kernels import mime as M
+from ..kernels import robots as R
+from ..kernels.config_free import SCHEMES
+from ..kernels.filters import compile_uri_filters
+from ..kernels.urlnorm import canonicalize
+from .round import FRONTIER_COLS, RoundContext, host_hash_col, run_round
+from .state import PQ_SCHEMA, CrawlState, Manifest
+
+_EMPTY_ROBOTS = pd.DataFrame(columns=["host", "path_prefix", "allow", "crawl_delay"])
+
+
+class SparkCrawler:
+    """Distributed URL-frontier engine over a ``pages`` table.
+
+    ``pages``: DataFrame(url, html, …) — the simulated web
+    (BASELINE.json:input_hint shape). ``seeds``: ordered URL list.
+    ``robots_rules``: small pandas frame broadcast to executors.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        seeds: list,
+        state_dir: str,
+        config: CrawlConfig = CrawlConfig(),
+        robots_rules: Optional[pd.DataFrame] = None,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.seeds = list(seeds)
+        self.cfg = config
+        self.state = CrawlState(spark, state_dir)
+
+        rules = robots_rules if robots_rules is not None else _EMPTY_ROBOTS
+        rule_index = R.build_rule_index(rules) if config.robots_enabled else {}
+        delays = R.crawl_delays(rules) if config.robots_enabled else {}
+        self._rule_index = rule_index
+        self.ctx = RoundContext(
+            cfg=config,
+            base_uris=self._compute_base_uris(),
+            uri_filters=compile_uri_filters(
+                config.change_filters, config.positive_filters, config.negative_filters
+            ),
+            rule_index_bc=(
+                spark.sparkContext.broadcast(rule_index) if rule_index else None
+            ),
+            delays=delays,
+        )
+
+    # ------------------------------------------------------------------
+    def _canon_seeds(self) -> pd.DataFrame:
+        cfg = self.cfg
+        return canonicalize(
+            pd.Series(self.seeds, dtype="object"),
+            strip_www=cfg.strip_www,
+            normalize_query=cfg.normalize_query,
+            case_sensitive_paths=cfg.case_sensitive_paths,
+        )
+
+    def _compute_base_uris(self) -> list:
+        """AddBaseUri appends every valid-scheme seed (Crawler.cs:806-836);
+        pure function of (seeds, config) so resume recomputes it exactly."""
+        if not self.seeds:
+            return []
+        c = self._canon_seeds()
+        return [
+            {"scheme": r.scheme, "host": r.host, "path": r.path}
+            for r in c.itertuples()
+            if r.url is not None and r.scheme in SCHEMES
+        ]
+
+    def _init_seeds(self) -> Manifest:
+        """Round-0 frontier from the seed list (driver-side: seeds are tiny
+        by definition; all per-row logic still runs the shared kernels)."""
+        cfg = self.cfg
+        c = self._canon_seeds()
+        seen_keys: set = set()
+        rows = []
+        pq_counts: dict = {}
+        seq = 0
+        for r in c.itertuples():
+            if r.url is None or r.scheme not in SCHEMES:
+                continue
+            key = (r.host, r.url_key)
+            if key in seen_keys:
+                continue
+            if self._rule_index and not bool(
+                R.robots_allowed(
+                    pd.Series([r.host]), pd.Series([r.path]), self._rule_index
+                ).iloc[0]
+            ):
+                continue
+            seen_keys.add(key)
+            pq_counts[(r.host, r.path)] = pq_counts.get((r.host, r.path), 0) + 1
+            binary = M.guess_resource_type_from_path(r.path) == M.BINARY
+            prio = 1 if binary else 0
+            if cfg.prioritize_nonhtml:
+                prio = 1 - prio
+            rows.append(
+                (r.url, r.url_key, r.host, r.path, r.query, 0, None, "link",
+                 False, prio, seq, 0, 0)
+            )
+            seq += 1
+
+        cols = [f for f in FRONTIER_COLS if f != "host_hash"]
+        frontier = self.spark.createDataFrame(
+            pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols),
+            schema=", ".join(
+                {
+                    "url": "url string", "url_key": "url_key string",
+                    "host": "host string", "path": "path string",
+                    "query": "query string", "depth": "depth int",
+                    "referrer": "referrer string", "link_type": "link_type string",
+                    "is_external": "is_external boolean", "priority": "priority int",
+                    "seq": "seq long", "failures": "failures int",
+                    "round": "round int",
+                }[f]
+                for f in cols
+            ),
+        ).withColumn("host_hash", host_hash_col(cfg.num_partitions)).select(*FRONTIER_COLS)
+
+        seen_delta = frontier.select(
+            "host", "host_hash", "url_key", "path", "query",
+            F.col("depth").alias("first_depth"),
+            F.lit(0).cast("int").alias("first_round"),
+        )
+        pq_delta = self.spark.createDataFrame(
+            pd.DataFrame(
+                [(h, p, n) for (h, p), n in pq_counts.items()],
+                columns=["host", "path", "n"],
+            )
+            if pq_counts
+            else pd.DataFrame(columns=["host", "path", "n"]),
+            schema=PQ_SCHEMA,
+        )
+
+        self.state.write_table("frontier", 0, frontier)
+        self.state.write_table("seen", 0, seen_delta)
+        self.state.write_table("pq", 0, pq_delta)
+        m = Manifest(
+            next_round=0, next_seq=seq, next_fetch_seq=0, frontier_rows=len(rows),
+            done=(len(rows) == 0),
+        )
+        self.state.commit(m)
+        return m
+
+    # ------------------------------------------------------------------
+    def run(self, max_rounds: Optional[int] = None) -> Manifest:
+        """Crawl until the frontier drains (IsDone) or a round cap.
+
+        ``max_rounds`` limits *this call* (kill/resume tests); the config's
+        ``max_rounds`` bounds the whole crawl.
+        """
+        m = self.state.latest_manifest()
+        if m is None:
+            m = self._init_seeds()
+        rounds_done = 0
+        while (
+            not m.done
+            and m.frontier_rows > 0
+            and m.next_round < self.cfg.max_rounds
+            and (max_rounds is None or rounds_done < max_rounds)
+        ):
+            m = self._run_one(m)
+            rounds_done += 1
+        return m
+
+    def _run_one(self, m: Manifest) -> Manifest:
+        k = m.next_round
+        st = self.state
+        out = run_round(
+            self.spark,
+            self.ctx,
+            st.read_frontier(k),
+            self.pages,
+            st.read_seen(k),
+            st.read_pq(k),
+            k,
+            m.next_seq,
+            m.next_fetch_seq,
+        )
+        st.write_table("fetched", k, out.fetched)
+        st.write_table("errors", k, out.errors)
+        st.write_table("seen", k + 1, out.seen_delta)
+        st.write_table("pq", k + 1, out.pq_delta)
+        st.write_table("frontier", k + 1, out.frontier_next)
+        st.write_table(
+            "counters", k,
+            self.spark.createDataFrame(out.counters, schemas.COUNTERS),
+        )
+        out.unpersist()
+        frontier_rows = st.read_frontier(k + 1).count()
+        nm = Manifest(
+            next_round=k + 1,
+            next_seq=out.next_seq,
+            next_fetch_seq=out.next_fetch_seq,
+            frontier_rows=frontier_rows,
+            done=(frontier_rows == 0),
+        )
+        st.commit(nm)
+        return nm
+
+    # ---------------- result accessors ----------------
+    def _m(self) -> Manifest:
+        m = self.state.latest_manifest()
+        if m is None:
+            raise RuntimeError("crawl not started")
+        return m
+
+    def fetched(self) -> DataFrame:
+        return self.state.read_all("fetched", self._m().next_round, schemas.FETCHED)
+
+    def trace(self) -> DataFrame:
+        return self.fetched().select(
+            "round", "fetch_seq", "url", "depth", "link_type"
+        ).orderBy("fetch_seq")
+
+    def seen(self) -> DataFrame:
+        return self.state.read_seen(self._m().next_round)
+
+    def errors(self) -> DataFrame:
+        return self.state.read_all("errors", self._m().next_round, schemas.ERRORS)
+
+    def counters(self) -> DataFrame:
+        return self.state.read_all("counters", self._m().next_round, schemas.COUNTERS)

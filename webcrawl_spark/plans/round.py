@@ -1,0 +1,331 @@
+"""One BFS crawl round as a declarative DataFrame pipeline (SURVEY.md §3.2).
+
+Dataflow (each step cites the reference semantics it re-expresses):
+
+1.  SELECT   politeness top-k per host (MaxConnectionsPerServer,
+    Crawler.cs:533-548 + robots crawl_delay budgets) via a window
+    ``row_number() over (partition by host order by priority, seq)``;
+    optional salt pre-prune bounds mega-host skew (north_rule explicit skew
+    handling); global budget = ordered limit (MaxConnections,
+    Crawler.cs:551-562); deterministic ``fetch_seq`` by range-partitioned
+    global numbering.
+2.  FETCH    left join vs the ``pages`` table on ``url`` (no network —
+    BASELINE.json:input_hint): absent row = fatal 404 (IsFatalError,
+    Crawler.cs:2121-2164); NULL html = retryable failure routed by
+    MaxRetries (Crawler.cs:1814-1860).
+3.  DECODE   Arrow-batched charset decode + content filters + MIME
+    (mapInPandas; Crawler.cs:1619-1656).
+4.  PARSE    link extraction + resolve + URI filters + canonicalize + scope
+    + robots + depth rule (mapInPandas stages over the shared kernels).
+5.  ENQUEUE  min-depth merge into the carried frontier (Crawler.cs:2303-2307);
+    left-anti join vs the seen set (Service.Enqueue dedup,
+    Crawler.cs:2301-2320); first-passing-discovery selection; crawler-trap
+    caps (MaxQueryStringsPerFile Crawler.cs:2415-2423; MaxQueuedLinks
+    Crawler.cs:2310-2315); deterministic global ``seq`` assignment.
+
+Every ordering key is data-derived — the same trace falls out at any
+parallelism (local[2] == local[32] == a 1000-executor cluster).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..functions.crawl_udfs import (
+    CANDIDATE_SCHEMA,
+    DECODE_SCHEMA,
+    PARSE_SCHEMA,
+    make_candidate_stage,
+    make_decode_stage,
+    make_parse_stage,
+)
+from ..kernels import robots as R
+from ..operators.seq import assign_global_seq
+
+FRONTIER_COLS = [
+    "url", "url_key", "host", "host_hash", "path", "query", "depth",
+    "referrer", "link_type", "is_external", "priority", "seq", "failures",
+    "round",
+]
+
+
+def host_hash_col(P: int):
+    """Deterministic host-hash partition id (shared by all state tables)."""
+    return F.pmod(F.xxhash64("host"), F.lit(P)).cast("int")
+
+
+@dataclass
+class RoundContext:
+    cfg: CrawlConfig
+    base_uris: list
+    uri_filters: tuple
+    rule_index_bc: object = None     # spark broadcast of robots rule index
+    delays: dict = field(default_factory=dict)  # host -> crawl_delay seconds
+
+
+@dataclass
+class RoundOutput:
+    frontier_next: DataFrame
+    seen_delta: DataFrame
+    pq_delta: DataFrame
+    fetched: DataFrame
+    errors: DataFrame
+    counters: list          # (round, stage, metric, value)
+    next_seq: int
+    next_fetch_seq: int
+    _persisted: list = field(default_factory=list)
+
+    def unpersist(self):
+        for df in self._persisted:
+            df.unpersist()
+
+
+def _budget_col(ctx: RoundContext):
+    cfg = ctx.cfg
+    default = cfg.max_connections_per_server
+    budgets = {
+        h: R.host_budget(default, d, cfg.politeness_quantum_s)
+        for h, d in ctx.delays.items()
+    }
+    budgets = {h: b for h, b in budgets.items() if b != default}
+    if not budgets:
+        return F.lit(default)
+    m = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
+    return F.coalesce(m[F.col("host")], F.lit(default))
+
+
+def run_round(
+    spark: SparkSession,
+    ctx: RoundContext,
+    frontier: DataFrame,
+    pages: DataFrame,
+    seen: DataFrame,
+    pq: DataFrame,
+    rnd: int,
+    next_seq: int,
+    next_fetch_seq: int,
+) -> RoundOutput:
+    cfg = ctx.cfg
+    P = cfg.num_partitions
+    counters: list = []
+
+    # ---------------- 1. SELECT (politeness + budgets) ----------------
+    budget = _budget_col(ctx)
+    pool = frontier
+    if cfg.salt_buckets > 1:
+        # skew guard: per-(host, salt) pre-prune — the true per-host top-k is
+        # a subset of the union of per-salt top-ks, and no single task ever
+        # sorts a mega-host's whole queue (north_rule explicit skew handling)
+        wsalt = Window.partitionBy(
+            "host", F.pmod(F.xxhash64("url_key"), F.lit(cfg.salt_buckets))
+        ).orderBy("priority", "seq")
+        pool = (
+            frontier.withColumn("__rn", F.row_number().over(wsalt))
+            .filter(F.col("__rn") <= budget)
+            .drop("__rn")
+        )
+    w = Window.partitionBy("host").orderBy("priority", "seq")
+    sel = (
+        pool.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= budget)
+        .drop("__rn")
+    )
+    if cfg.max_connections is not None:
+        sel = sel.orderBy("priority", "seq").limit(cfg.max_connections)
+    sel = assign_global_seq(
+        sel, ["priority", "seq"], start=next_fetch_seq,
+        out_col="fetch_seq", num_partitions=P,
+    )
+    n_selected = sel.count()
+    next_fetch_seq += n_selected
+    counters.append((rnd, "select", "selected", n_selected))
+
+    deferred = frontier.join(sel.select("seq"), "seq", "left_anti")
+
+    # ---------------- 2. FETCH (join vs pages) ----------------
+    pg = pages.select("url", "html").withColumn("__present", F.lit(True))
+    joined = sel.join(pg, "url", "left")
+
+    missing = joined.filter(F.col("__present").isNull())
+    failed = (
+        joined.filter(F.col("__present").isNotNull() & F.col("html").isNull())
+        .withColumn("__nf", (F.col("failures") + 1).cast("int"))
+    )
+    retry = failed.filter(F.col("__nf") <= cfg.max_retries)
+    exhausted = failed.filter(F.col("__nf") > cfg.max_retries)
+    good = joined.filter(F.col("html").isNotNull())
+
+    errors = (
+        missing.select(
+            "url", F.lit(rnd).cast("int").alias("round"),
+            (F.col("failures") + 1).cast("int").alias("failures"),
+            F.lit(True).alias("fatal"), F.lit("http_404").alias("reason"),
+        )
+        .unionByName(
+            exhausted.select(
+                "url", F.lit(rnd).cast("int").alias("round"),
+                F.col("__nf").alias("failures"),
+                F.lit(True).alias("fatal"),
+                F.lit("retries_exhausted").alias("reason"),
+            )
+        )
+        .unionByName(
+            retry.select(
+                "url", F.lit(rnd).cast("int").alias("round"),
+                F.col("__nf").alias("failures"),
+                F.lit(False).alias("fatal"), F.lit("retryable").alias("reason"),
+            )
+        )
+    )
+
+    retry_rows = retry.withColumn("failures", F.col("__nf")).select(*FRONTIER_COLS)
+
+    # ---------------- 3. DECODE (Arrow batches) ----------------
+    decoded = good.select(
+        "url", "url_key", "host", "path", "query", "depth", "link_type",
+        "is_external", "priority", "seq", "failures", "fetch_seq", "html",
+    ).mapInPandas(make_decode_stage(cfg), DECODE_SCHEMA)
+    decoded = decoded.persist()
+    n_fetched = decoded.count()
+    counters.append((rnd, "fetch", "fetched", n_fetched))
+
+    fetched = decoded.select(
+        "url", "url_key", "host",
+        F.lit(rnd).cast("int").alias("round"),
+        "fetch_seq", "depth", "link_type",
+        F.lit(200).alias("http_status"),
+        "mime", "charset", "bytes",
+        F.col("text").alias("extracted_text"),
+    )
+
+    # ---------------- 4. PARSE → candidates ----------------
+    cand = (
+        decoded.filter(F.col("text").isNotNull() & F.col("rtype").isin("html", "css"))
+        .select("url", "depth", "fetch_seq", "rtype", "text")
+        .mapInPandas(make_parse_stage(), PARSE_SCHEMA)
+        .mapInPandas(
+            make_candidate_stage(cfg, ctx.base_uris, ctx.uri_filters, ctx.rule_index_bc),
+            CANDIDATE_SCHEMA,
+        )
+        .persist()
+    )
+    counters.append((rnd, "parse", "candidates", cand.count()))
+
+    # ---------------- 5. ENQUEUE ----------------
+    # 5a. min-depth merge into carried entries (still-queued rediscoveries,
+    #     Crawler.cs:2303-2307). Carried keys ⊆ seen, so joining all
+    #     candidate minima is exact.
+    carried = deferred.select(*FRONTIER_COLS).unionByName(retry_rows)
+    cand_mins = cand.groupBy("host", "url_key").agg(F.min("depth").alias("__cmin"))
+    carried = (
+        carried.join(cand_mins, ["host", "url_key"], "left")
+        .withColumn("depth", F.least("depth", F.coalesce("__cmin", "depth")))
+        .drop("__cmin")
+    )
+
+    # 5b. frontier dedup: left-anti join vs the persistent seen set
+    #     (Service.Enqueue, Crawler.cs:2301-2320). Join key (host, url_key)
+    #     hashes on the full key → no mega-host shuffle skew.
+    new_cand = cand.join(
+        seen.select("host", "url_key"), ["host", "url_key"], "left_anti"
+    )
+
+    # 5c. first passing discovery per key wins and defines the entry's
+    #     attributes + seen.first_depth; discoveries at or after it
+    #     min-merge into the entry's frontier depth.
+    wk = Window.partitionBy("host", "url_key").orderBy("pos_f", "pos_o")
+    acc = (
+        new_cand.filter("passes")
+        .withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("first_depth", F.col("depth"))
+    )
+    merged = (
+        new_cand.select("host", "url_key", "pos_f", "pos_o", "depth")
+        .join(
+            acc.select(
+                "host", "url_key",
+                F.col("pos_f").alias("__fpf"), F.col("pos_o").alias("__fpo"),
+            ),
+            ["host", "url_key"],
+        )
+        .filter(
+            (F.col("pos_f") > F.col("__fpf"))
+            | ((F.col("pos_f") == F.col("__fpf")) & (F.col("pos_o") >= F.col("__fpo")))
+        )
+        .groupBy("host", "url_key")
+        .agg(F.min("depth").alias("__mdepth"))
+    )
+    acc = (
+        acc.join(merged, ["host", "url_key"], "left")
+        .withColumn("depth", F.coalesce("__mdepth", "depth"))
+        .drop("__mdepth")
+    )
+
+    # 5d. crawler-trap cap: ≥ max distinct query strings per (host, path)
+    #     → ignore (Crawler.cs:2415-2423). Each accepted key adds exactly
+    #     one distinct query to its path, so rank-vs-prior-count is exact.
+    wpq = Window.partitionBy("host", "path").orderBy("pos_f", "pos_o")
+    acc = (
+        acc.withColumn("__rnq", F.row_number().over(wpq))
+        .join(pq, ["host", "path"], "left")
+        .withColumn("__prior", F.coalesce(F.col("n"), F.lit(0)))
+        .filter(F.col("__prior") + F.col("__rnq") <= F.lit(cfg.max_query_strings_per_file))
+        .drop("__rnq", "n", "__prior")
+    )
+
+    # 5e. global frontier cap (MaxQueuedLinks, Crawler.cs:2310-2315)
+    if cfg.max_queued_links is not None:
+        slots = max(0, cfg.max_queued_links - carried.count())
+        acc = assign_global_seq(
+            acc, ["pos_f", "pos_o"], 0, out_col="__caprank", num_partitions=P
+        ).filter(F.col("__caprank") < slots).drop("__caprank")
+
+    # 5f. deterministic discovery sequence (EnqueueCore order ADAPTed to a
+    #     (priority, seq) total order; Crawler.cs:2507-2512)
+    acc = assign_global_seq(
+        acc, ["pos_f", "pos_o"], start=next_seq, out_col="seq", num_partitions=P
+    )
+    n_new = acc.count()
+    next_seq += n_new
+    counters.append((rnd, "enqueue", "new_links", n_new))
+
+    new_entries = acc.select(
+        "url", "url_key", "host",
+        host_hash_col(P).alias("host_hash"),
+        "path", "query",
+        F.col("depth").cast("int").alias("depth"),
+        "referrer", "link_type", "is_external",
+        F.col("priority").cast("int").alias("priority"),
+        "seq",
+        F.lit(0).cast("int").alias("failures"),
+        F.lit(rnd + 1).cast("int").alias("round"),
+    )
+
+    frontier_next = carried.select(*FRONTIER_COLS).unionByName(new_entries)
+
+    seen_delta = acc.select(
+        "host",
+        host_hash_col(P).alias("host_hash"),
+        "url_key", "path", "query",
+        F.col("first_depth").cast("int").alias("first_depth"),
+        F.lit(rnd).cast("int").alias("first_round"),
+    )
+    pq_delta = acc.groupBy("host", "path").agg(F.count(F.lit(1)).alias("n"))
+
+    return RoundOutput(
+        frontier_next=frontier_next,
+        seen_delta=seen_delta,
+        pq_delta=pq_delta,
+        fetched=fetched,
+        errors=errors,
+        counters=counters,
+        next_seq=next_seq,
+        next_fetch_seq=next_fetch_seq,
+        _persisted=[decoded, cand],
+    )

@@ -25,6 +25,8 @@ FRONTIER = T.StructType(
         T.StructField("url_key", T.StringType(), False),
         T.StructField("host", T.StringType(), False),
         T.StructField("host_hash", T.IntegerType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("query", T.StringType(), False),
         T.StructField("depth", T.IntegerType(), False),
         T.StructField("referrer", T.StringType(), True),
         T.StructField("link_type", T.StringType(), False),  # 'link' | 'resource'
