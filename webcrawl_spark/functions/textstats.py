@@ -1,0 +1,89 @@
+"""Text-analysis column builders for training-data pipelines — language ID,
+quality scoring, token counting, document fingerprinting. Pure
+``pyspark.sql.functions`` expressions (whole-stage codegen; no Python)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation marks.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# deterministic n-gram-free language-ID heuristic: stopword hit counts.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "los", "que"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def ws_token_count(col: str):
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(F.col(col)), r"\s+"))
+
+
+def bpe_token_count(col: str):
+    """Count of TOKEN_RE matches (a BPE-ish upper bound on subword count).
+
+    Pattern passed as a literal column — F.expr string literals unescape
+    backslashes and would corrupt ``\\s``."""
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(TOKEN_RE), F.lit(0)))
+
+
+def punct_count(col: str):
+    return F.size(
+        F.regexp_extract_all(F.col(col), F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+    )
+
+
+def fingerprint(col: str):
+    """Normalization fingerprint: md5 of lower-cased, whitespace-collapsed
+    text — the exact-dedup key robust to spacing/case differences."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "))
+
+
+def quality_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_chars, n_tokens, n_punct, score): length/punct heuristics.
+
+    score = n_tokens capped at 256, minus a punctuation-excess penalty —
+    integer arithmetic only, so any engine reproduces it bit-for-bit.
+    """
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        ws_token_count(text_col).alias("n_tokens"),
+        punct_count(text_col).alias("n_punct"),
+    )
+    return d.withColumn(
+        "score",
+        F.least(F.col("n_tokens"), F.lit(256))
+        - F.greatest(F.col("n_punct") * 4 - F.col("n_tokens"), F.lit(0)),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, pred_lang): argmax of stopword hit counts, ties broken by lang
+    name (ordinal) — deterministic and SQL-reproducible."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    scored = None
+    for lang, words in LANG_STOPWORDS.items():
+        s = toks.filter(F.col("tok").isin(words)).groupBy("id").agg(
+            F.count(F.lit(1)).alias("hits")
+        ).withColumn("lang", F.lit(lang))
+        scored = s if scored is None else scored.unionByName(s)
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    # argmax(hits) with ties to the alphabetically-first language:
+    # max of struct(hits, -lang_rank, lang)
+    langs = sorted(LANG_STOPWORDS)
+    rank_map = F.create_map(*[F.lit(x) for pair in ((l, -i) for i, l in enumerate(langs)) for x in pair])
+    best = (
+        scored.withColumn("lrank", rank_map[F.col("lang")])
+        .groupBy("id")
+        .agg(F.max(F.struct(F.col("hits"), F.col("lrank"), F.col("lang"))).alias("m"))
+        .select("id", F.col("m.lang").alias("pred_lang"))
+    )
+    return ids.join(best, "id", "left").fillna({"pred_lang": "unknown"})

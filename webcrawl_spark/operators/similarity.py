@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- brute-force cosine top-k: the exactness baseline — crossJoin + window.
+  All arithmetic is JVM-side (``zip_with``/``aggregate`` fold, sequential
+  and deterministic), cast to double before accumulating.
+- IVF-style bucketed top-k: a coarse quantizer (here: argmax component —
+  deterministic and engine-independent; swap for k-means centroid ids at
+  scale) prunes the candidate set to one bucket before ranking. At 100 TB
+  the bucket column is the shuffle/partition key and the per-bucket join
+  replaces the full crossJoin.
+- near-duplicate pairs: cosine threshold over candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def as_double(col: str) -> str:
+    return f"transform({col}, x -> cast(x as double))"
+
+
+def dot_sql(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({dot_sql(a, a)})"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
+
+
+def _prep(emb: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias(out_id), F.expr(as_double(vec_col)).alias(out_vec)
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_queries: int = 8, k: int = 5, round_to: int = 4,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos) — exact top-k per query (self excluded)."""
+    queries = _prep(emb, id_col, vec_col, "query_id", "qv").filter(
+        F.col("query_id") < n_queries
+    )
+    corpus = _prep(emb, id_col, vec_col, "neighbor_id", "nv")
+    scored = (
+        queries.crossJoin(corpus)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.expr(cosine_sql("qv", "nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", round_to).alias("cos"))
+    )
+
+
+def argmax_bucket_sql(vec: str) -> str:
+    """Coarse quantizer: 1-based index of the max component (deterministic;
+    array_position returns the first match)."""
+    return f"array_position({vec}, array_max({vec}))"
+
+
+def ivf_topk(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_queries: int = 8, k: int = 5, round_to: int = 4,
+) -> DataFrame:
+    """Bucketed ANN: rank only within the query's coarse bucket."""
+    base = _prep(emb, id_col, vec_col, "id", "v").withColumn(
+        "bucket", F.expr(argmax_bucket_sql("v")).cast("int")
+    )
+    queries = base.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    corpus = base.select(F.col("id").alias("neighbor_id"), F.col("v").alias("nv"), "bucket")
+    scored = (
+        queries.join(corpus, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.expr(cosine_sql("qv", "nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "bucket", F.round("cos", round_to).alias("cos"))
+    )
+
+
+def neardup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n: int = 200, threshold: float = 0.3, round_to: int = 4,
+) -> DataFrame:
+    """(a, b, cos) pairs with cosine above threshold among ids < n."""
+    sub = _prep(emb, id_col, vec_col, "id", "v").filter(F.col("id") < n)
+    a = sub.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    b = sub.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", F.expr(cosine_sql("va", "vb")))
+        .filter(F.col("cos") > threshold)
+        .select("a", "b", F.round("cos", round_to).alias("cos"))
+    )

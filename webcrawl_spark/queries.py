@@ -1,0 +1,817 @@
+"""The engine's query battery: every operator family from SURVEY.md §2 plus
+the training-data pipeline ops, each as a (spark_callable, oracle_sql) pair.
+
+``QUERIES[name] = (fn, sql_or_None)`` — ``fn(spark, sf_dir) -> DataFrame``;
+``sql`` is the ANSI-SQL equivalent DuckDB runs over the same parquet tables
+(views: region nation customer supplier part orders lineitem events
+documents embeddings). ``None`` marks genuinely non-SQL-expressible ops
+(the iterative BFS trace) — the driver records a rows-only check for those.
+
+Cross-engine exactness rules used throughout:
+- integer outputs are BIGINT on both sides; money sums go through
+  DECIMAL(18,2); float folds use index-ordered sequential summation with
+  per-element double casts (bit-identical IEEE results), rounded last.
+- timestamps are NTZ in the testdata; bucketing goes through string
+  prefixes (``cast(ts as string)``), never through session-timezone
+  conversions.
+- hashes are md5-hex-prefix based (identical in Spark, DuckDB, Python).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import multimodal as MM
+from .functions import textstats as TS
+from .kernels.links import extract_links_batch
+from .kernels.robots import build_rule_index, robots_allowed
+from .kernels.urlnorm import canonicalize
+from .operators import similarity as SIM
+from .operators import textdedup as TD
+from .plans.crawl import SparkCrawler
+from .sources import synth_web as SW
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col: str):
+    """Exact integer cents from a 2-dp double: double → DECIMAL(18,2) →
+    ×100 → BIGINT. Decimal types never reach the output schema (engines
+    render them differently); the arithmetic is exact on every engine."""
+    return (F.col(col).cast("decimal(18,2)") * 100).cast("long")
+
+
+def _crawl(spark: SparkSession, sf_dir: str, n_docs: int, max_rounds: Optional[int] = None) -> SparkCrawler:
+    pages = SW.synth_pages(spark, sf_dir, n_docs)
+    state = tempfile.mkdtemp(prefix="wc_state_")
+    c = SparkCrawler(
+        spark, pages, SW.seed_urls(), state, SW.crawl_config(num_partitions=16)
+    )
+    c.run(max_rounds=max_rounds)
+    return c
+
+
+# DuckDB-side builders mirroring the Spark operators' formulas exactly.
+
+def _duck_hash32(col: str) -> str:
+    return f"CAST(('0x' || substr(md5({col}), 1, 8)) AS BIGINT)"
+
+
+def _duck_shingles(col: str, k: int) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(length({col}) - {k - 1}, 1) + 1), "
+        f"i -> substr({col}, CAST(i AS INT), {k})))"
+    )
+
+
+def _duck_minhash(col: str, j: int, k: int) -> str:
+    h = _duck_hash32("s")
+    return (
+        f"CAST(list_aggregate(list_transform({_duck_shingles(col, k)}, "
+        f"s -> ({TD.MINHASH_A[j]} * {h} + {TD.MINHASH_B[j]}) % {TD.MINHASH_PRIME}), "
+        f"'min') AS BIGINT)"
+    )
+
+
+def _duck_dot64(a: str, b: str) -> str:
+    """Index-ordered 64-dim double dot product (bit-identical to Spark's
+    sequential ``aggregate`` fold)."""
+    return (
+        f"list_aggregate(list_transform(range(1, 65), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+
+
+def _duck_cos64(a: str, b: str) -> str:
+    return (
+        f"({_duck_dot64(a, b)} / "
+        f"(sqrt({_duck_dot64(a, a)}) * sqrt({_duck_dot64(b, b)})))"
+    )
+
+
+_AUG_DOCS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50"
+)
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(
+        d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl-engine queries (SURVEY.md §2 ops 1-13, 15-18)
+# ---------------------------------------------------------------------------
+
+def q_crawl_reach_seen(spark, sf_dir):
+    """End-to-end crawl gate: final seen set == BFS reachability (§2 ops
+    1,2,3,5,6,10 composed; politeness affects order, not membership)."""
+    c = _crawl(spark, sf_dir, 300)
+    return c.seen().select("host", "url_key")
+
+
+def q_crawl_frontier_round1(spark, sf_dir):
+    """One frontier-expansion round: links of the seed pages, deduped,
+    anti-joined against seen (§2 ops 6, 9, 10)."""
+    c = _crawl(spark, sf_dir, 300, max_rounds=1)
+    return c.state.read_frontier(1).select("url", F.col("depth").cast("long").alias("depth"))
+
+
+def q_crawl_bfs_trace(spark, sf_dir):
+    """Full deterministic crawl trace (politeness + priority + rounds) —
+    iterative; no single-SQL equivalent → rows-only check."""
+    c = _crawl(spark, sf_dir, 300)
+    return c.trace().select(
+        F.col("round").cast("long").alias("round"),
+        "fetch_seq", "url",
+        F.col("depth").cast("long").alias("depth"),
+        "link_type",
+    )
+
+
+_CANON_SCHEMA = "doc_id long, url string, host string, url_key string"
+
+
+def _canon_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        c = canonicalize(pdf["messy"], normalize_query=True)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "url": c["url"],
+                "host": c["host"],
+                "url_key": c["url_key"],
+            }
+        )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """Canonicalization kernel (§2 op 5) against an independently
+    constructed expectation: case, default port, slash runs, dot segments,
+    query sort, fragment strip."""
+    hid = SW.host_id_expr("doc_id")
+    messy = (
+        f"concat('HTTP://Site', cast({hid} as string), '.TEST:80//a//b/../doc', "
+        f"cast(doc_id as string), '.html?b=2&a=1#frag')"
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(messy).alias("messy"))
+        .mapInPandas(_canon_stage, _CANON_SCHEMA)
+    )
+
+
+_LINKS_SCHEMA = "url string, href string"
+
+
+def _extract_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        lists = extract_links_batch(
+            pdf["text"], pd.Series("html", index=pdf.index)
+        )
+        rows = [
+            (u, href)
+            for u, found in zip(pdf["url"], lists)
+            for href, _lt, _de in found
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=["url", "href"])
+
+
+def q_link_extract(spark, sf_dir):
+    """Link-extraction regexes (§2 op 6) over the synthetic web: extracted
+    hrefs must equal the generating edge function."""
+    return (
+        SW.synth_pages(spark, sf_dir, 200)
+        .select("url", "text")
+        .mapInPandas(_extract_stage, _LINKS_SCHEMA)
+    )
+
+
+_MIME_EXTS = ["html", "css", "js", "png", "jpg", "pdf", "zip", "txt", "gif", "mp3", "avi", "doc"]
+_MIME_SCHEMA = "doc_id long, path string, rtype string"
+
+
+def _mime_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .kernels.mime import guess_types_batch
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "path": pdf["path"],
+                "rtype": guess_types_batch(pdf["path"]),
+            }
+        )
+
+
+def q_mime_infer(spark, sf_dir):
+    """Extension → MIME → resource-type tables (§2 op 8)."""
+    exts = ", ".join(f"'{e}'" for e in _MIME_EXTS)
+    path = (
+        f"concat('/f', cast(doc_id as string), '.', "
+        f"element_at(array({exts}), cast(doc_id % 12 as int) + 1))"
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(path).alias("path"))
+        .mapInPandas(_mime_stage, _MIME_SCHEMA)
+    )
+
+
+_ROBOTS_SCHEMA = "doc_id long, host string, path string, allowed boolean"
+_ROBOTS_RULES = pd.DataFrame(
+    {
+        "host": [f"site{h}.test" for h in range(32) if h % 4 == 1],
+        "path_prefix": ["/doc1"] * 8,
+        "allow": [False] * 8,
+        "crawl_delay": [None] * 8,
+    }
+)
+
+
+def _robots_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    idx = build_rule_index(_ROBOTS_RULES)
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "host": pdf["host"],
+                "path": pdf["path"],
+                "allowed": robots_allowed(pdf["host"], pdf["path"], idx).astype(bool),
+            }
+        )
+
+
+def q_robots_filter(spark, sf_dir):
+    """Robots rules longest-prefix decisions (north_rule addition)."""
+    hid = SW.host_id_expr("doc_id")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(f"concat('site', cast({hid} as string), '.test')").alias("host"),
+            F.expr("concat('/doc', cast(doc_id as string), '.html')").alias("path"),
+        )
+        .mapInPandas(_robots_stage, _ROBOTS_SCHEMA)
+    )
+
+
+def q_politeness_topk(spark, sf_dir):
+    """Per-host politeness top-k as a window (§2 ops 2-3), neutral data."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def q_seen_antijoin(spark, sf_dir):
+    """Seen-set dedup shape: left-anti join (§2 op 10)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def q_min_depth_merge(spark, sf_dir):
+    """Min-merge on rediscovery (§2 op 9) as groupBy-min."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min("o_totalprice").alias("min_price"))
+    )
+
+
+def q_global_budget_limit(spark, sf_dir):
+    """Global connection budget: deterministic ordered limit (§2 op 3)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+        .select(
+            "o_orderkey",
+            F.substring(F.col("o_orderdate").cast("string"), 1, 10).alias("odate"),
+        )
+    )
+
+
+def q_query_string_cap(spark, sf_dir):
+    """Distinct-count trap cap shape (§2 op 11)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") >= 2)
+    )
+
+
+def q_retry_union(spark, sf_dir):
+    """Retry/error routing: when/otherwise split + union (§2 op 13)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", F.lit("returned").alias("reason")
+    )
+    b = li.filter(F.col("l_returnflag") == "A").select(
+        "l_orderkey", "l_linenumber", F.lit("accepted").alias("reason")
+    )
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# relational / windows / streaming-equivalent batch
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style partial-aggregate rollup (decimal-exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents("l_quantity")).alias("sum_qty_cents"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_price_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_agg_revenue(spark, sf_dir):
+    """Star join with broadcast dims: revenue per nation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_cents("o_totalprice")).alias("revenue_cents"))
+    )
+
+
+def q_window_running_sum(spark, sf_dir):
+    """Running sum per user (stateful-stream-equivalent batch window)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("running_cents", F.sum(_cents("value")).over(w))
+        .select("event_id", "user_id", "running_cents")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gaps) via lag + cumulative sum.
+
+    Gaps measured in integer microseconds over NTZ timestamps — exact and
+    timezone-free on every engine."""
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wo)
+    ev = ev.withColumn("prev_ts", prev)
+    gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    flag = F.when(gap > 1_800_000_000, 1).otherwise(0)
+    return (
+        ev.withColumn("flag", F.coalesce(flag, F.lit(0)))
+        .withColumn("session_idx", F.sum("flag").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"))
+        .select("event_id", "user_id", "session_idx")
+    )
+
+
+def q_event_tumbling_counts(spark, sf_dir):
+    """Tumbling 1-hour windows (batch equivalent of the streaming agg;
+    tz-proof string bucketing over NTZ timestamps)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("hour_bucket", F.substring(F.col("ts").cast("string"), 1, 13))
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_cents("value")).alias("total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / text analysis / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return TD.exact_duplicates(_aug_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return TD.minhash_signatures(docs, num_hashes=8, k=5).select(
+        "id", F.col("h").cast("long").alias("h"), "minhash"
+    )
+
+
+def q_dedup_lsh_pairs(spark, sf_dir):
+    return TD.lsh_candidate_pairs(_aug_docs(spark, sf_dir), bands=4, rows_per_band=2, k=5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return TD.simhash(docs)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return TD.ngram_jaccard_pairs(docs, k=3)
+
+
+def q_lang_id(spark, sf_dir):
+    return TS.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    return TS.quality_stats(_t(spark, sf_dir, "documents")).select(
+        "id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_punct").cast("long").alias("n_punct"),
+        F.col("score").cast("long").alias("score"),
+    )
+
+
+def q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("id"),
+        TS.ws_token_count("text").cast("long").alias("ws_tokens"),
+        TS.bpe_token_count("text").cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), TS.fingerprint("text").alias("fp")
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    return SIM.brute_force_topk(_t(spark, sf_dir, "embeddings"), n_queries=8, k=5)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    return SIM.ivf_topk(_t(spark, sf_dir, "embeddings"), n_queries=8, k=5).select(
+        "query_id", "neighbor_id", F.col("bucket").cast("long").alias("bucket"), "cos"
+    )
+
+
+def q_embed_neardup(spark, sf_dir):
+    return SIM.neardup_pairs(_t(spark, sf_dir, "embeddings"), n=200, threshold=0.3)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column metadata plumbing (decode stubbed, deterministic)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    )
+    return MM.extract_image_meta(d, "doc_id", "blob").select(
+        "id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "digest",
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+def _oracle_sql() -> dict:
+    hid = SW.host_id_expr("doc_id")
+    url_d = SW.url_sql("doc_id")
+
+    sql = {}
+
+    sql["crawl_reach_seen"] = SW.reach_seen_sql(300)
+
+    sql["crawl_frontier_round1"] = f"""
+WITH {SW.edges_sql(300)}
+SELECT {SW.url_sql('dst')} AS url, CAST(1 AS BIGINT) AS depth
+FROM (SELECT DISTINCT dst FROM edges WHERE src < 4
+      AND dst NOT IN (SELECT doc_id FROM docs WHERE doc_id < 4))
+"""
+
+    sql["url_canonicalize"] = f"""
+SELECT doc_id,
+  'http://site' || CAST({hid} AS STRING) || '.test/a/doc'
+    || CAST(doc_id AS STRING) || '.html?a=1&b=2' AS url,
+  'site' || CAST({hid} AS STRING) || '.test' AS host,
+  '/a/doc' || CAST(doc_id AS STRING) || '.html?a=1&b=2' AS url_key
+FROM documents
+"""
+
+    sql["link_extract"] = f"""
+WITH {SW.edges_sql(200)}
+SELECT {SW.url_sql('src')} AS url, {SW.url_sql('dst')} AS href FROM edges
+"""
+
+    ext_list = ", ".join(f"'{e}'" for e in _MIME_EXTS)
+    sql["mime_infer"] = f"""
+SELECT doc_id,
+  '/f' || CAST(doc_id AS STRING) || '.' || ext AS path,
+  CASE WHEN doc_id % 12 = 0 THEN 'html'
+       WHEN doc_id % 12 = 1 THEN 'css'
+       WHEN doc_id % 12 = 2 THEN 'javascript'
+       ELSE 'binary' END AS rtype
+FROM (SELECT doc_id, ([{ext_list}])[CAST(doc_id % 12 AS INT) + 1] AS ext FROM documents)
+"""
+
+    sql["robots_filter"] = f"""
+SELECT doc_id,
+  'site' || CAST({hid} AS STRING) || '.test' AS host,
+  '/doc' || CAST(doc_id AS STRING) || '.html' AS path,
+  NOT (({hid}) % 4 = 1 AND ('/doc' || CAST(doc_id AS STRING) || '.html') LIKE '/doc1%') AS allowed
+FROM documents
+"""
+
+    sql["politeness_topk"] = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+  FROM orders) WHERE rn <= 2
+"""
+
+    sql["seen_antijoin"] = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+    sql["min_depth_merge"] = """
+SELECT o_custkey, MIN(o_totalprice) AS min_price FROM orders GROUP BY o_custkey
+"""
+
+    sql["global_budget_limit"] = """
+SELECT o_orderkey, substr(CAST(o_orderdate AS STRING), 1, 10) AS odate
+FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 100
+"""
+
+    sql["query_string_cap"] = """
+SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_supp
+FROM lineitem GROUP BY l_partkey HAVING COUNT(DISTINCT l_suppkey) >= 2
+"""
+
+    sql["retry_union"] = """
+SELECT l_orderkey, l_linenumber, 'returned' AS reason FROM lineitem WHERE l_returnflag = 'R'
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'accepted' AS reason FROM lineitem WHERE l_returnflag = 'A'
+"""
+
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["join_agg_revenue"] = """
+SELECT n_name, CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+    sql["window_running_sum"] = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+FROM events
+"""
+
+    sql["sessionize"] = """
+SELECT event_id, user_id,
+  CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+FROM (
+  SELECT event_id, user_id, ts,
+    CASE WHEN date_diff('microsecond',
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800000000
+         THEN 1 ELSE 0 END AS flag
+  FROM events)
+"""
+
+    sql["event_tumbling_counts"] = """
+SELECT substr(CAST(ts AS STRING), 1, 13) AS hour_bucket, event_type,
+  COUNT(*) AS n, CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY 1, 2
+"""
+
+    sql["dedup_exact"] = f"""
+WITH aug AS ({_AUG_DOCS_SQL})
+SELECT md5(text) AS digest, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+FROM aug GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+    mh_cols = ",\n  ".join(
+        f"{_duck_minhash('text', j, 5)} AS mh{j}" for j in range(8)
+    )
+    sql["dedup_minhash_sig"] = f"""
+WITH sigs AS (
+  SELECT doc_id AS id, {mh_cols}
+  FROM documents WHERE doc_id < 100
+)
+SELECT id, CAST(h AS BIGINT) AS h, minhash FROM (
+  {" UNION ALL ".join(f"SELECT id, {j} AS h, mh{j} AS minhash FROM sigs" for j in range(8))}
+)
+"""
+
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, CAST({b} AS STRING) || ':' || CAST(mh{2*b} AS STRING) || ':' || "
+        f"CAST(mh{2*b+1} AS STRING) AS bucket FROM sigs"
+        for b in range(4)
+    )
+    sql["dedup_lsh_pairs"] = f"""
+WITH aug AS ({_AUG_DOCS_SQL}),
+sigs AS (
+  SELECT doc_id AS id, {mh_cols}
+  FROM aug
+),
+buckets AS ({band_selects})
+SELECT DISTINCT l.id AS a, r.id AS b
+FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.id < r.id
+"""
+
+    sql["dedup_simhash"] = f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE doc_id < 100
+),
+th AS (SELECT id, {_duck_hash32('tok')} AS h FROM toks WHERE tok <> ''),
+bits AS (
+  SELECT id, i, SUM(((h >> CAST(i AS INT)) & 1) * 2 - 1) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS i) r
+  GROUP BY id, i
+)
+SELECT id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY id
+"""
+
+    sql["ngram_jaccard"] = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_duck_shingles('text', 3)} AS s
+  FROM documents WHERE doc_id < 200
+)
+SELECT a.id AS a, b.id AS b,
+  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+FROM sh a JOIN sh b ON b.id = a.id + 1
+"""
+
+    lang_cases = " UNION ALL ".join(
+        f"SELECT id, '{lang}' AS lang, {-i} AS lrank, COUNT(*) AS hits FROM toks "
+        f"WHERE tok IN ({', '.join(repr(w) for w in TS.LANG_STOPWORDS[lang])}) GROUP BY id"
+        for i, lang in enumerate(sorted(TS.LANG_STOPWORDS))
+    )
+    sql["lang_id"] = f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+scored AS ({lang_cases}),
+best AS (
+  SELECT id, lang, ROW_NUMBER() OVER (PARTITION BY id ORDER BY hits DESC, lrank DESC) AS rk
+  FROM scored
+)
+SELECT d.doc_id AS id, COALESCE(b.lang, 'unknown') AS pred_lang
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN (SELECT id, lang FROM best WHERE rk = 1) b ON b.id = d.doc_id
+"""
+
+    sql["quality_score"] = """
+SELECT doc_id AS id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+  CAST(least(len(string_split_regex(trim(text), '\\s+')), 256)
+    - greatest(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 4
+               - len(string_split_regex(trim(text), '\\s+')), 0) AS BIGINT) AS score
+FROM documents
+"""
+
+    sql["token_count"] = f"""
+SELECT doc_id AS id,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{TS.TOKEN_RE}')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+    sql["fingerprint"] = """
+SELECT doc_id AS id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+    sql["cosine_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {_duck_cos64('q.embedding', 'e.embedding')} AS cos
+  FROM (SELECT * FROM e WHERE vec_id < 8) q CROSS JOIN e
+  WHERE e.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM s) WHERE rk <= 5
+"""
+
+    bucket = "CAST(list_position(list_transform({v}, x -> CAST(x AS DOUBLE)), list_aggregate(list_transform({v}, x -> CAST(x AS DOUBLE)), 'max')) AS BIGINT)"
+    sql["ann_ivf_topk"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {bucket.format(v='embedding')} AS bucket FROM embeddings
+),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.bucket,
+         {_duck_cos64('q.embedding', 'e.embedding')} AS cos
+  FROM (SELECT * FROM e WHERE vec_id < 8) q
+  JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, bucket, ROUND(cos, 4) AS cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM s) WHERE rk <= 5
+"""
+
+    sql["embed_neardup"] = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND({_duck_cos64('a.embedding', 'b.embedding')}, 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_duck_cos64('a.embedding', 'b.embedding')} > 0.3
+"""
+
+    sql["multimodal_meta"] = """
+SELECT doc_id AS id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1024 + 16 AS BIGINT) AS width,
+  CAST(CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1024 + 16 AS BIGINT) AS height,
+  md5(text) AS digest
+FROM documents WHERE doc_id < 200
+"""
+
+    return sql
+
+
+QUERIES: dict[str, Callable] = {
+    "crawl_reach_seen": q_crawl_reach_seen,
+    "crawl_frontier_round1": q_crawl_frontier_round1,
+    "crawl_bfs_trace": q_crawl_bfs_trace,           # rows-only (iterative)
+    "url_canonicalize": q_url_canonicalize,
+    "link_extract": q_link_extract,
+    "mime_infer": q_mime_infer,
+    "robots_filter": q_robots_filter,
+    "politeness_topk": q_politeness_topk,
+    "seen_antijoin": q_seen_antijoin,
+    "min_depth_merge": q_min_depth_merge,
+    "global_budget_limit": q_global_budget_limit,
+    "query_string_cap": q_query_string_cap,
+    "retry_union": q_retry_union,
+    "pricing_summary": q_pricing_summary,
+    "join_agg_revenue": q_join_agg_revenue,
+    "window_running_sum": q_window_running_sum,
+    "sessionize": q_sessionize,
+    "event_tumbling_counts": q_event_tumbling_counts,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_lsh_pairs": q_dedup_lsh_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embed_neardup": q_embed_neardup,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLE_SQL: dict[str, str] = _oracle_sql()

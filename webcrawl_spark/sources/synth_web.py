@@ -1,0 +1,144 @@
+"""Deterministic Common-Crawl-style web synthesized from ``documents.parquet``.
+
+Every page is a pure function of ``doc_id`` and the document count — the SAME
+function is expressed twice: as Spark column expressions (:func:`synth_pages`)
+and as DuckDB SQL snippets (:func:`edges_sql`, :func:`reach_seen_sql`), so
+crawl results over the synthetic web have an exact ANSI-SQL oracle.
+
+Graph shape:
+- host(d)   = 0 if d % MEGA_MOD == 0 else d % N_HOSTS   (host 0 is a
+  deliberate mega-host — ~23% of pages — exercising skew handling)
+- url(d)    = http://site{host}.test/doc{d}.html
+- nlinks(d) = 2 + d % 4
+- target(d, k) = (d*31 + 7*k + 1) % n        for k in [0, nlinks)
+- html(d)   = header + anchor tags for each target + the document text
+- text      = the html string itself (utf-8 → decode is the identity)
+
+The crawl's final seen-set over this web equals BFS reachability from the
+seeds (politeness changes order, not membership), which a recursive CTE
+computes exactly — the end-to-end crawl correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+
+N_HOSTS = 32
+MEGA_MOD = 5
+LINK_MULT = 31
+LINK_STEP = 7
+MAX_LINKS = 6  # nlinks(d) in [2, 5]
+
+
+def host_id_expr(d: str) -> str:
+    return f"(CASE WHEN ({d}) % {MEGA_MOD} = 0 THEN 0 ELSE ({d}) % {N_HOSTS} END)"
+
+
+def url_sql(d: str) -> str:
+    """SQL building url(d) — valid in both Spark SQL and DuckDB."""
+    return (
+        f"('http://site' || CAST({host_id_expr(d)} AS STRING) || "
+        f"'.test/doc' || CAST({d} AS STRING) || '.html')"
+    )
+
+
+def synth_pages(spark: SparkSession, sf_dir: str, n_docs: int | None = None) -> DataFrame:
+    """Pages table (url, warc_ts, html, text, lang) from documents.parquet."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if n_docs is None:
+        n_docs = docs.count()
+    else:
+        docs = docs.filter(F.col("doc_id") < n_docs)
+    d = docs.select("doc_id", "text", "lang")
+    url = F.expr(url_sql("doc_id").replace("AS STRING", "AS STRING"))
+    targets = F.expr(
+        f"transform(sequence(0, cast(doc_id % 4 as int) + 1), "
+        f"k -> (doc_id * {LINK_MULT} + {LINK_STEP} * k + 1) % {n_docs})"
+    )
+    links = F.expr(
+        "concat_ws('', transform(__targets, t -> concat("
+        f"'<a href=\"', {url_sql('t')}, '\">t</a>')))"
+    )
+    html_str = F.concat(
+        F.lit("<html><head><title>doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body>"),
+        F.col("__links"),
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return (
+        d.withColumn("__targets", targets)
+        .withColumn("__links", links)
+        .withColumn("url", url)
+        .withColumn("__html_str", html_str)
+        .select(
+            "url",
+            (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+             + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
+            F.encode("__html_str", "UTF-8").alias("html"),
+            F.col("__html_str").alias("text"),
+            "lang",
+        )
+    )
+
+
+def seed_urls(n_seeds: int = 4) -> list:
+    def host(d):
+        return 0 if d % MEGA_MOD == 0 else d % N_HOSTS
+
+    return [f"http://site{host(d)}.test/doc{d}.html" for d in range(n_seeds)]
+
+
+def crawl_config(**overrides) -> CrawlConfig:
+    """Config for the synthetic web: open scope, politeness per host."""
+    base = dict(
+        domain_navigation="Everywhere",
+        directory_navigation="UpAndDown",
+        max_connections=None,
+        max_connections_per_server=8,
+        robots_enabled=False,
+        depth_limit=50,
+        salt_buckets=4,
+    )
+    base.update(overrides)
+    return CrawlConfig(**base)
+
+
+# ---------------------------------------------------------------- SQL oracle
+
+def edges_sql(n_docs: int) -> str:
+    """CTE body: the link graph (src, dst) — DuckDB."""
+    return f"""
+docs AS (SELECT doc_id FROM documents WHERE doc_id < {n_docs}),
+ks AS (SELECT unnest(range(0, {MAX_LINKS})) AS k),
+edges AS (
+  SELECT d.doc_id AS src,
+         ((d.doc_id * {LINK_MULT} + {LINK_STEP} * ks.k + 1) % {n_docs}) AS dst
+  FROM docs d CROSS JOIN ks
+  WHERE ks.k < 2 + (d.doc_id % 4)
+)"""
+
+
+def reach_seen_sql(n_docs: int, n_seeds: int = 4) -> str:
+    """Seen-set membership oracle: BFS reachability from the seeds.
+
+    Returns (host, url_key) for every reachable doc — must equal the
+    engine's final seen set (politeness + rounds affect order only).
+    """
+    return f"""
+WITH RECURSIVE {edges_sql(n_docs)},
+reach(id) AS (
+  SELECT doc_id FROM docs WHERE doc_id < {n_seeds}
+  UNION
+  SELECT e.dst FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT ('site' || CAST({host_id_expr('id')} AS VARCHAR) || '.test') AS host,
+       ('/doc' || CAST(id AS VARCHAR) || '.html') AS url_key
+FROM reach
+ORDER BY host, url_key
+"""
