@@ -51,6 +51,11 @@ class CrawlConfig:
     num_partitions: int = 32         # host-hash partition count P
     salt_buckets: int = 1            # S sub-splits per mega-host (skew); 1 = off
     bloom_enabled: bool = True       # Bloom prefilter in front of the seen anti-join
+    small_round_threshold: int = 200_000  # below this frontier size, global
+                                     # sequence numbering uses a lazy single-
+                                     # partition window (zero extra jobs);
+                                     # above it, the range-partitioned
+                                     # two-phase numbering in operators/seq.py
     bloom_fpp: float = 0.01
     robots_enabled: bool = True
 

@@ -32,11 +32,14 @@ def assign_global_seq(
     start: int,
     out_col: str = "seq",
     num_partitions: int = 32,
-) -> DataFrame:
+    with_count: bool = False,
+):
     """Add ``out_col`` = start, start+1, … in ``order_cols`` order.
 
     ``order_cols`` tuples must be unique (the engine's orders are: they end
-    in a unique per-row sequence/ordinal).
+    in a unique per-row sequence/ordinal). With ``with_count`` returns
+    ``(df, total_rows)`` — the total falls out of the per-partition counts
+    already collected, so callers never pay a separate ``count()`` job.
     """
     ranged = (
         df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
@@ -56,10 +59,13 @@ def assign_global_seq(
     else:
         off_expr = F.lit(0)
     w = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (
+    out = (
         ranged.withColumn(
             out_col,
             (F.lit(start) + off_expr + F.row_number().over(w) - F.lit(1)).cast("long"),
         )
         .drop("__pid")
     )
+    if with_count:
+        return out, sum(counts.values())
+    return out

@@ -25,7 +25,7 @@ from ..kernels.config_free import SCHEMES
 from ..kernels.filters import compile_uri_filters
 from ..kernels.urlnorm import canonicalize
 from .round import FRONTIER_COLS, RoundContext, host_hash_col, run_round
-from .state import PQ_SCHEMA, CrawlState, Manifest
+from .state import CrawlState, Manifest
 
 _EMPTY_ROBOTS = pd.DataFrame(columns=["host", "path_prefix", "allow", "crawl_delay"])
 
@@ -98,7 +98,6 @@ class SparkCrawler:
         c = self._canon_seeds()
         seen_keys: set = set()
         rows = []
-        pq_counts: dict = {}
         seq = 0
         for r in c.itertuples():
             if r.url is None or r.scheme not in SCHEMES:
@@ -113,7 +112,6 @@ class SparkCrawler:
             ):
                 continue
             seen_keys.add(key)
-            pq_counts[(r.host, r.path)] = pq_counts.get((r.host, r.path), 0) + 1
             binary = M.guess_resource_type_from_path(r.path) == M.BINARY
             prio = 1 if binary else 0
             if cfg.prioritize_nonhtml:
@@ -146,19 +144,8 @@ class SparkCrawler:
             F.col("depth").alias("first_depth"),
             F.lit(0).cast("int").alias("first_round"),
         )
-        pq_delta = self.spark.createDataFrame(
-            pd.DataFrame(
-                [(h, p, n) for (h, p), n in pq_counts.items()],
-                columns=["host", "path", "n"],
-            )
-            if pq_counts
-            else pd.DataFrame(columns=["host", "path", "n"]),
-            schema=PQ_SCHEMA,
-        )
-
         self.state.write_table("frontier", 0, frontier)
         self.state.write_table("seen", 0, seen_delta)
-        self.state.write_table("pq", 0, pq_delta)
         m = Manifest(
             next_round=0, next_seq=seq, next_fetch_seq=0, frontier_rows=len(rows),
             done=(len(rows) == 0),
@@ -190,9 +177,10 @@ class SparkCrawler:
     def _run_one(self, m: Manifest) -> Manifest:
         k = m.next_round
         st = self.state
-        out = run_round(
+        stats = run_round(
             self.spark,
             self.ctx,
+            st,
             st.read_frontier(k),
             self.pages,
             st.read_seen(k),
@@ -200,24 +188,15 @@ class SparkCrawler:
             k,
             m.next_seq,
             m.next_fetch_seq,
+            m.frontier_rows,
         )
-        st.write_table("fetched", k, out.fetched)
-        st.write_table("errors", k, out.errors)
-        st.write_table("seen", k + 1, out.seen_delta)
-        st.write_table("pq", k + 1, out.pq_delta)
-        st.write_table("frontier", k + 1, out.frontier_next)
-        st.write_table(
-            "counters", k,
-            self.spark.createDataFrame(out.counters, schemas.COUNTERS),
-        )
-        out.unpersist()
-        frontier_rows = st.read_frontier(k + 1).count()
         nm = Manifest(
             next_round=k + 1,
-            next_seq=out.next_seq,
-            next_fetch_seq=out.next_fetch_seq,
-            frontier_rows=frontier_rows,
-            done=(frontier_rows == 0),
+            next_seq=stats.next_seq,
+            next_fetch_seq=stats.next_fetch_seq,
+            frontier_rows=stats.frontier_rows,
+            done=(stats.frontier_rows == 0),
+            counters=[list(c) for c in stats.counters],
         )
         st.commit(nm)
         return nm
@@ -229,8 +208,12 @@ class SparkCrawler:
             raise RuntimeError("crawl not started")
         return m
 
+    def fetch_log(self) -> DataFrame:
+        return self.state.read_fetch_log(self._m().next_round)
+
     def fetched(self) -> DataFrame:
-        return self.state.read_all("fetched", self._m().next_round, schemas.FETCHED)
+        cols = [f.name for f in schemas.FETCHED.fields]
+        return self.fetch_log().filter(F.col("status") == "ok").select(*cols)
 
     def trace(self) -> DataFrame:
         return self.fetched().select(
@@ -241,7 +224,15 @@ class SparkCrawler:
         return self.state.read_seen(self._m().next_round)
 
     def errors(self) -> DataFrame:
-        return self.state.read_all("errors", self._m().next_round, schemas.ERRORS)
+        return (
+            self.fetch_log()
+            .filter(F.col("status") != "ok")
+            .select(
+                "url", "round", "failures", "fatal",
+                F.col("status").alias("reason"),
+            )
+        )
 
     def counters(self) -> DataFrame:
-        return self.state.read_all("counters", self._m().next_round, schemas.COUNTERS)
+        rows = [tuple(c) for m in self.state.manifests() for c in m.counters]
+        return self.spark.createDataFrame(rows, schemas.COUNTERS)

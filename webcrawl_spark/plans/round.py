@@ -7,12 +7,13 @@ Dataflow (each step cites the reference semantics it re-expresses):
     ``row_number() over (partition by host order by priority, seq)``;
     optional salt pre-prune bounds mega-host skew (north_rule explicit skew
     handling); global budget = ordered limit (MaxConnections,
-    Crawler.cs:551-562); deterministic ``fetch_seq`` by range-partitioned
-    global numbering.
+    Crawler.cs:551-562); deterministic ``fetch_seq`` assignment.
 2.  FETCH    left join vs the ``pages`` table on ``url`` (no network —
     BASELINE.json:input_hint): absent row = fatal 404 (IsFatalError,
     Crawler.cs:2121-2164); NULL html = retryable failure routed by
-    MaxRetries (Crawler.cs:1814-1860).
+    MaxRetries (Crawler.cs:1814-1860). ``pages.url`` is assumed unique
+    (the Iceberg table's key; multi-version corpora are pre-deduped
+    latest-wins upstream, once, not per round).
 3.  DECODE   Arrow-batched charset decode + content filters + MIME
     (mapInPandas; Crawler.cs:1619-1656).
 4.  PARSE    link extraction + resolve + URI filters + canonicalize + scope
@@ -25,15 +26,33 @@ Dataflow (each step cites the reference semantics it re-expresses):
 
 Every ordering key is data-derived — the same trace falls out at any
 parallelism (local[2] == local[32] == a 1000-executor cluster).
+
+Physical-plan choices (the 100-TB story):
+
+- the ``pages`` table is scanned EXACTLY ONCE per round: the fetch join
+  result is checkpointed, and its size is bounded by the politeness budget
+  (per-host cap × host count), never by corpus size.
+- one combined ``fetch_log`` commit (fetched ∪ errors) doubles as the
+  parse input — no decode recomputation, a hard lineage cut, one write.
+- per-round stats ride a single aggregate over the checkpointed join plus
+  write-side Observations — no standalone count jobs over big inputs.
+- sequence assignment is adaptive: below
+  ``cfg.small_round_threshold`` rows a lazy single-partition window embeds
+  in downstream plans (zero extra jobs); above it, a range-partitioned
+  two-phase numbering keeps every task bounded (``operators/seq.py``).
+- the seen anti-join keys on (host, url_key) — uniform hash keys, so a
+  mega-host cannot skew the dedup shuffle; politeness selection is the one
+  host-partitioned window, protected by the salt pre-prune.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import schemas
 from ..config import CrawlConfig
 from ..functions.crawl_udfs import (
     CANDIDATE_SCHEMA,
@@ -52,6 +71,13 @@ FRONTIER_COLS = [
     "round",
 ]
 
+_RTYPE_FROM_MIME = {
+    "text/html": "html",
+    "text/css": "css",
+    "text/javascript": "javascript",
+    "text/vbscript": "vbscript",
+}
+
 
 def host_hash_col(P: int):
     """Deterministic host-hash partition id (shared by all state tables)."""
@@ -68,20 +94,11 @@ class RoundContext:
 
 
 @dataclass
-class RoundOutput:
-    frontier_next: DataFrame
-    seen_delta: DataFrame
-    pq_delta: DataFrame
-    fetched: DataFrame
-    errors: DataFrame
-    counters: list          # (round, stage, metric, value)
+class RoundStats:
     next_seq: int
     next_fetch_seq: int
-    _persisted: list = field(default_factory=list)
-
-    def unpersist(self):
-        for df in self._persisted:
-            df.unpersist()
+    frontier_rows: int
+    counters: list
 
 
 def _budget_col(ctx: RoundContext):
@@ -98,9 +115,19 @@ def _budget_col(ctx: RoundContext):
     return F.coalesce(m[F.col("host")], F.lit(default))
 
 
+def _lazy_seq(df: DataFrame, order_cols: list, start: int, out_col: str) -> DataFrame:
+    """Single-partition global numbering — deterministic, zero extra jobs;
+    for rounds below the small-round threshold only."""
+    w = Window.orderBy(*order_cols)
+    return df.coalesce(1).withColumn(
+        out_col, (F.lit(start) + F.row_number().over(w) - F.lit(1)).cast("long")
+    )
+
+
 def run_round(
     spark: SparkSession,
     ctx: RoundContext,
+    state,
     frontier: DataFrame,
     pages: DataFrame,
     seen: DataFrame,
@@ -108,9 +135,11 @@ def run_round(
     rnd: int,
     next_seq: int,
     next_fetch_seq: int,
-) -> RoundOutput:
+    frontier_rows: int,
+) -> RoundStats:
     cfg = ctx.cfg
     P = cfg.num_partitions
+    small = frontier_rows <= cfg.small_round_threshold
     counters: list = []
 
     # ---------------- 1. SELECT (politeness + budgets) ----------------
@@ -136,90 +165,125 @@ def run_round(
     )
     if cfg.max_connections is not None:
         sel = sel.orderBy("priority", "seq").limit(cfg.max_connections)
-    sel = assign_global_seq(
-        sel, ["priority", "seq"], start=next_fetch_seq,
-        out_col="fetch_seq", num_partitions=P,
-    )
-    n_selected = sel.count()
-    next_fetch_seq += n_selected
-    counters.append((rnd, "select", "selected", n_selected))
+    if small:
+        sel = _lazy_seq(sel, ["priority", "seq"], next_fetch_seq, "fetch_seq")
+    else:
+        sel = assign_global_seq(
+            sel, ["priority", "seq"], start=next_fetch_seq,
+            out_col="fetch_seq", num_partitions=P,
+        )
 
-    deferred = frontier.join(sel.select("seq"), "seq", "left_anti")
-
-    # ---------------- 2. FETCH (join vs pages) ----------------
+    # ---------------- 2. FETCH: ONE pages scan, result checkpointed ----
+    # Bounded by the politeness budget, not the corpus: joined holds at most
+    # (hosts-with-work × per-host budget) rows of html.
     pg = pages.select("url", "html").withColumn("__present", F.lit(True))
-    joined = sel.join(pg, "url", "left")
+    joined = sel.join(pg, "url", "left").localCheckpoint(eager=True)
 
-    missing = joined.filter(F.col("__present").isNull())
+    stats = joined.agg(
+        F.count(F.lit(1)).alias("n_sel"),
+        F.count("__present").alias("n_present"),
+        F.count("html").alias("n_good"),
+        F.count(
+            F.when(
+                F.col("__present").isNotNull()
+                & F.col("html").isNull()
+                & (F.col("failures") + 1 <= cfg.max_retries),
+                1,
+            )
+        ).alias("n_retry"),
+    ).first()
+    n_selected, n_good, n_retry = stats["n_sel"], stats["n_good"], stats["n_retry"]
+    next_fetch_seq += n_selected
+    counters += [
+        (rnd, "select", "selected", n_selected),
+        (rnd, "fetch", "fetched", n_good),
+        (rnd, "fetch", "retries", n_retry),
+        (rnd, "fetch", "errors", stats["n_present"] - n_good - n_retry
+         + (n_selected - stats["n_present"])),
+    ]
+
     failed = (
         joined.filter(F.col("__present").isNotNull() & F.col("html").isNull())
         .withColumn("__nf", (F.col("failures") + 1).cast("int"))
     )
     retry = failed.filter(F.col("__nf") <= cfg.max_retries)
-    exhausted = failed.filter(F.col("__nf") > cfg.max_retries)
     good = joined.filter(F.col("html").isNotNull())
 
-    errors = (
-        missing.select(
-            "url", F.lit(rnd).cast("int").alias("round"),
-            (F.col("failures") + 1).cast("int").alias("failures"),
-            F.lit(True).alias("fatal"), F.lit("http_404").alias("reason"),
-        )
-        .unionByName(
-            exhausted.select(
-                "url", F.lit(rnd).cast("int").alias("round"),
-                F.col("__nf").alias("failures"),
-                F.lit(True).alias("fatal"),
-                F.lit("retries_exhausted").alias("reason"),
-            )
-        )
-        .unionByName(
-            retry.select(
-                "url", F.lit(rnd).cast("int").alias("round"),
-                F.col("__nf").alias("failures"),
-                F.lit(False).alias("fatal"), F.lit("retryable").alias("reason"),
-            )
-        )
-    )
-
-    retry_rows = retry.withColumn("failures", F.col("__nf")).select(*FRONTIER_COLS)
-
-    # ---------------- 3. DECODE (Arrow batches) ----------------
+    # ---------------- 3. DECODE → one combined fetch_log commit --------
     decoded = good.select(
         "url", "url_key", "host", "path", "query", "depth", "link_type",
         "is_external", "priority", "seq", "failures", "fetch_seq", "html",
     ).mapInPandas(make_decode_stage(cfg), DECODE_SCHEMA)
-    decoded = decoded.persist()
-    n_fetched = decoded.count()
-    counters.append((rnd, "fetch", "fetched", n_fetched))
 
-    fetched = decoded.select(
+    ok_rows = decoded.select(
         "url", "url_key", "host",
         F.lit(rnd).cast("int").alias("round"),
         "fetch_seq", "depth", "link_type",
         F.lit(200).alias("http_status"),
         "mime", "charset", "bytes",
         F.col("text").alias("extracted_text"),
+        F.lit("ok").alias("status"),
+        F.col("failures").cast("int").alias("failures"),
+        F.lit(False).alias("fatal"),
     )
 
-    # ---------------- 4. PARSE → candidates ----------------
+    def _err_rows(df, status: str, failures_col, fatal: bool, http: int):
+        return df.select(
+            "url", "url_key", "host",
+            F.lit(rnd).cast("int").alias("round"),
+            "fetch_seq", "depth", "link_type",
+            F.lit(http).alias("http_status"),
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("string").alias("charset"),
+            F.lit(None).cast("long").alias("bytes"),
+            F.lit(None).cast("string").alias("extracted_text"),
+            F.lit(status).alias("status"),
+            failures_col.cast("int").alias("failures"),
+            F.lit(fatal).alias("fatal"),
+        )
+
+    missing = joined.filter(F.col("__present").isNull())
+    exhausted = failed.filter(F.col("__nf") > cfg.max_retries)
+    fetch_log = (
+        ok_rows
+        .unionByName(_err_rows(missing, "http_404", F.col("failures") + 1, True, 404))
+        .unionByName(_err_rows(exhausted, "retries_exhausted", F.col("__nf"), True, 0))
+        .unionByName(_err_rows(retry, "retryable", F.col("__nf"), False, 0))
+    )
+    state.write_table("fetch_log", rnd, fetch_log)
+    fetched_back = state.read_table("fetch_log", rnd, schemas.FETCH_LOG)
+
+    retry_rows = retry.withColumn("failures", F.col("__nf")).select(*FRONTIER_COLS)
+
+    # ---------------- 4. PARSE → candidates --------------------------
+    rtype_map = F.create_map(
+        *[F.lit(x) for kv in _RTYPE_FROM_MIME.items() for x in kv]
+    )
     cand = (
-        decoded.filter(F.col("text").isNotNull() & F.col("rtype").isin("html", "css"))
-        .select("url", "depth", "fetch_seq", "rtype", "text")
+        fetched_back.filter(
+            (F.col("status") == "ok") & F.col("extracted_text").isNotNull()
+        )
+        .withColumn("rtype", F.coalesce(rtype_map[F.col("mime")], F.lit("binary")))
+        .filter(F.col("rtype").isin("html", "css"))
+        .select(
+            "url", "depth", "fetch_seq", "rtype",
+            F.col("extracted_text").alias("text"),
+        )
         .mapInPandas(make_parse_stage(), PARSE_SCHEMA)
         .mapInPandas(
             make_candidate_stage(cfg, ctx.base_uris, ctx.uri_filters, ctx.rule_index_bc),
             CANDIDATE_SCHEMA,
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    counters.append((rnd, "parse", "candidates", cand.count()))
 
     # ---------------- 5. ENQUEUE ----------------
     # 5a. min-depth merge into carried entries (still-queued rediscoveries,
     #     Crawler.cs:2303-2307). Carried keys ⊆ seen, so joining all
     #     candidate minima is exact.
-    carried = deferred.select(*FRONTIER_COLS).unionByName(retry_rows)
+    carried = frontier.join(joined.select("seq"), "seq", "left_anti").select(
+        *FRONTIER_COLS
+    ).unionByName(retry_rows)
     cand_mins = cand.groupBy("host", "url_key").agg(F.min("depth").alias("__cmin"))
     carried = (
         carried.join(cand_mins, ["host", "url_key"], "left")
@@ -280,18 +344,34 @@ def run_round(
     )
 
     # 5e. global frontier cap (MaxQueuedLinks, Crawler.cs:2310-2315)
+    n_carried = frontier_rows - n_selected + n_retry
     if cfg.max_queued_links is not None:
-        slots = max(0, cfg.max_queued_links - carried.count())
+        slots = max(0, cfg.max_queued_links - n_carried)
         acc = assign_global_seq(
             acc, ["pos_f", "pos_o"], 0, out_col="__caprank", num_partitions=P
         ).filter(F.col("__caprank") < slots).drop("__caprank")
 
     # 5f. deterministic discovery sequence (EnqueueCore order ADAPTed to a
     #     (priority, seq) total order; Crawler.cs:2507-2512)
-    acc = assign_global_seq(
-        acc, ["pos_f", "pos_o"], start=next_seq, out_col="seq", num_partitions=P
-    )
-    n_new = acc.count()
+    if small:
+        acc = _lazy_seq(acc, ["pos_f", "pos_o"], next_seq, "seq")
+    else:
+        acc = assign_global_seq(
+            acc, ["pos_f", "pos_o"], start=next_seq, out_col="seq",
+            num_partitions=P,
+        )
+
+    # seen delta write carries an Observation so n_new costs no extra job
+    obs = Observation(f"seen_r{rnd}")
+    seen_delta = acc.select(
+        "host",
+        host_hash_col(P).alias("host_hash"),
+        "url_key", "path", "query",
+        F.col("first_depth").cast("int").alias("first_depth"),
+        F.lit(rnd).cast("int").alias("first_round"),
+    ).observe(obs, F.count(F.lit(1)).alias("n"))
+    state.write_table("seen", rnd + 1, seen_delta)
+    n_new = obs.get["n"]
     next_seq += n_new
     counters.append((rnd, "enqueue", "new_links", n_new))
 
@@ -306,26 +386,16 @@ def run_round(
         F.lit(0).cast("int").alias("failures"),
         F.lit(rnd + 1).cast("int").alias("round"),
     )
-
-    frontier_next = carried.select(*FRONTIER_COLS).unionByName(new_entries)
-
-    seen_delta = acc.select(
-        "host",
-        host_hash_col(P).alias("host_hash"),
-        "url_key", "path", "query",
-        F.col("first_depth").cast("int").alias("first_depth"),
-        F.lit(rnd).cast("int").alias("first_round"),
+    state.write_table(
+        "frontier", rnd + 1, carried.select(*FRONTIER_COLS).unionByName(new_entries)
     )
-    pq_delta = acc.groupBy("host", "path").agg(F.count(F.lit(1)).alias("n"))
 
-    return RoundOutput(
-        frontier_next=frontier_next,
-        seen_delta=seen_delta,
-        pq_delta=pq_delta,
-        fetched=fetched,
-        errors=errors,
-        counters=counters,
+    frontier_rows_next = n_carried + n_new
+    counters.append((rnd, "commit", "frontier_out", frontier_rows_next))
+
+    return RoundStats(
         next_seq=next_seq,
         next_fetch_seq=next_fetch_seq,
-        _persisted=[decoded, cand],
+        frontier_rows=frontier_rows_next,
+        counters=counters,
     )

@@ -2,20 +2,25 @@
 
 Iceberg-style commit semantics over Parquet (in-sandbox stand-in; on a real
 cluster the same layout maps 1:1 to Iceberg tables — append-only deltas for
-``seen``/``pq``/``fetched``/``errors``/``counters``, full snapshots for the
-mutable ``frontier`` — with each round one multi-table transaction).
+``seen``/``fetch_log``, full snapshots for the mutable ``frontier`` — with
+each round one multi-table transaction).
 
 Layout under ``root``:
 
-- ``frontier/round=k/``  full frontier snapshot entering round k
-- ``seen/round=k/``      seen-set rows ADDED at round k (k=0: seeds)
-- ``pq/round=k/``        (host, path, n) distinct-query-count deltas
-- ``fetched/round=k/``   pages fetched during round k
-- ``errors/round=k/``    error rows from round k
-- ``counters/round=k/``  per-stage lineage row counts
+- ``frontier/round=k/``   full frontier snapshot entering round k
+- ``seen/round=k/``       seen-set rows ADDED at round k (k=0: seeds)
+- ``fetch_log/round=k/``  fetched pages ∪ error rows for round k (one
+  commit; ``status`` column splits the two views)
 - ``_manifests/round-k.json``  commit marker, written LAST via tmp+rename:
-  a round is visible iff its manifest exists. Resume = highest manifest;
-  partially-written data from a crashed round is simply overwritten.
+  a round is visible iff its manifest exists; it also carries the round's
+  lineage counters (per-stage row counts) and sequence high-water marks.
+  Resume = highest manifest; partially-written data from a crashed round
+  is simply overwritten.
+
+The per-path distinct-query counts (crawler-trap cap state) are DERIVED
+from the seen table on read — each seen row contributes exactly one
+distinct query string to its (host, path) — so they need no separate
+table or write.
 
 The reference persists only settings — a killed crawl loses its queue
 (LoadSettings/SaveSettings, Backend/Crawler.cs:885-981). Our engine exceeds
@@ -27,15 +32,12 @@ from __future__ import annotations
 import json
 import os
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
-
-_TABLES = ("frontier", "seen", "pq", "fetched", "errors", "counters")
-_DELTA_TABLES = ("seen", "pq", "fetched", "errors", "counters")
 
 PQ_SCHEMA = "host string, path string, n long"
 
@@ -47,6 +49,7 @@ class Manifest:
     next_fetch_seq: int   # next fetch sequence number
     frontier_rows: int    # rows in frontier/round=next_round
     done: bool = False
+    counters: list = field(default_factory=list)  # (round, stage, metric, value)
 
 
 class CrawlState:
@@ -88,13 +91,29 @@ class CrawlState:
         if best is None:
             return None
         with open(self._manifest_path(best)) as f:
-            return Manifest(**json.load(f))
+            d = json.load(f)
+        d.setdefault("counters", [])
+        return Manifest(**d)
+
+    def manifests(self) -> list:
+        out = []
+        k = 0
+        while os.path.exists(self._manifest_path(k)):
+            with open(self._manifest_path(k)) as f:
+                d = json.load(f)
+            d.setdefault("counters", [])
+            out.append(Manifest(**d))
+            k += 1
+        return out
 
     # ---------------- reads ----------------
     def read_frontier(self, rnd: int) -> DataFrame:
         return self.spark.read.schema(schemas.FRONTIER).parquet(
             self._dir("frontier", rnd)
         )
+
+    def read_table(self, table: str, rnd: int, schema) -> DataFrame:
+        return self.spark.read.schema(schema).parquet(self._dir(table, rnd))
 
     def read_seen(self, upto_round: int) -> DataFrame:
         paths = self._paths("seen", upto_round)
@@ -103,21 +122,18 @@ class CrawlState:
         return self.spark.read.schema(schemas.SEEN).parquet(*paths)
 
     def read_pq(self, upto_round: int) -> DataFrame:
-        """Aggregated (host, path) → distinct-query counts up to a round."""
-        paths = self._paths("pq", upto_round)
-        if not paths:
-            return self.spark.createDataFrame([], PQ_SCHEMA)
+        """(host, path) → distinct-query counts, derived from seen."""
         return (
-            self.spark.read.schema(PQ_SCHEMA).parquet(*paths)
+            self.read_seen(upto_round)
             .groupBy("host", "path")
-            .agg(F.sum("n").alias("n"))
+            .agg(F.count(F.lit(1)).alias("n"))
         )
 
-    def read_all(self, table: str, upto_round: int, schema) -> DataFrame:
-        paths = self._paths(table, upto_round)
+    def read_fetch_log(self, upto_round: int) -> DataFrame:
+        paths = self._paths("fetch_log", upto_round)
         if not paths:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+            return self.spark.createDataFrame([], schemas.FETCH_LOG)
+        return self.spark.read.schema(schemas.FETCH_LOG).parquet(*paths)
 
     def _paths(self, table: str, upto_round: int) -> list[str]:
         return [

@@ -67,6 +67,17 @@ FETCHED = T.StructType(
     ]
 )
 
+# fetched ∪ errors in one per-round commit (single write); status='ok' rows
+# are the fetched view, others the errors view.
+FETCH_LOG = T.StructType(
+    FETCHED.fields
+    + [
+        T.StructField("status", T.StringType(), False),   # ok|http_404|retryable|retries_exhausted
+        T.StructField("failures", T.IntegerType(), False),
+        T.StructField("fatal", T.BooleanType(), False),
+    ]
+)
+
 ERRORS = T.StructType(
     [
         T.StructField("url", T.StringType(), False),

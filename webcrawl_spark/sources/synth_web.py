@@ -45,14 +45,30 @@ def url_sql(d: str) -> str:
     )
 
 
-def synth_pages(spark: SparkSession, sf_dir: str, n_docs: int | None = None) -> DataFrame:
-    """Pages table (url, warc_ts, html, text, lang) from documents.parquet."""
+def synth_pages(
+    spark: SparkSession, sf_dir: str, n_docs: int | None = None, mult: int = 1
+) -> DataFrame:
+    """Pages table (url, warc_ts, html, text, lang) from documents.parquet.
+
+    ``mult`` replicates the corpus deterministically (doc_id' = doc_id +
+    r·n_base) so benchmarks can scale the web arbitrarily beyond the
+    source table while links stay closed over the larger id space.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if n_docs is None:
         n_docs = docs.count()
     else:
         docs = docs.filter(F.col("doc_id") < n_docs)
     d = docs.select("doc_id", "text", "lang")
+    if mult > 1:
+        n_base = n_docs
+        d = d.withColumn(
+            "__r", F.explode(F.expr(f"sequence(0, {mult - 1})"))
+        ).select(
+            (F.col("doc_id") + F.col("__r") * n_base).alias("doc_id"),
+            "text", "lang",
+        )
+        n_docs = n_base * mult
     url = F.expr(url_sql("doc_id").replace("AS STRING", "AS STRING"))
     targets = F.expr(
         f"transform(sequence(0, cast(doc_id % 4 as int) + 1), "
