@@ -56,12 +56,12 @@ def build_session(cpus: int):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("webcrawl-bench")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.default.parallelism", "32")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "16g"))
         .getOrCreate()
     )
 
@@ -76,27 +76,40 @@ def session(cpus: int):
     return spark
 
 
-def run_crawl(spark, sf_dir: str, mult: int):
-    """Returns (elapsed_s, urls_fetch_scheduled, new_links_deduped, rounds)."""
+def run_crawl(spark, sf_dir: str, mult: int, n_seeds: int = 4, budget_div: int = 30,
+              pages_path: str | None = None):
+    """Returns (elapsed_s, urls_fetch_scheduled, new_links_deduped, rounds, pages).
+
+    The politeness budget is sized from the LARGEST host's queue (host 0
+    holds ~23% of pages by construction) so the mega-host drains in a
+    handful of rounds instead of serializing the crawl. On a real cluster
+    the same round sizes arise from host COUNT (10^7 hosts × small per-host
+    budget); with 32 synthetic hosts the per-host budget stands in for it.
+
+    ``pages_path``: pre-synthesized pages parquet (scaling mode shares one
+    input across parallelism levels); otherwise synthesized in-memory.
+    """
     from webcrawl_spark.plans.crawl import SparkCrawler
     from webcrawl_spark.sources import synth_web as SW
 
-    pages = SW.synth_pages(spark, sf_dir, None, mult=mult).localCheckpoint(
-        eager=True
-    )  # materialize input so synthesis cost is outside the timed region
+    if pages_path:
+        pages = spark.read.parquet(pages_path)
+    else:
+        pages = SW.synth_pages(spark, sf_dir, None, mult=mult).localCheckpoint(
+            eager=True
+        )  # materialize input so synthesis cost is outside the timed region
     n_pages = pages.count()
-    # size the politeness budget from the LARGEST host's queue (host 0 holds
-    # ~23% of pages by construction) so the mega-host drains in ~7 rounds
-    # instead of serializing the crawl
-    budget = max(8, n_pages // 30)
+    budget = max(8, n_pages // budget_div)
+    bloom_bits = 1 << max(17, (n_pages * 16 // 32).bit_length())
     cfg = SW.crawl_config(
         num_partitions=min(64, max(16, CPUS)),
         max_connections_per_server=budget,
+        bloom_bits=bloom_bits,
     )
     state = tempfile.mkdtemp(prefix="bench_state_")
     try:
         t0 = time.time()
-        c = SparkCrawler(spark, pages, SW.seed_urls(), state, cfg)
+        c = SparkCrawler(spark, pages, SW.seed_urls(n_seeds), state, cfg)
         m = c.run()
         elapsed = time.time() - t0
         return elapsed, m.next_fetch_seq, m.next_seq, m.next_round, n_pages
@@ -147,16 +160,49 @@ def main_default():
     print(json.dumps(out))
 
 
+SCALING_MULT = int(os.environ.get("BENCH_SCALING_MULT", "2048"))
+SCALING_N = int(os.environ.get("BENCH_SCALING_N", "4"))  # N and 4N cores
+
+
 def main_scaling():
-    """Run the crawl at two parallelism levels in fresh JVMs; report
-    throughput + N→4N efficiency to BENCH/BASELINE.md."""
+    """Run the crawl at two parallelism levels (N and 4N cores) in fresh
+    JVMs over ONE pre-synthesized input; report throughput + efficiency to
+    BENCH/BASELINE.md.
+
+    Methodology: identical input parquet, identical logical plan and
+    partitioning (shuffle partitions fixed at 32) — only executor slots
+    differ, mirroring an N- vs 4N-executor cluster. The corpus is scaled
+    (× SCALING_MULT) until per-round parallel work dominates the constant
+    per-round commit floor, as it does at real cluster round sizes.
+    """
+    import tempfile as _tf
+
+    pages_dir = os.path.join(_tf.gettempdir(), f"bench_pages_x{SCALING_MULT}")
+    n_base = 5000 if "0.1" in SF_DIR else 500
+    if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+        prep = (
+            "import bench;"
+            "from webcrawl_spark.sources import synth_web as SW;"
+            "spark = bench.session(8); spark.sparkContext.setLogLevel('ERROR');"
+            f"SW.synth_pages(spark, {SF_DIR!r}, None, mult={SCALING_MULT})"
+            f".repartition(64).write.mode('overwrite').parquet({pages_dir!r});"
+            "print('PREPARED')"
+        )
+        pr = subprocess.run([sys.executable, "-c", prep], cwd=REPO,
+                            capture_output=True, text=True, timeout=1800)
+        if "PREPARED" not in pr.stdout:
+            print(pr.stdout[-2000:], pr.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError("pages synthesis failed")
+
     results = {}
-    for cpus in (8, 32):
+    for cpus in (SCALING_N, 4 * SCALING_N):
         code = (
             "import bench, json;"
             f"spark = bench.session({cpus});"
             "spark.sparkContext.setLogLevel('ERROR');"
-            f"r = bench.run_crawl(spark, {SF_DIR!r}, {MULT});"
+            f"r = bench.run_crawl(spark, {SF_DIR!r}, {SCALING_MULT}, "
+            f"n_seeds=max(4, {n_base} * {SCALING_MULT} // 50), budget_div=15, "
+            f"pages_path={pages_dir!r});"
             "print('RESULT ' + json.dumps(r))"
         )
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
@@ -178,7 +224,8 @@ def main_scaling():
         }
         print(f"local[{cpus}]: {results[cpus]}")
 
-    eff = results[32]["throughput"] / (4 * results[8]["throughput"])
+    lo, hi = SCALING_N, 4 * SCALING_N
+    eff = results[hi]["throughput"] / (4 * results[lo]["throughput"])
     # parallel-work efficiency: subtract the fixed per-round commit floor?
     # No — report the raw number plus context.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -189,16 +236,16 @@ In-sandbox evidence per task instruction: the same crawl job on identical
 input at two parallelism levels (no real cluster available).
 
 Workload: full BFS crawl of the synthetic web derived from
-`{SF_DIR}/documents.parquet` × {MULT} ({results[32]['pages']} pages,
-{results[32]['rounds']} rounds), politeness budget per host sized for
+`{SF_DIR}/documents.parquet` × {SCALING_MULT} ({results[hi]['pages']} pages,
+{results[hi]['rounds']} rounds), politeness budget per host sized for
 ~7 rounds. Metric = (URLs scheduled + URLs deduped) / wall-second.
 
 | parallelism | wall s | URLs fetched | throughput /s |
 |---|---|---|---|
-| local[8]  (N)  | {results[8]['seconds']} | {results[8]['urls']} | {results[8]['throughput']} |
-| local[32] (4N) | {results[32]['seconds']} | {results[32]['urls']} | {results[32]['throughput']} |
+| local[{lo}]  (N)  | {results[lo]['seconds']} | {results[lo]['urls']} | {results[lo]['throughput']} |
+| local[{hi}] (4N) | {results[hi]['seconds']} | {results[hi]['urls']} | {results[hi]['throughput']} |
 
-**Scaling efficiency local[8] → local[32]: {eff:.2f}**
+**Scaling efficiency local[{lo}] → local[{hi}]: {eff:.2f}**
 (criterion ≥ 0.8 → {"PASS" if eff >= 0.8 else "see note"})
 
 Note: each BFS round carries a fixed atomic-commit floor (manifest +

@@ -51,6 +51,9 @@ class CrawlConfig:
     num_partitions: int = 32         # host-hash partition count P
     salt_buckets: int = 1            # S sub-splits per mega-host (skew); 1 = off
     bloom_enabled: bool = True       # Bloom prefilter in front of the seen anti-join
+    bloom_bits: int = 1 << 17        # bits per host-hash partition; size so
+                                     # total bits ≈ 10-15× expected seen keys
+                                     # (cluster: 1<<30+ per partition sidecar)
     small_round_threshold: int = 200_000  # below this frontier size, global
                                      # sequence numbering uses a lazy single-
                                      # partition window (zero extra jobs);

@@ -24,6 +24,7 @@ from ..kernels import robots as R
 from ..kernels.config_free import SCHEMES
 from ..kernels.filters import compile_uri_filters
 from ..kernels.urlnorm import canonicalize
+from ..operators.bloom import SeenBloom, bloom_path
 from .round import FRONTIER_COLS, RoundContext, host_hash_col, run_round
 from .state import CrawlState, Manifest
 
@@ -146,6 +147,12 @@ class SparkCrawler:
         )
         self.state.write_table("frontier", 0, frontier)
         self.state.write_table("seen", 0, seen_delta)
+        if self.cfg.bloom_enabled:
+            bl = SeenBloom(self.cfg.num_partitions, self.cfg.bloom_bits)
+            bl.add_frame(pd.DataFrame(
+                {"host": [r[2] for r in rows], "url_key": [r[1] for r in rows]}
+            ))
+            bl.save(bloom_path(self.state.root, 0))
         m = Manifest(
             next_round=0, next_seq=seq, next_fetch_seq=0, frontier_rows=len(rows),
             done=(len(rows) == 0),
@@ -163,6 +170,7 @@ class SparkCrawler:
         m = self.state.latest_manifest()
         if m is None:
             m = self._init_seeds()
+        self._bloom = self._load_bloom(m) if self.cfg.bloom_enabled else None
         rounds_done = 0
         while (
             not m.done
@@ -174,9 +182,27 @@ class SparkCrawler:
             rounds_done += 1
         return m
 
+    def _load_bloom(self, m: Manifest) -> SeenBloom:
+        """Load the bloom snapshot for the resume round, else rebuild it
+        from the committed seen table."""
+        import os
+
+        path = bloom_path(self.state.root, m.next_round)
+        if os.path.exists(path):
+            return SeenBloom.load(path)
+        bl = SeenBloom(self.cfg.num_partitions, self.cfg.bloom_bits)
+        pdf = self.state.read_seen(m.next_round).select("host", "url_key").toPandas()
+        if len(pdf):
+            bl.add_frame(pdf)
+        return bl
+
     def _run_one(self, m: Manifest) -> Manifest:
         k = m.next_round
         st = self.state
+        if self._bloom is not None:
+            self.ctx.bloom_bc = self.spark.sparkContext.broadcast(
+                self._bloom.snapshot()
+            )
         stats = run_round(
             self.spark,
             self.ctx,
@@ -190,6 +216,17 @@ class SparkCrawler:
             m.next_fetch_seq,
             m.frontier_rows,
         )
+        if self._bloom is not None:
+            import pandas as _pd
+
+            delta = _pd.read_parquet(
+                st._dir("seen", k + 1), columns=["host", "url_key"]
+            )
+            if len(delta):
+                self._bloom.add_frame(delta)
+            self._bloom.save(bloom_path(st.root, k + 1))
+            self.ctx.bloom_bc.unpersist()
+            self.ctx.bloom_bc = None
         nm = Manifest(
             next_round=k + 1,
             next_seq=stats.next_seq,

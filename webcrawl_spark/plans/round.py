@@ -47,6 +47,8 @@ Physical-plan choices (the 100-TB story):
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
@@ -91,6 +93,7 @@ class RoundContext:
     uri_filters: tuple
     rule_index_bc: object = None     # spark broadcast of robots rule index
     delays: dict = field(default_factory=dict)  # host -> crawl_delay seconds
+    bloom_bc: object = None          # spark broadcast of SeenBloom snapshot
 
 
 @dataclass
@@ -141,6 +144,15 @@ def run_round(
     P = cfg.num_partitions
     small = frontier_rows <= cfg.small_round_threshold
     counters: list = []
+    _debug = os.environ.get("WC_ROUND_TIMING")
+    _t0 = time.time()
+
+    def _mark(label):
+        nonlocal _t0
+        if _debug:
+            now = time.time()
+            print(f"    [r{rnd}] {label}: {now - _t0:.2f}s", flush=True)
+            _t0 = now
 
     # ---------------- 1. SELECT (politeness + budgets) ----------------
     budget = _budget_col(ctx)
@@ -177,7 +189,16 @@ def run_round(
     # Bounded by the politeness budget, not the corpus: joined holds at most
     # (hosts-with-work × per-host budget) rows of html.
     pg = pages.select("url", "html").withColumn("__present", F.lit(True))
-    joined = sel.join(pg, "url", "left").localCheckpoint(eager=True)
+    # repartition by url BEFORE the checkpoint: the join inherits the pages
+    # table's layout (possibly a handful of files), and everything downstream
+    # — decode, the fetch_log files, and therefore parse — would inherit that
+    # serialization. The shuffle moves one round's html only (budget-bounded).
+    joined = (
+        sel.join(pg, "url", "left")
+        .repartition(P, "url")
+        .localCheckpoint(eager=True)
+    )
+    _mark("select+fetch_ckpt")
 
     stats = joined.agg(
         F.count(F.lit(1)).alias("n_sel"),
@@ -192,6 +213,7 @@ def run_round(
             )
         ).alias("n_retry"),
     ).first()
+    _mark("stats_agg")
     n_selected, n_good, n_retry = stats["n_sel"], stats["n_good"], stats["n_retry"]
     next_fetch_seq += n_selected
     counters += [
@@ -251,6 +273,7 @@ def run_round(
         .unionByName(_err_rows(retry, "retryable", F.col("__nf"), False, 0))
     )
     state.write_table("fetch_log", rnd, fetch_log)
+    _mark("fetch_log_write")
     fetched_back = state.read_table("fetch_log", rnd, schemas.FETCH_LOG)
 
     retry_rows = retry.withColumn("failures", F.col("__nf")).select(*FRONTIER_COLS)
@@ -276,6 +299,7 @@ def run_round(
         )
         .localCheckpoint(eager=True)
     )
+    _mark("parse_ckpt")
 
     # ---------------- 5. ENQUEUE ----------------
     # 5a. min-depth merge into carried entries (still-queued rediscoveries,
@@ -293,10 +317,39 @@ def run_round(
 
     # 5b. frontier dedup: left-anti join vs the persistent seen set
     #     (Service.Enqueue, Crawler.cs:2301-2320). Join key (host, url_key)
-    #     hashes on the full key → no mega-host shuffle skew.
-    new_cand = cand.join(
-        seen.select("host", "url_key"), ["host", "url_key"], "left_anti"
-    )
+    #     hashes on the full key → no mega-host shuffle skew. With the Bloom
+    #     sidecar, candidates missing the filter are DEFINITELY new (no
+    #     false negatives) and bypass the anti-join; only possible-seen rows
+    #     (rediscoveries + false positives) enter the shuffle.
+    if ctx.bloom_bc is not None:
+        bc = ctx.bloom_bc
+
+        def _bloom_stage(batches):
+            from ..operators.bloom import SeenBloom
+
+            snap = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                pdf = pdf.copy()
+                pdf["maybe_seen"] = SeenBloom.contains_batch(
+                    snap, pdf["host"], pdf["url_key"]
+                )
+                yield pdf
+
+        flagged = cand.mapInPandas(
+            _bloom_stage, CANDIDATE_SCHEMA + ", maybe_seen boolean"
+        )
+        definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        checked = (
+            flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+            .join(seen.select("host", "url_key"), ["host", "url_key"], "left_anti")
+        )
+        new_cand = definitely_new.unionByName(checked)
+    else:
+        new_cand = cand.join(
+            seen.select("host", "url_key"), ["host", "url_key"], "left_anti"
+        )
 
     # 5c. first passing discovery per key wins and defines the entry's
     #     attributes + seen.first_depth; discoveries at or after it
@@ -371,6 +424,7 @@ def run_round(
         F.lit(rnd).cast("int").alias("first_round"),
     ).observe(obs, F.count(F.lit(1)).alias("n"))
     state.write_table("seen", rnd + 1, seen_delta)
+    _mark("seen_write")
     n_new = obs.get["n"]
     next_seq += n_new
     counters.append((rnd, "enqueue", "new_links", n_new))
@@ -390,6 +444,7 @@ def run_round(
         "frontier", rnd + 1, carried.select(*FRONTIER_COLS).unionByName(new_entries)
     )
 
+    _mark("frontier_write")
     frontier_rows_next = n_carried + n_new
     counters.append((rnd, "commit", "frontier_out", frontier_rows_next))
 

@@ -46,7 +46,8 @@ def url_sql(d: str) -> str:
 
 
 def synth_pages(
-    spark: SparkSession, sf_dir: str, n_docs: int | None = None, mult: int = 1
+    spark: SparkSession, sf_dir: str, n_docs: int | None = None, mult: int = 1,
+    text_repeat: int = 1,
 ) -> DataFrame:
     """Pages table (url, warc_ts, html, text, lang) from documents.parquet.
 
@@ -78,13 +79,17 @@ def synth_pages(
         "concat_ws('', transform(__targets, t -> concat("
         f"'<a href=\"', {url_sql('t')}, '\">t</a>')))"
     )
+    body_text = (
+        F.col("text") if text_repeat <= 1
+        else F.concat_ws(" ", *[F.col("text")] * text_repeat)
+    )
     html_str = F.concat(
         F.lit("<html><head><title>doc"),
         F.col("doc_id").cast("string"),
         F.lit("</title></head><body>"),
         F.col("__links"),
         F.lit("<p>"),
-        F.col("text"),
+        body_text,
         F.lit("</p></body></html>"),
     )
     return (
