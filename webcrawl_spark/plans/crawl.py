@@ -273,3 +273,69 @@ class SparkCrawler:
     def counters(self) -> DataFrame:
         rows = [tuple(c) for m in self.state.manifests() for c in m.counters]
         return self.spark.createDataFrame(rows, schemas.COUNTERS)
+
+
+def _frontier_removal(crawler: "SparkCrawler", pattern: str, allow_requeue: bool) -> int:
+    """RemoveUris (Crawler.cs:874-883, Service.Remove 2326-2341): drop
+    frontier entries whose URL matches ``pattern``. With
+    ``allow_requeue=False`` the keys STAY in the seen set (the reference's
+    ``queued[key] = null``) and can never re-enqueue; with ``True`` they
+    are erased from seen (dict entry removed) and may be rediscovered.
+
+    Frontier surgery mutates the current snapshot in place and re-commits
+    the manifest; the allow_requeue=True path compacts the seen table
+    (append-only deltas → one consolidated delta).
+    """
+    st = crawler.state
+    m = crawler._m()
+    k = m.next_round
+    frontier = st.read_frontier(k)
+    removed = frontier.filter(F.col("url").rlike(pattern))
+    removed_keys = removed.select("host", "url_key").toPandas()
+    n_removed = len(removed_keys)
+    if n_removed == 0:
+        return 0
+    kept = frontier.filter(~F.col("url").rlike(pattern)).localCheckpoint(eager=True)
+
+    if allow_requeue:
+        import os
+        import shutil
+
+        seen = st.read_seen(k)
+        rm = crawler.spark.createDataFrame(removed_keys)
+        consolidated = seen.join(rm, ["host", "url_key"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        for r in range(k + 1):
+            d = st._dir("seen", r)
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        st.write_table("seen", k, consolidated)
+        # bloom has no deletes: drop sidecars so the next run() rebuilds
+        bdir = os.path.join(st.root, "bloom")
+        if os.path.exists(bdir):
+            shutil.rmtree(bdir)
+
+    st.write_table("frontier", k, kept)
+    st.commit(Manifest(
+        next_round=k,
+        next_seq=m.next_seq,
+        next_fetch_seq=m.next_fetch_seq,
+        frontier_rows=m.frontier_rows - n_removed,
+        done=(m.frontier_rows - n_removed) == 0,
+        counters=m.counters,
+    ))
+    return n_removed
+
+
+def _clear_uris(crawler: "SparkCrawler") -> int:
+    """ClearUris (Crawler.cs:845-851, Service.Clear 2255-2271): drop the
+    whole frontier; the cleared keys remain marked seen
+    (``queued[key] = null`` at Crawler.cs:2268) and never re-enqueue."""
+    return _frontier_removal(crawler, ".*", allow_requeue=False)
+
+
+SparkCrawler.remove_uris = lambda self, pattern, allow_requeue=True: _frontier_removal(
+    self, pattern, allow_requeue
+)
+SparkCrawler.clear_uris = lambda self: _clear_uris(self)

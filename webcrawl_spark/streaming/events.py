@@ -1,0 +1,110 @@
+"""Streaming aggregations over an events feed.
+
+- :func:`stream_tumbling_counts` — tumbling 1-hour windows with a
+  watermark for late data; the streaming expression of the batch
+  ``event_tumbling_counts`` query (same groups, same counts once the
+  stream drains).
+- :func:`stream_session_counts` — custom stateful operator via
+  ``applyInPandasWithState``: per-user running event counts + last-seen
+  timestamp, with timeout-based state expiry. The pattern a streaming
+  frontier would use for per-host politeness state (deferred per
+  SURVEY.md §2 streaming note).
+
+Both read a bounded file-source stream (the events parquet dir) and write
+to a memory sink via ``processAvailable``-style drains so tests can compare
+against the batch equivalents exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (bounded: drains once).
+
+    The file source requires a DIRECTORY; the single-file testdata table is
+    staged into a temp dir via symlink."""
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(), "wc_stream_events_" + src.replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str, query_name: str) -> "StreamingQuery":
+    """1-hour tumbling windows, 2-hour watermark, memory sink."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withColumn("ts_tz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", "2 hours")
+        .groupBy(F.window("ts_tz", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH").alias("hour_bucket"),
+            "event_type", "n",
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )
+
+
+SESSION_STATE_SCHEMA = "n_events long, last_seen double"
+SESSION_OUT_SCHEMA = "user_id long, n_events long"
+
+
+def _session_fn(
+    key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Accumulate per-user event counts across micro-batches.
+
+    (No processing-time timeout: recurring expiry batches would keep a
+    bounded drain from settling; production feeds would add
+    ``setTimeoutDuration`` for state GC.)"""
+    n, last = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            last = max(last, pdf["ts"].astype("int64").max() / 1e9)
+    state.update((n, last))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+
+def stream_session_counts(spark: SparkSession, sf_dir: str, query_name: str) -> "StreamingQuery":
+    """Stateful per-user counting via applyInPandasWithState."""
+    ev = events_stream(spark, sf_dir).select("user_id", "ts")
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        counted.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .start()
+    )
