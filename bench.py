@@ -76,8 +76,8 @@ def session(cpus: int):
     return spark
 
 
-def run_crawl(spark, sf_dir: str, mult: int, n_seeds: int = 4, budget_div: int = 30,
-              pages_path: str | None = None):
+def run_crawl(spark, sf_dir: str, mult: int, n_seeds: int = 4, target_rounds: int = 7,
+              pages_path: str | None = None, n_hosts: int | None = None):
     """Returns (elapsed_s, urls_fetch_scheduled, new_links_deduped, rounds, pages).
 
     The politeness budget is sized from the LARGEST host's queue (host 0
@@ -95,11 +95,14 @@ def run_crawl(spark, sf_dir: str, mult: int, n_seeds: int = 4, budget_div: int =
     if pages_path:
         pages = spark.read.parquet(pages_path)
     else:
-        pages = SW.synth_pages(spark, sf_dir, None, mult=mult).localCheckpoint(
-            eager=True
-        )  # materialize input so synthesis cost is outside the timed region
+        pages = SW.synth_pages(
+            spark, sf_dir, None, mult=mult, n_hosts=n_hosts or SW.N_HOSTS
+        ).localCheckpoint(eager=True)  # synthesis cost outside the timed region
     n_pages = pages.count()
-    budget = max(8, n_pages // budget_div)
+    if n_hosts is None:
+        n_hosts = SW.N_HOSTS
+    # mega-host holds ~1/MEGA_MOD of pages; size its drain to ~target_rounds
+    budget = max(8, n_pages // SW.MEGA_MOD // target_rounds)
     bloom_bits = 1 << max(17, (n_pages * 16 // 32).bit_length())
     cfg = SW.crawl_config(
         num_partitions=min(64, max(16, CPUS)),
@@ -109,7 +112,7 @@ def run_crawl(spark, sf_dir: str, mult: int, n_seeds: int = 4, budget_div: int =
     state = tempfile.mkdtemp(prefix="bench_state_")
     try:
         t0 = time.time()
-        c = SparkCrawler(spark, pages, SW.seed_urls(n_seeds), state, cfg)
+        c = SparkCrawler(spark, pages, SW.seed_urls(n_seeds, n_hosts), state, cfg)
         m = c.run()
         elapsed = time.time() - t0
         return elapsed, m.next_fetch_seq, m.next_seq, m.next_round, n_pages
@@ -177,14 +180,18 @@ def main_scaling():
     """
     import tempfile as _tf
 
-    pages_dir = os.path.join(_tf.gettempdir(), f"bench_pages_x{SCALING_MULT}")
     n_base = 5000 if "0.1" in SF_DIR else 500
+    n_hosts = max(32, n_base * SCALING_MULT // 2500)
+    pages_dir = os.path.join(
+        _tf.gettempdir(), f"bench_pages_x{SCALING_MULT}_h{n_hosts}"
+    )
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
         prep = (
             "import bench;"
             "from webcrawl_spark.sources import synth_web as SW;"
             "spark = bench.session(8); spark.sparkContext.setLogLevel('ERROR');"
-            f"SW.synth_pages(spark, {SF_DIR!r}, None, mult={SCALING_MULT})"
+            f"SW.synth_pages(spark, {SF_DIR!r}, None, mult={SCALING_MULT}, "
+            f"n_hosts={n_hosts})"
             f".repartition(64).write.mode('overwrite').parquet({pages_dir!r});"
             "print('PREPARED')"
         )
@@ -201,8 +208,8 @@ def main_scaling():
             f"spark = bench.session({cpus});"
             "spark.sparkContext.setLogLevel('ERROR');"
             f"r = bench.run_crawl(spark, {SF_DIR!r}, {SCALING_MULT}, "
-            f"n_seeds=max(4, {n_base} * {SCALING_MULT} // 50), budget_div=15, "
-            f"pages_path={pages_dir!r});"
+            f"n_seeds=max(4, {n_base} * {SCALING_MULT} // 50), target_rounds=7, "
+            f"pages_path={pages_dir!r}, n_hosts={n_hosts});"
             "print('RESULT ' + json.dumps(r))"
         )
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))

@@ -33,21 +33,21 @@ LINK_STEP = 7
 MAX_LINKS = 6  # nlinks(d) in [2, 5]
 
 
-def host_id_expr(d: str) -> str:
-    return f"(CASE WHEN ({d}) % {MEGA_MOD} = 0 THEN 0 ELSE ({d}) % {N_HOSTS} END)"
+def host_id_expr(d: str, n_hosts: int = N_HOSTS) -> str:
+    return f"(CASE WHEN ({d}) % {MEGA_MOD} = 0 THEN 0 ELSE ({d}) % {n_hosts} END)"
 
 
-def url_sql(d: str) -> str:
+def url_sql(d: str, n_hosts: int = N_HOSTS) -> str:
     """SQL building url(d) — valid in both Spark SQL and DuckDB."""
     return (
-        f"('http://site' || CAST({host_id_expr(d)} AS STRING) || "
+        f"('http://site' || CAST({host_id_expr(d, n_hosts)} AS STRING) || "
         f"'.test/doc' || CAST({d} AS STRING) || '.html')"
     )
 
 
 def synth_pages(
     spark: SparkSession, sf_dir: str, n_docs: int | None = None, mult: int = 1,
-    text_repeat: int = 1,
+    text_repeat: int = 1, n_hosts: int = N_HOSTS,
 ) -> DataFrame:
     """Pages table (url, warc_ts, html, text, lang) from documents.parquet.
 
@@ -70,14 +70,14 @@ def synth_pages(
             "text", "lang",
         )
         n_docs = n_base * mult
-    url = F.expr(url_sql("doc_id").replace("AS STRING", "AS STRING"))
+    url = F.expr(url_sql("doc_id", n_hosts))
     targets = F.expr(
         f"transform(sequence(0, cast(doc_id % 4 as int) + 1), "
         f"k -> (doc_id * {LINK_MULT} + {LINK_STEP} * k + 1) % {n_docs})"
     )
     links = F.expr(
         "concat_ws('', transform(__targets, t -> concat("
-        f"'<a href=\"', {url_sql('t')}, '\">t</a>')))"
+        f"'<a href=\"', {url_sql('t', n_hosts)}, '\">t</a>')))"
     )
     body_text = (
         F.col("text") if text_repeat <= 1
@@ -108,9 +108,9 @@ def synth_pages(
     )
 
 
-def seed_urls(n_seeds: int = 4) -> list:
+def seed_urls(n_seeds: int = 4, n_hosts: int = N_HOSTS) -> list:
     def host(d):
-        return 0 if d % MEGA_MOD == 0 else d % N_HOSTS
+        return 0 if d % MEGA_MOD == 0 else d % n_hosts
 
     return [f"http://site{host(d)}.test/doc{d}.html" for d in range(n_seeds)]
 
