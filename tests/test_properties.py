@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis; SURVEY.md §5 item 3) — no Spark."""
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from webcrawl_spark.kernels.mime import guess_resource_type_from_path, guess_types_batch
+from webcrawl_spark.kernels.urlnorm import canonicalize, sort_query
+
+_host = st.from_regex(r"[a-z][a-z0-9-]{0,10}(\.[a-z]{2,5}){1,2}", fullmatch=True)
+_path = st.from_regex(r"(/[A-Za-z0-9._~-]{0,8}){0,4}/?", fullmatch=True)
+_query = st.from_regex(r"([A-Za-z0-9_]{1,5}=[A-Za-z0-9_]{0,5}(&[A-Za-z0-9_]{1,5}=[A-Za-z0-9_]{0,5}){0,3})?", fullmatch=True)
+_frag = st.from_regex(r"[A-Za-z0-9]{0,6}", fullmatch=True)
+
+
+@st.composite
+def urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "Https", "ftp"]))
+    host = draw(_host)
+    path = draw(_path)
+    q = draw(_query)
+    f = draw(_frag)
+    u = f"{scheme}://{host}{path}"
+    if q:
+        u += "?" + q
+    if f:
+        u += "#" + f
+    return u
+
+
+def _canon1(u, **kw):
+    return canonicalize(pd.Series([u], dtype="object"), **kw).iloc[0]
+
+
+@settings(max_examples=300, deadline=None)
+@given(urls())
+def test_canonicalize_idempotent(u):
+    c1 = _canon1(u)
+    if c1["url"] is None:
+        return
+    c2 = _canon1(c1["url"])
+    assert c2["url"] == c1["url"]
+    assert c2["url_key"] == c1["url_key"]
+    assert c2["host"] == c1["host"]
+
+
+@settings(max_examples=300, deadline=None)
+@given(urls(), _frag)
+def test_fragment_never_in_identity(u, frag):
+    base = u.split("#", 1)[0]
+    c1 = _canon1(base)
+    c2 = _canon1(base + "#" + frag)
+    assert c1["url"] == c2["url"] and c1["url_key"] == c2["url_key"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(urls())
+def test_canonical_url_shape(u):
+    c = _canon1(u)
+    if c["url"] is None:
+        return
+    assert c["url"].startswith(("http://", "https://", "ftp://"))
+    assert "#" not in c["url"]
+    assert c["host"] == c["host"].lower()
+    assert c["url_key"].startswith("/")
+
+
+@settings(max_examples=200, deadline=None)
+@given(_query)
+def test_sort_query_idempotent_and_permutation_invariant(q):
+    s1 = sort_query(q)
+    assert sort_query(s1) == s1
+    if q and "&" in q:
+        parts = q.split("&")
+        keys = [kv.split("=", 1)[0] for kv in parts]
+        if len(set(keys)) == len(keys):  # duplicate keys keep input order
+            rev = "&".join(reversed(parts))
+            assert sort_query(rev) == s1
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_path, min_size=1, max_size=8))
+def test_guess_types_batch_matches_scalar(paths):
+    batch = guess_types_batch(pd.Series(paths, dtype="object"))
+    for p, got in zip(paths, batch):
+        assert got == guess_resource_type_from_path(p)
