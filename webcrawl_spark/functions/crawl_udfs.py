@@ -121,9 +121,13 @@ def make_parse_stage():
     return parse_stage
 
 
-def make_candidate_stage(cfg: CrawlConfig, base_uris: list, uri_filters, rule_index_bc):
+def make_candidate_stage(cfg: CrawlConfig, base_uris_bc, uri_filters, rule_index_bc):
+    """``base_uris_bc`` is a Spark broadcast (seed lists can reach millions
+    of entries — closure capture would re-serialize them per task)."""
+
     def candidate_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rule_index = rule_index_bc.value if rule_index_bc is not None else {}
+        base_uris = base_uris_bc.value
         for pdf in batches:
             if pdf.empty:
                 continue

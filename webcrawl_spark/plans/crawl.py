@@ -60,7 +60,7 @@ class SparkCrawler:
         self._rule_index = rule_index
         self.ctx = RoundContext(
             cfg=config,
-            base_uris=self._compute_base_uris(),
+            base_uris_bc=spark.sparkContext.broadcast(self._compute_base_uris()),
             uri_filters=compile_uri_filters(
                 config.change_filters, config.positive_filters, config.negative_filters
             ),

@@ -89,7 +89,7 @@ def host_hash_col(P: int):
 @dataclass
 class RoundContext:
     cfg: CrawlConfig
-    base_uris: list
+    base_uris_bc: object             # spark broadcast of the base-URI list
     uri_filters: tuple
     rule_index_bc: object = None     # spark broadcast of robots rule index
     delays: dict = field(default_factory=dict)  # host -> crawl_delay seconds
@@ -294,7 +294,7 @@ def run_round(
         )
         .mapInPandas(make_parse_stage(), PARSE_SCHEMA)
         .mapInPandas(
-            make_candidate_stage(cfg, ctx.base_uris, ctx.uri_filters, ctx.rule_index_bc),
+            make_candidate_stage(cfg, ctx.base_uris_bc, ctx.uri_filters, ctx.rule_index_bc),
             CANDIDATE_SCHEMA,
         )
         .localCheckpoint(eager=True)
