@@ -436,6 +436,23 @@ def q_dedup_simhash(spark, sf_dir):
     return TD.simhash(docs)
 
 
+def q_simhash_hamming(spark, sf_dir):
+    """Near-dup candidates by SimHash Hamming distance over consecutive-id
+    pairs (bit_count(xor) — JVM-side in Spark, identical in DuckDB)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sh = TD.simhash(docs)
+    a = sh.select(F.col("id").alias("a"), F.col("simhash").alias("ha"))
+    b = sh.select((F.col("id") - 1).alias("a"), F.col("id").alias("b"),
+                  F.col("simhash").alias("hb"))
+    return (
+        a.join(b, "a")
+        .select(
+            "a", "b",
+            F.expr("cast(bit_count(ha ^ hb) as bigint)").alias("hamming"),
+        )
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return TD.ngram_jaccard_pairs(docs, k=3)
@@ -677,6 +694,16 @@ SELECT id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) E
 FROM bits GROUP BY id
 """
 
+    _simhash_cte = "\nWITH toks AS (\n  SELECT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok\n  FROM documents WHERE doc_id < 100\n),\nth AS (SELECT id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks WHERE tok <> ''),\nbits AS (\n  SELECT id, i, SUM(((h >> CAST(i AS INT)) & 1) * 2 - 1) AS s\n  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS i) r\n  GROUP BY id, i\n),\nsh AS (\n  SELECT id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash\n  FROM bits GROUP BY id\n)"
+    sql["simhash_hamming"] = (
+        _simhash_cte
+        + """
+SELECT a.id AS a, b.id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON b.id = a.id + 1
+"""
+    )
+
     sql["ngram_jaccard"] = f"""
 WITH sh AS (
   SELECT doc_id AS id, {_duck_shingles('text', 3)} AS s
@@ -803,6 +830,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "dedup_simhash": q_dedup_simhash,
+    "simhash_hamming": q_simhash_hamming,
     "ngram_jaccard": q_ngram_jaccard,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
