@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "global_budget_limit", "query_string_cap", "retry_union",
     "pricing_summary", "join_agg_revenue", "window_running_sum",
     "sessionize", "event_tumbling_counts",
-    "dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs", "dedup_simhash",
+    "dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs", "dedup_simhash", "simhash_hamming",
     "ngram_jaccard", "lang_id", "quality_score", "token_count",
     "fingerprint", "cosine_topk", "ann_ivf_topk", "embed_neardup",
     "multimodal_meta",
