@@ -7,7 +7,7 @@ pandas UDFs capture it once per task, never per row).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Optional
 
 

@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 import pandas as pd
 
 from ..config import CrawlConfig
-from ..kernels.mime import BINARY, CSS, HTML, guess_resource_type_from_path
+from ..kernels.mime import BINARY, HTML, guess_resource_type_from_path
 from ..kernels.textdec import decode_body
 
 SEED = 42
