@@ -1,0 +1,86 @@
+"""spark-submit entry point for the frontier engine (north_rule deployment:
+``spark-submit --py-files webcrawl_spark.zip tools/submit_crawl.py ...``).
+
+Example:
+
+    cd /root/repo && zip -qr /tmp/webcrawl_spark.zip webcrawl_spark
+    spark-submit --master local[8] --py-files /tmp/webcrawl_spark.zip \\
+        tools/submit_crawl.py \\
+        --pages /path/to/pages_parquet --seeds-file seeds.txt \\
+        --state /path/to/state --max-rounds 100
+
+Resumable: re-running with the same ``--state`` continues from the last
+committed round.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="webcrawl_spark frontier crawl")
+    ap.add_argument("--pages", required=True, help="pages table (parquet path)")
+    ap.add_argument("--seeds", nargs="*", default=[], help="seed URLs")
+    ap.add_argument("--seeds-file", help="file with one seed URL per line")
+    ap.add_argument("--state", required=True, help="checkpoint/state directory")
+    ap.add_argument("--robots", help="robots rules parquet/csv (host, path_prefix, allow, crawl_delay)")
+    ap.add_argument("--max-rounds", type=int, default=None)
+    ap.add_argument("--max-connections", type=int, default=None)
+    ap.add_argument("--per-host", type=int, default=2)
+    ap.add_argument("--depth-limit", type=int, default=50)
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--domain-nav", default="SameHostName",
+                    choices=["SameHostName", "SameDomain", "SameTLD", "Everywhere"])
+    ap.add_argument("--dir-nav", default="Down",
+                    choices=["Same", "Up", "Down", "UpAndDown"])
+    ap.add_argument("--no-bloom", action="store_true")
+    args = ap.parse_args(argv)
+
+    seeds = list(args.seeds)
+    if args.seeds_file:
+        with open(args.seeds_file) as f:
+            seeds += [line.strip() for line in f if line.strip()]
+    if not seeds:
+        ap.error("no seeds given (--seeds or --seeds-file)")
+
+    from pyspark.sql import SparkSession
+
+    from webcrawl_spark.config import CrawlConfig
+    from webcrawl_spark.plans.crawl import SparkCrawler
+
+    spark = SparkSession.builder.appName("webcrawl-spark").getOrCreate()
+
+    robots = None
+    if args.robots:
+        robots = spark.read.parquet(args.robots).toPandas() \
+            if args.robots.endswith(".parquet") \
+            else __import__("pandas").read_csv(args.robots)
+
+    cfg = CrawlConfig(
+        max_connections=args.max_connections,
+        max_connections_per_server=args.per_host,
+        depth_limit=args.depth_limit,
+        num_partitions=args.partitions,
+        domain_navigation=args.domain_nav,
+        directory_navigation=args.dir_nav,
+        bloom_enabled=not args.no_bloom,
+    )
+    crawler = SparkCrawler(
+        spark, spark.read.parquet(args.pages), seeds, args.state, cfg, robots
+    )
+    m = crawler.run(max_rounds=args.max_rounds)
+    print(json.dumps({
+        "rounds": m.next_round,
+        "urls_fetched_or_errored": m.next_fetch_seq,
+        "urls_discovered": m.next_seq,
+        "frontier_remaining": m.frontier_rows,
+        "done": m.done,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
