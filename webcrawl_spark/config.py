@@ -22,7 +22,7 @@ class CrawlConfig:
     depth_limit: int = 50
     max_retries: int = 1
     max_queued_links: Optional[int] = None          # None = Infinite
-    max_query_strings_per_file: int = 500
+    max_query_strings_per_file: Optional[int] = 500   # None = Infinite
     max_file_size: int = 50 * 1024 * 1024           # body truncation bytes
 
     # --- scope rules (Crawler.cs:19-52, 470-496) ---

@@ -292,7 +292,11 @@ class OracleCrawler:
                     if not self._robots_ok(cc.host, cc.path):
                         continue
                     pq = path_queries.setdefault((cc.host, cc.path), set())
-                    if cc.query not in pq and len(pq) >= cfg.max_query_strings_per_file:
+                    if (
+                        cfg.max_query_strings_per_file is not None
+                        and cc.query not in pq
+                        and len(pq) >= cfg.max_query_strings_per_file
+                    ):
                         continue  # crawler-trap cap
                     if (
                         cfg.max_queued_links is not None

@@ -197,12 +197,25 @@ class SparkCrawler:
         return bl
 
     def _run_one(self, m: Manifest) -> Manifest:
+        import os as _os
+        import time as _time
+
+        _dbg = _os.environ.get("WC_ROUND_TIMING")
+        _t = [_time.time()]
+
+        def _mk(label):
+            if _dbg:
+                now = _time.time()
+                print(f"    [r{m.next_round}] {label}: {now - _t[0]:.2f}s", flush=True)
+                _t[0] = now
+
         k = m.next_round
         st = self.state
         if self._bloom is not None:
             self.ctx.bloom_bc = self.spark.sparkContext.broadcast(
                 self._bloom.snapshot()
             )
+        _mk("bloom_broadcast")
         stats = run_round(
             self.spark,
             self.ctx,
@@ -210,21 +223,25 @@ class SparkCrawler:
             st.read_frontier(k),
             self.pages,
             st.read_seen(k),
-            st.read_pq(k),
+            st.read_pq(k) if self.cfg.max_query_strings_per_file is not None else None,
             k,
             m.next_seq,
             m.next_fetch_seq,
             m.frontier_rows,
         )
+        _mk("run_round_total")
         if self._bloom is not None:
             import pandas as _pd
 
             delta = _pd.read_parquet(
                 st._dir("seen", k + 1), columns=["host", "url_key"]
             )
+            _mk("bloom_read_delta")
             if len(delta):
                 self._bloom.add_frame(delta)
+            _mk("bloom_add")
             self._bloom.save(bloom_path(st.root, k + 1))
+            _mk("bloom_save")
             self.ctx.bloom_bc.unpersist()
             self.ctx.bloom_bc = None
         nm = Manifest(

@@ -144,6 +144,9 @@ def run_round(
     P = cfg.num_partitions
     small = frontier_rows <= cfg.small_round_threshold
     counters: list = []
+    # seen feeds both the dedup anti-join and the derived query-string
+    # counts — persist so the (large, growing) union scan happens once
+    seen = seen.persist()
     _debug = os.environ.get("WC_ROUND_TIMING")
     _t0 = time.time()
 
@@ -387,14 +390,16 @@ def run_round(
     # 5d. crawler-trap cap: ≥ max distinct query strings per (host, path)
     #     → ignore (Crawler.cs:2415-2423). Each accepted key adds exactly
     #     one distinct query to its path, so rank-vs-prior-count is exact.
-    wpq = Window.partitionBy("host", "path").orderBy("pos_f", "pos_o")
-    acc = (
-        acc.withColumn("__rnq", F.row_number().over(wpq))
-        .join(pq, ["host", "path"], "left")
-        .withColumn("__prior", F.coalesce(F.col("n"), F.lit(0)))
-        .filter(F.col("__prior") + F.col("__rnq") <= F.lit(cfg.max_query_strings_per_file))
-        .drop("__rnq", "n", "__prior")
-    )
+    #     None = Infinite: skip the join (and its full seen re-aggregation).
+    if cfg.max_query_strings_per_file is not None:
+        wpq = Window.partitionBy("host", "path").orderBy("pos_f", "pos_o")
+        acc = (
+            acc.withColumn("__rnq", F.row_number().over(wpq))
+            .join(pq, ["host", "path"], "left")
+            .withColumn("__prior", F.coalesce(F.col("n"), F.lit(0)))
+            .filter(F.col("__prior") + F.col("__rnq") <= F.lit(cfg.max_query_strings_per_file))
+            .drop("__rnq", "n", "__prior")
+        )
 
     # 5e. global frontier cap (MaxQueuedLinks, Crawler.cs:2310-2315)
     n_carried = frontier_rows - n_selected + n_retry
@@ -445,6 +450,7 @@ def run_round(
     )
 
     _mark("frontier_write")
+    seen.unpersist()
     frontier_rows_next = n_carried + n_new
     counters.append((rnd, "commit", "frontier_out", frontier_rows_next))
 

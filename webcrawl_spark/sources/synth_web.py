@@ -125,6 +125,7 @@ def crawl_config(**overrides) -> CrawlConfig:
         robots_enabled=False,
         depth_limit=50,
         salt_buckets=4,
+        max_query_strings_per_file=None,  # synth web has no query strings
     )
     base.update(overrides)
     return CrawlConfig(**base)
