@@ -138,7 +138,12 @@ def main_default():
     spark.sparkContext.setLogLevel("ERROR")
 
     t_all = time.time()
-    crawl_s, n_urls, n_dedup, rounds, n_pages = run_crawl(spark, SF_DIR, MULT)
+    n_base = 5000 if "0.1" in SF_DIR else 500
+    crawl_s, n_urls, n_dedup, rounds, n_pages = run_crawl(
+        spark, SF_DIR, MULT,
+        n_seeds=max(4, n_base * MULT // 50),
+        n_hosts=max(32, n_base * MULT // 250),
+    )
     qtimes = run_queries(spark, SF_DIR)
     total = round(time.time() - t_all, 3)
 
