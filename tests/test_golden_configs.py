@@ -158,3 +158,23 @@ def test_depth_exemption_external_resource(spark, tmp_path):
     c = run_and_check(spark, _fx("dx", rows, [f"{host}/p0.html"], cfg), tmp_path)
     urls = {r["url"].rsplit("/", 1)[-1] for r in c.fetched().collect()}
     assert "pic.png" in urls and "p2.html" not in urls
+
+
+def test_both_caps_combined(spark, tmp_path):
+    """MaxQueuedLinks + MaxQueryStringsPerFile active together — the
+    set-based two-pass cap accounting must still match the oracle."""
+    rng = random.Random(SEED + 7)
+    host = "http://caps.test"
+    links = [(f"/item.html?id={i}", "link") for i in range(12)]
+    links += [(f"/p{i}.html", "link") for i in range(6)]
+    rows = [(f"{host}/index.html", render_html(links, rng=rng, title="idx"))]
+    for i in range(12):
+        rows.append((f"{host}/item.html?id={i}", render_html([], rng=rng, title=f"i{i}")))
+    for i in range(6):
+        rows.append((f"{host}/p{i}.html", render_html(
+            [(f"/item.html?id={i + 20}", "link")], rng=rng, title=f"p{i}")))
+    cfg = CrawlConfig(
+        max_connections=3, max_connections_per_server=3,
+        max_query_strings_per_file=5, max_queued_links=8,
+    )
+    run_and_check(spark, _fx("caps", rows, [f"{host}/index.html"], cfg), tmp_path)
