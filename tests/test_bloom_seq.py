@@ -5,7 +5,6 @@ import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from pyspark.sql import functions as F
 
 from webcrawl_spark.operators.bloom import SeenBloom
 from webcrawl_spark.operators.seq import assign_global_seq

@@ -12,7 +12,6 @@ Each topology stresses a different operator set:
 - robots   disallow rules + crawl_delay budgets
 """
 
-import pytest
 
 from webcrawl_spark.fixtures import gen
 

@@ -14,7 +14,6 @@ untouched (SURVEY.md §2 ops 2, 4, 5, 9):
 
 import random
 
-import pandas as pd
 
 from webcrawl_spark.config import CrawlConfig
 from webcrawl_spark.fixtures.gen import Fixture, _mk_pages, render_html

@@ -1,7 +1,6 @@
 """Frontier surgery (RemoveUris/ClearUris, SURVEY.md §2 op 17) and
 offline-mirror link rewriting (§2 op 14)."""
 
-from pyspark.sql import functions as F
 
 from webcrawl_spark import schemas
 from webcrawl_spark.fixtures.gen import chain

@@ -1,7 +1,6 @@
 """Canonicalization kernel unit tests — each pinned to a reference citation."""
 
 import pandas as pd
-import pytest
 from hypothesis import given, settings, strategies as st
 
 from webcrawl_spark.kernels.urlnorm import (

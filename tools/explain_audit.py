@@ -12,7 +12,6 @@ def plan_of(df):
 
 sf = "/root/testdata/sf0.01"
 # 1. column pruning on the pages scan inside a crawl fetch join
-from webcrawl_spark.sources import synth_web as SW
 pages = spark.read.parquet(f"{sf}/documents.parquet")
 sel = pages.select(F.col("doc_id").alias("url")).limit(5)
 j = sel.join(pages.select("doc_id", "text"), sel.url == F.col("doc_id"), "left")
