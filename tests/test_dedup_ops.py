@@ -1,0 +1,66 @@
+"""Unit tests for the text-dedup operators' scale armor.
+
+The LSH bucket cap (operators/textdedup.py) bounds the quadratic bucket
+self-join: a degenerate bucket (e.g. boilerplate-identical documents) is
+deterministically truncated to its lowest ids, and the truncation is
+surfaced by lsh_bucket_stats instead of silently under-reporting.
+"""
+
+import pandas as pd
+import pytest
+
+from webcrawl_spark.operators import textdedup as TD
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        schema="doc_id long, text string",
+    )
+
+
+def test_lsh_bucket_cap_truncates_mega_bucket(spark):
+    # 12 byte-identical docs -> identical signatures -> one bucket per band
+    docs = _docs(spark, ["the same boilerplate text repeated here"] * 12)
+    capped = TD.lsh_candidate_pairs(docs, max_bucket_size=5).toPandas()
+    # only ids 0..4 survive the cap: C(5,2) pairs
+    assert len(capped) == 10
+    assert capped["a"].max() <= 4 and capped["b"].max() <= 4
+
+    uncapped = TD.lsh_candidate_pairs(docs, max_bucket_size=None).toPandas()
+    assert len(uncapped) == 12 * 11 // 2
+
+
+def test_lsh_cap_above_bucket_sizes_is_identity(spark):
+    texts = [f"document number {i} with distinct words {i * 7}" for i in range(20)]
+    texts += [texts[3], texts[7]]  # two dup groups of size 2
+    docs = _docs(spark, texts)
+    a = TD.lsh_candidate_pairs(docs, max_bucket_size=1000).toPandas()
+    b = TD.lsh_candidate_pairs(docs, max_bucket_size=None).toPandas()
+    key = lambda df: sorted(map(tuple, df[["a", "b"]].itertuples(index=False)))
+    assert key(a) == key(b)
+
+
+def test_lsh_bucket_stats_reports_dropped(spark):
+    docs = _docs(spark, ["identical content"] * 12)
+    stats = TD.lsh_bucket_stats(docs, max_bucket_size=5).toPandas()
+    # 4 bands -> 4 over-cap buckets, each dropping 12 - 5 = 7 members
+    assert len(stats) == 4
+    assert (stats["size"] == 12).all()
+    assert (stats["dropped"] == 7).all()
+
+
+def test_minhash_array_matches_standalone(spark):
+    """Hash-once array form == per-hash standalone form, value for value."""
+    docs = _docs(spark, [f"text sample {i} alpha beta gamma" for i in range(6)])
+    import pyspark.sql.functions as F
+
+    arr = docs.select(
+        "doc_id", F.expr(TD.minhash_array_sql("text", 4, k=5)).alias("mh")
+    ).toPandas()
+    ref = docs.select(
+        "doc_id",
+        *[F.expr(TD.minhash_sql("text", j, k=5)).alias(f"m{j}") for j in range(4)],
+    ).toPandas()
+    for j in range(4):
+        assert list(arr["mh"].map(lambda a: a[j])) == list(ref[f"m{j}"])

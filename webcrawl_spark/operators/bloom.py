@@ -1,12 +1,27 @@
-"""Bloom-filter sidecar for the URL-seen set (north_rule: "partitioned
-Bloom/cuckoo-filter URL-seen set sharded by host-hash").
+"""Distributed Bloom-filter sidecar for the URL-seen set (north_rule:
+"partitioned Bloom/cuckoo-filter URL-seen set sharded by host-hash").
 
-One bitset per host-hash partition, updated incrementally from each round's
-seen delta and broadcast to executors. Candidates that miss the filter are
-DEFINITELY new (a Bloom filter has no false negatives) and skip the exact
-anti-join entirely; only possible-seen candidates enter the shuffle — at
-10^10-URL scale the anti-join's shuffle volume drops to the rediscovery
-rate (typically a few % of extracted links) plus the false-positive rate.
+One bitset FILE per host-hash partition per round, maintained by the
+executors that own each partition — the driver never touches a key:
+
+- UPDATE: each round's seen delta (which already carries ``host_hash``)
+  is grouped by partition id; an ``applyInPandas`` task loads the previous
+  round's bitset file for its partition, ORs in the new keys' bits, and
+  writes the next round's file (tmp + atomic rename — task retries are
+  idempotent because the content is deterministic). Partitions with no new
+  keys are carried forward as hard links (an O(P) driver-side *metadata*
+  operation — no row data). A ``_COMPLETE`` marker commits the directory.
+- CHECK: candidates are repartitioned on ``host_hash`` and a ``mapInPandas``
+  stage loads exactly the bitset files for the partitions it holds (each
+  file is read once per round cluster-wide). Candidates that miss the
+  filter are DEFINITELY new (no false negatives given a complete sidecar
+  dir) and skip the exact anti-join entirely; only possible-seen rows
+  (rediscoveries + false positives) enter the shuffle — at 10^10-URL scale
+  the anti-join's candidate volume drops to the rediscovery rate plus the
+  false-positive rate.
+- RESUME: a missing/incomplete sidecar dir is rebuilt by the same update
+  job over the committed seen table — distributed, never a driver
+  ``toPandas``.
 
 All hashing and bit manipulation is VECTORIZED: two independent 64-bit
 hashes per key come from ``pd.util.hash_pandas_object`` with two fixed
@@ -14,16 +29,16 @@ hashes per key come from ``pd.util.hash_pandas_object`` with two fixed
 salted ``hash()`` would not be), and bit set/test use numpy scatter/gather.
 No per-row Python anywhere (BASELINE.json:input_hint).
 
-In-sandbox the bitsets live in driver memory and persist per round as a
-compressed .npz next to the manifests (resume restores them; if absent they
-are rebuilt from the seen table). On a cluster the same bitsets shard as
-per-partition sidecar files maintained by the executors that own each
-host-hash partition and merged into the broadcast at round start.
+In-sandbox the sidecar files live on the local filesystem; on a cluster the
+same paths point at shared storage (the pattern is the executor-maintained
+per-partition sidecar the reference's single-process ``HashSet`` seen set
+(Backend/Crawler.cs:2301-2320) becomes at cluster scale).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -43,8 +58,189 @@ def _hashes(hosts: pd.Series, url_keys: pd.Series):
     return h1, h2 | np.uint64(1)
 
 
+def set_bits(arr: np.ndarray, hosts: pd.Series, url_keys: pd.Series, bits: int) -> None:
+    """OR the keys' probe bits into one partition bitset, vectorized."""
+    if len(hosts) == 0:
+        return
+    h1, h2 = _hashes(hosts, url_keys)
+    m = np.uint64(bits)
+    for i in range(K_PROBES):
+        b = ((h1 + np.uint64(i) * h2) % m).astype(np.int64)
+        np.bitwise_or.at(arr, b >> 3, (1 << (b & 7)).astype(np.uint8))
+
+
+def test_bits(arr: np.ndarray | None, hosts: pd.Series, url_keys: pd.Series,
+              bits: int) -> np.ndarray:
+    """Vectorized membership test against one partition bitset.
+
+    ``arr`` None = partition has never held a key = all definitely-new."""
+    n = len(hosts)
+    if n == 0 or arr is None:
+        return np.zeros(n, dtype=bool)
+    h1, h2 = _hashes(hosts, url_keys)
+    m = np.uint64(bits)
+    hit = np.ones(n, dtype=bool)
+    for i in range(K_PROBES):
+        b = ((h1 + np.uint64(i) * h2) % m).astype(np.int64)
+        hit &= (arr[b >> 3] >> (b & 7) & 1).astype(bool)
+    return hit
+
+
+# ---------------------------------------------------------------------------
+# sidecar file layout
+# ---------------------------------------------------------------------------
+
+def sidecar_dir(state_root: str, rnd: int) -> str:
+    return os.path.join(state_root, "bloom", f"round-{rnd}")
+
+
+def _part_path(d: str, p: int) -> str:
+    return os.path.join(d, f"part-{p}.npy")
+
+
+def _marker(d: str) -> str:
+    return os.path.join(d, "_COMPLETE")
+
+
+def is_complete(d: str) -> bool:
+    return os.path.exists(_marker(d))
+
+
+def _atomic_save(path: str, arr: np.ndarray) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.save(f, arr)
+    os.replace(tmp, path)
+
+
+def _load_part(d: str | None, p: int) -> np.ndarray | None:
+    if d is None:
+        return None
+    path = _part_path(d, p)
+    if not os.path.exists(path):
+        return None
+    return np.load(path)
+
+
+# ---------------------------------------------------------------------------
+# executor-side stages
+# ---------------------------------------------------------------------------
+
+def make_update_fn(prev_dir: str | None, out_dir: str, bits: int):
+    """applyInPandas fn for ``seen_delta.groupBy("host_hash")``: load the
+    partition's previous bitset, OR in the delta keys, write the next file.
+    Returns a one-row (host_hash, n_added) stats frame."""
+
+    def update(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = int(pdf["host_hash"].iloc[0])
+        prev = _load_part(prev_dir, p)
+        arr = prev.copy() if prev is not None else np.zeros(bits // 8, dtype=np.uint8)
+        set_bits(arr, pdf["host"], pdf["url_key"], bits)
+        _atomic_save(_part_path(out_dir, p), arr)
+        return pd.DataFrame({"host_hash": [p], "n_added": [len(pdf)]})
+
+    return update
+
+
+# per-Python-worker bitset cache: files are round-scoped (immutable once the
+# dir is complete) so entries never go stale; bounded to cap worker memory
+# across long crawls (workers are reused between rounds).
+_PART_CACHE: dict = {}
+_PART_CACHE_MAX = 64
+
+
+def _cached_part(d: str, p: int):
+    key = (d, p)
+    if key not in _PART_CACHE:
+        if len(_PART_CACHE) >= _PART_CACHE_MAX:
+            _PART_CACHE.clear()
+        _PART_CACHE[key] = _load_part(d, p)
+    return _PART_CACHE[key]
+
+
+def make_check_stage(d: str, bits: int):
+    """mapInPandas stage over host_hash-repartitioned candidates: adds a
+    ``maybe_seen`` column by testing each row against its partition's
+    bitset file (loaded once per worker per round)."""
+
+    def check(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = pdf.copy()
+            maybe = np.zeros(len(pdf), dtype=bool)
+            for p, idx in pdf.groupby("__hh").indices.items():
+                arr = _cached_part(d, int(p))
+                maybe[idx] = test_bits(
+                    arr, pdf["host"].iloc[idx], pdf["url_key"].iloc[idx], bits
+                )
+            out["maybe_seen"] = maybe
+            yield out
+
+    return check
+
+
+# ---------------------------------------------------------------------------
+# driver-side orchestration (file metadata only — never key rows)
+# ---------------------------------------------------------------------------
+
+def build_sidecar(keys_df, prev_dir: str | None, out_dir: str, bits: int) -> None:
+    """Build ``out_dir`` from ``prev_dir`` + the delta ``keys_df``
+    (host, url_key, host_hash). The bitset work runs on executors; the
+    driver only collects the P-row stats frame and carries forward
+    untouched partition files as hard links."""
+    os.makedirs(out_dir, exist_ok=True)
+    stats = (
+        keys_df.select("host_hash", "host", "url_key")
+        .groupBy("host_hash")
+        .applyInPandas(make_update_fn(prev_dir, out_dir, bits),
+                       "host_hash int, n_added long")
+        .collect()
+    )
+    written = {r["host_hash"] for r in stats}
+    if prev_dir is not None and os.path.isdir(prev_dir):
+        for name in os.listdir(prev_dir):
+            if not name.startswith("part-") or not name.endswith(".npy"):
+                continue
+            p = int(name[len("part-"):-len(".npy")])
+            if p in written:
+                continue
+            dst = _part_path(out_dir, p)
+            if os.path.exists(dst):
+                os.remove(dst)
+            try:
+                os.link(_part_path(prev_dir, p), dst)
+            except OSError:
+                shutil.copyfile(_part_path(prev_dir, p), dst)
+    with open(_marker(out_dir), "w"):
+        pass
+
+
+def gc_sidecars(state_root: str, keep_from_round: int) -> None:
+    """Drop sidecar dirs for rounds below ``keep_from_round`` (only the
+    current round's dir is ever read; old rounds are resumable from the
+    seen table via rebuild)."""
+    broot = os.path.join(state_root, "bloom")
+    if not os.path.isdir(broot):
+        return
+    for name in os.listdir(broot):
+        if name.startswith("round-"):
+            try:
+                k = int(name[len("round-"):])
+            except ValueError:
+                continue
+            if k < keep_from_round:
+                shutil.rmtree(os.path.join(broot, name), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# small in-memory form (unit tests / ad-hoc use)
+# ---------------------------------------------------------------------------
+
 class SeenBloom:
-    """Partitioned bitset; partition = h1 % n_partitions."""
+    """In-memory partitioned bitset (partition = h1 % n_partitions). The
+    production path is the file sidecar above; this compact form backs the
+    hashing/bit-math unit tests and small ad-hoc filters."""
 
     def __init__(self, n_partitions: int, bits: int = DEFAULT_BITS):
         self.n = n_partitions
@@ -53,53 +249,38 @@ class SeenBloom:
             p: np.zeros(bits // 8, dtype=np.uint8) for p in range(n_partitions)
         }
 
-    # ------------------------------------------------------------------
     def add_frame(self, pdf: pd.DataFrame) -> None:
-        """Add (host, url_key) rows, vectorized."""
         if len(pdf) == 0:
             return
-        h1, h2 = _hashes(pdf["host"], pdf["url_key"])
+        h1, _ = _hashes(pdf["host"], pdf["url_key"])
         pids = (h1 % np.uint64(self.n)).astype(np.int64)
-        m = np.uint64(self.m)
         for p in np.unique(pids):
             mask = pids == p
-            arr = self.parts[int(p)]
-            for i in range(K_PROBES):
-                b = ((h1[mask] + np.uint64(i) * h2[mask]) % m).astype(np.int64)
-                np.bitwise_or.at(arr, b >> 3, (1 << (b & 7)).astype(np.uint8))
+            set_bits(self.parts[int(p)], pdf["host"][mask], pdf["url_key"][mask], self.m)
 
-    # ------------------------------------------------------------------
     def snapshot(self) -> dict:
-        """Picklable payload for a Spark broadcast."""
         return {"m": self.m, "n": self.n,
                 "parts": {p: a.tobytes() for p, a in self.parts.items()}}
 
     @staticmethod
     def contains_batch(snapshot: dict, hosts: pd.Series,
                        url_keys: pd.Series) -> pd.Series:
-        """Vectorized membership test against a snapshot."""
         if len(hosts) == 0:
             return pd.Series([], dtype=bool, index=hosts.index)
-        m = np.uint64(snapshot["m"])
+        m = int(snapshot["m"])
         n = np.uint64(snapshot["n"])
         views = {
             p: np.frombuffer(b, dtype=np.uint8)
             for p, b in snapshot["parts"].items()
         }
-        h1, h2 = _hashes(hosts, url_keys)
+        h1, _ = _hashes(hosts, url_keys)
         pids = (h1 % n).astype(np.int64)
         out = np.ones(len(hosts), dtype=bool)
         for p in np.unique(pids):
             mask = pids == p
-            arr = views[int(p)]
-            hit = np.ones(int(mask.sum()), dtype=bool)
-            for i in range(K_PROBES):
-                b = ((h1[mask] + np.uint64(i) * h2[mask]) % m).astype(np.int64)
-                hit &= (arr[b >> 3] >> (b & 7) & 1).astype(bool)
-            out[mask] = hit
+            out[mask] = test_bits(views[int(p)], hosts[mask], url_keys[mask], m)
         return pd.Series(out, index=hosts.index)
 
-    # ------------------------------------------------------------------
     def save(self, path: str) -> None:
         np.savez_compressed(
             path, m=self.m, n=self.n,
@@ -113,9 +294,3 @@ class SeenBloom:
         for p in range(bl.n):
             bl.parts[p] = z[f"p{p}"].copy()
         return bl
-
-
-def bloom_path(state_root: str, rnd: int) -> str:
-    d = os.path.join(state_root, "bloom")
-    os.makedirs(d, exist_ok=True)
-    return os.path.join(d, f"round-{rnd}.npz")

@@ -15,7 +15,7 @@ quadratic all-pairs comparison with per-bucket micro-joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # 32-bit base hash from a cross-engine-stable digest: first 8 md5 hex chars.
 # (conv returns a string; arithmetic is exact below 2^53 and results are
@@ -41,12 +41,34 @@ def shingles_sql(col: str, k: int = 5) -> str:
 
 
 def minhash_sql(col: str, j: int, k: int = 5) -> str:
-    """j-th MinHash of ``col``'s k-shingle set."""
+    """j-th MinHash of ``col``'s k-shingle set (standalone form; for several
+    hashes at once use :func:`minhash_array_sql` — it runs the md5 pass once)."""
     h = HASH32.format(col="s")
     return (
         f"cast(array_min(transform({shingles_sql(col, k)}, "
         f"s -> ({MINHASH_A[j]} * {h} + {MINHASH_B[j]}) % {MINHASH_PRIME})) as bigint)"
     )
+
+
+def shingle_hashes_sql(col: str, k: int = 5) -> str:
+    """32-bit base hashes of ``col``'s distinct k-shingles."""
+    h = HASH32.format(col="s")
+    return f"transform({shingles_sql(col, k)}, s -> {h})"
+
+
+def minhash_array_sql(col: str, num_hashes: int, k: int = 5) -> str:
+    """``array<bigint>`` of all ``num_hashes`` MinHashes with the shingle md5
+    pass done ONCE per row: the shingle-hash array is bound to a lambda
+    variable (one-element array + transform), so Catalyst's projection
+    collapse cannot inline — and thus recompute — the md5 scan per hash
+    function. The md5-per-shingle pass dominates MinHash cost; this is an
+    ``num_hashes``× reduction of it."""
+    mins = ", ".join(
+        f"cast(array_min(transform(hs, h -> "
+        f"({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_PRIME})) as bigint)"
+        for j in range(num_hashes)
+    )
+    return f"transform(array({shingle_hashes_sql(col, k)}), hs -> array({mins}))[0]"
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -66,37 +88,59 @@ def minhash_signatures(
     """Long-form signatures: (id, h, minhash) — one row per hash function."""
     sig = docs.select(
         F.col(id_col).alias("id"),
-        F.array(*[F.expr(minhash_sql(text_col, j, k)) for j in range(num_hashes)]).alias("sig"),
+        F.expr(minhash_array_sql(text_col, num_hashes, k)).alias("sig"),
     )
     return sig.select(
         "id", F.posexplode("sig").alias("h", "minhash")
     )
 
 
-def lsh_candidate_pairs(
+def lsh_buckets(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bands: int = 4, rows_per_band: int = 2, k: int = 5,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs (a < b) via banded bucket self-join.
-
-    bucket key = band index + the band's row hashes concatenated; docs
-    sharing any bucket become a candidate pair (dropDuplicates over bands).
-    """
+    """(id, bucket) membership — bucket key = band index + the band's row
+    hashes concatenated. ONE signature pass + one explode (the per-band
+    union of the naive formulation would recompute the md5 scan per band)."""
     nh = bands * rows_per_band
     sig = docs.select(
         F.col(id_col).alias("id"),
-        *[F.expr(minhash_sql(text_col, j, k)).alias(f"mh{j}") for j in range(nh)],
+        F.expr(minhash_array_sql(text_col, nh, k)).alias("mh"),
     )
-    buckets = None
-    for b in range(bands):
-        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band = sig.select(
-            "id",
-            F.concat_ws(
-                ":", F.lit(str(b)), *[F.col(c).cast("string") for c in cols]
-            ).alias("bucket"),
+    row_refs = ", ".join(
+        f"cast(mh[b * {rows_per_band} + {r}] as string)"
+        for r in range(rows_per_band)
+    )
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> concat_ws(':', cast(b as string), {row_refs}))"
+    )
+    return sig.select("id", F.explode(F.expr(band_expr)).alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bands: int = 4, rows_per_band: int = 2, k: int = 5,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (a < b) via banded bucket self-join.
+
+    Docs sharing any bucket become a candidate pair (``distinct`` across
+    bands). ``max_bucket_size`` is the skew armor: a degenerate bucket
+    (boilerplate-heavy corpus) otherwise goes quadratic in the self-join;
+    buckets are deterministically truncated to their ``max_bucket_size``
+    lowest ids first (linearithmic window sort — for dedup purposes the
+    kept members still mark the group; use
+    :func:`lsh_bucket_stats` to report what was dropped). ``None`` = no cap.
+    """
+    buckets = lsh_buckets(docs, text_col, id_col, bands, rows_per_band, k)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("bucket").orderBy("id")
+        buckets = (
+            buckets.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
         )
-        buckets = band if buckets is None else buckets.unionByName(band)
     left = buckets.withColumnRenamed("id", "a")
     right = buckets.withColumnRenamed("id", "b")
     return (
@@ -104,6 +148,22 @@ def lsh_candidate_pairs(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+    )
+
+
+def lsh_bucket_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bands: int = 4, rows_per_band: int = 2, k: int = 5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Per-capped-bucket accounting: (bucket, size, dropped) for buckets over
+    the cap — surfacing truncation instead of silently under-reporting."""
+    return (
+        lsh_buckets(docs, text_col, id_col, bands, rows_per_band, k)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .filter(F.col("size") > max_bucket_size)
+        .withColumn("dropped", F.col("size") - F.lit(max_bucket_size))
     )
 
 

@@ -263,7 +263,11 @@ class SparkCrawler:
         return m
 
     def fetch_log(self) -> DataFrame:
-        return self.state.read_fetch_log(self._m().next_round)
+        # fetch_log for round r is committed by manifest r+1, so only rounds
+        # < next_round are visible — a crashed round's partially-written
+        # fetch_log dir must not surface (mirrors how read_seen excludes the
+        # in-flight delta).
+        return self.state.read_fetch_log(self._m().next_round - 1)
 
     def fetched(self) -> DataFrame:
         cols = [f.name for f in schemas.FETCHED.fields]
@@ -307,22 +311,24 @@ def _frontier_removal(crawler: "SparkCrawler", pattern: str, allow_requeue: bool
     m = crawler._m()
     k = m.next_round
     frontier = st.read_frontier(k)
-    removed = frontier.filter(F.col("url").rlike(pattern))
-    removed_keys = removed.select("host", "url_key").toPandas()
-    n_removed = len(removed_keys)
+    match = F.col("url").rlike(pattern)
+    # count only — the matched keys never leave the executors (at 10^10-URL
+    # scale clear_uris() matches the whole frontier; collecting it would be
+    # a driver OOM). The requeue path below stays distributed too.
+    n_removed = frontier.filter(match).count()
     if n_removed == 0:
         return 0
-    kept = frontier.filter(~F.col("url").rlike(pattern)).localCheckpoint(eager=True)
+    kept = frontier.filter(~match).localCheckpoint(eager=True)
 
     if allow_requeue:
         import os
         import shutil
 
         seen = st.read_seen(k)
-        rm = crawler.spark.createDataFrame(removed_keys)
-        consolidated = seen.join(rm, ["host", "url_key"], "left_anti").localCheckpoint(
-            eager=True
-        )
+        removed_keys = frontier.filter(match).select("host", "url_key")
+        consolidated = seen.join(
+            removed_keys, ["host", "url_key"], "left_anti"
+        ).localCheckpoint(eager=True)
         for r in range(k + 1):
             d = st._dir("seen", r)
             if os.path.exists(d):

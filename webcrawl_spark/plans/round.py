@@ -302,6 +302,12 @@ def run_round(
         )
         .localCheckpoint(eager=True)
     )
+    # discoveries (acc ⊆ cand) can be orders of magnitude larger than the
+    # incoming frontier (fan-out × links per page), so the single-partition
+    # fast path for 5f gates on the candidate count, not frontier_rows; the
+    # count scans the materialized checkpoint only.
+    cand_count = cand.count()
+    small_acc = cand_count <= cfg.small_round_threshold
     _mark("parse_ckpt")
 
     # ---------------- 5. ENQUEUE ----------------
@@ -411,7 +417,7 @@ def run_round(
 
     # 5f. deterministic discovery sequence (EnqueueCore order ADAPTed to a
     #     (priority, seq) total order; Crawler.cs:2507-2512)
-    if small:
+    if small_acc:
         acc = _lazy_seq(acc, ["pos_f", "pos_o"], next_seq, "seq")
     else:
         acc = assign_global_seq(

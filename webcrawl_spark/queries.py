@@ -1,11 +1,12 @@
 """The engine's query battery: every operator family from SURVEY.md §2 plus
-the training-data pipeline ops, each as a (spark_callable, oracle_sql) pair.
+the training-data pipeline ops, as two parallel dicts.
 
-``QUERIES[name] = (fn, sql_or_None)`` — ``fn(spark, sf_dir) -> DataFrame``;
-``sql`` is the ANSI-SQL equivalent DuckDB runs over the same parquet tables
-(views: region nation customer supplier part orders lineitem events
-documents embeddings). ``None`` marks genuinely non-SQL-expressible ops
-(the iterative BFS trace) — the driver records a rows-only check for those.
+``QUERIES[name] = fn`` — ``fn(spark, sf_dir) -> DataFrame``.
+``ORACLE_SQL[name] = sql`` — the ANSI-SQL equivalent DuckDB runs over the
+same parquet tables (views: region nation customer supplier part orders
+lineitem events documents embeddings). A name present in ``QUERIES`` but
+absent from ``ORACLE_SQL`` marks a genuinely non-SQL-expressible op (the
+iterative BFS trace) — the driver records a rows-only check for those.
 
 Cross-engine exactness rules used throughout:
 - integer outputs are BIGINT on both sides; money sums go through
@@ -674,7 +675,11 @@ sigs AS (
   SELECT doc_id AS id, {mh_cols}
   FROM aug
 ),
-buckets AS ({band_selects})
+buckets_all AS ({band_selects}),
+buckets AS (
+  SELECT id, bucket FROM buckets_all
+  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY id) <= 1000
+)
 SELECT DISTINCT l.id AS a, r.id AS b
 FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.id < r.id
 """
