@@ -24,7 +24,7 @@ from ..kernels import robots as R
 from ..kernels.config_free import SCHEMES
 from ..kernels.filters import compile_uri_filters
 from ..kernels.urlnorm import canonicalize
-from ..operators.bloom import SeenBloom, bloom_path
+from ..operators import bloom as B
 from .round import FRONTIER_COLS, RoundContext, host_hash_col, run_round
 from .state import CrawlState, Manifest
 
@@ -148,11 +148,10 @@ class SparkCrawler:
         self.state.write_table("frontier", 0, frontier)
         self.state.write_table("seen", 0, seen_delta)
         if self.cfg.bloom_enabled:
-            bl = SeenBloom(self.cfg.num_partitions, self.cfg.bloom_bits)
-            bl.add_frame(pd.DataFrame(
-                {"host": [r[2] for r in rows], "url_key": [r[1] for r in rows]}
-            ))
-            bl.save(bloom_path(self.state.root, 0))
+            B.build_sidecar(
+                self.state.read_table("seen", 0, schemas.SEEN),
+                None, B.sidecar_dir(self.state.root, 0), self.cfg.bloom_bits,
+            )
         m = Manifest(
             next_round=0, next_seq=seq, next_fetch_seq=0, frontier_rows=len(rows),
             done=(len(rows) == 0),
@@ -170,7 +169,7 @@ class SparkCrawler:
         m = self.state.latest_manifest()
         if m is None:
             m = self._init_seeds()
-        self._bloom = self._load_bloom(m) if self.cfg.bloom_enabled else None
+        self._bloom_dir = self._ensure_sidecar(m) if self.cfg.bloom_enabled else None
         rounds_done = 0
         while (
             not m.done
@@ -182,19 +181,17 @@ class SparkCrawler:
             rounds_done += 1
         return m
 
-    def _load_bloom(self, m: Manifest) -> SeenBloom:
-        """Load the bloom snapshot for the resume round, else rebuild it
-        from the committed seen table."""
-        import os
-
-        path = bloom_path(self.state.root, m.next_round)
-        if os.path.exists(path):
-            return SeenBloom.load(path)
-        bl = SeenBloom(self.cfg.num_partitions, self.cfg.bloom_bits)
-        pdf = self.state.read_seen(m.next_round).select("host", "url_key").toPandas()
-        if len(pdf):
-            bl.add_frame(pdf)
-        return bl
+    def _ensure_sidecar(self, m: Manifest) -> str:
+        """Path to the resume round's complete sidecar dir; if missing or
+        incomplete (sidecar loss), rebuild it from the committed seen table
+        — a DISTRIBUTED job over the seen partitions, never a driver-side
+        materialization of the seen set."""
+        d = B.sidecar_dir(self.state.root, m.next_round)
+        if not B.is_complete(d):
+            B.build_sidecar(
+                self.state.read_seen(m.next_round), None, d, self.cfg.bloom_bits
+            )
+        return d
 
     def _run_one(self, m: Manifest) -> Manifest:
         import os as _os
@@ -211,11 +208,7 @@ class SparkCrawler:
 
         k = m.next_round
         st = self.state
-        if self._bloom is not None:
-            self.ctx.bloom_bc = self.spark.sparkContext.broadcast(
-                self._bloom.snapshot()
-            )
-        _mk("bloom_broadcast")
+        self.ctx.bloom_dir = self._bloom_dir
         stats = run_round(
             self.spark,
             self.ctx,
@@ -230,20 +223,18 @@ class SparkCrawler:
             m.frontier_rows,
         )
         _mk("run_round_total")
-        if self._bloom is not None:
-            import pandas as _pd
-
-            delta = _pd.read_parquet(
-                st._dir("seen", k + 1), columns=["host", "url_key"]
+        if self._bloom_dir is not None:
+            # executor-side delta update: the round's seen delta (already
+            # host_hash-partitioned) ORs into per-partition bitset files;
+            # untouched partitions carry forward as hard links. The driver
+            # moves file metadata only — never keys.
+            nd = B.sidecar_dir(st.root, k + 1)
+            B.build_sidecar(
+                st.read_table("seen", k + 1, schemas.SEEN),
+                self._bloom_dir, nd, self.cfg.bloom_bits,
             )
-            _mk("bloom_read_delta")
-            if len(delta):
-                self._bloom.add_frame(delta)
-            _mk("bloom_add")
-            self._bloom.save(bloom_path(st.root, k + 1))
-            _mk("bloom_save")
-            self.ctx.bloom_bc.unpersist()
-            self.ctx.bloom_bc = None
+            self._bloom_dir = nd
+            _mk("bloom_delta_update")
         nm = Manifest(
             next_round=k + 1,
             next_seq=stats.next_seq,
@@ -253,6 +244,8 @@ class SparkCrawler:
             counters=[list(c) for c in stats.counters],
         )
         st.commit(nm)
+        if self._bloom_dir is not None:
+            B.gc_sidecars(st.root, k + 1)
         return nm
 
     # ---------------- result accessors ----------------

@@ -93,7 +93,7 @@ class RoundContext:
     uri_filters: tuple
     rule_index_bc: object = None     # spark broadcast of robots rule index
     delays: dict = field(default_factory=dict)  # host -> crawl_delay seconds
-    bloom_bc: object = None          # spark broadcast of SeenBloom snapshot
+    bloom_dir: str = None            # complete sidecar dir for this round
 
 
 @dataclass
@@ -327,31 +327,27 @@ def run_round(
     # 5b. frontier dedup: left-anti join vs the persistent seen set
     #     (Service.Enqueue, Crawler.cs:2301-2320). Join key (host, url_key)
     #     hashes on the full key → no mega-host shuffle skew. With the Bloom
-    #     sidecar, candidates missing the filter are DEFINITELY new (no
-    #     false negatives) and bypass the anti-join; only possible-seen rows
-    #     (rediscoveries + false positives) enter the shuffle.
-    if ctx.bloom_bc is not None:
-        bc = ctx.bloom_bc
+    #     sidecar, candidates are repartitioned on host_hash and each task
+    #     tests its partitions' bitset FILES (executor-maintained, see
+    #     operators/bloom.py — no driver filter, no full-filter broadcast);
+    #     misses are DEFINITELY new and bypass the anti-join; only
+    #     possible-seen rows (rediscoveries + false positives) enter the
+    #     shuffle. The two consumers of the flagged frame share the
+    #     repartition exchange (ReusedExchange).
+    if ctx.bloom_dir is not None:
+        from ..operators import bloom as B
 
-        def _bloom_stage(batches):
-            from ..operators.bloom import SeenBloom
-
-            snap = bc.value
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                pdf = pdf.copy()
-                pdf["maybe_seen"] = SeenBloom.contains_batch(
-                    snap, pdf["host"], pdf["url_key"]
-                )
-                yield pdf
-
-        flagged = cand.mapInPandas(
-            _bloom_stage, CANDIDATE_SCHEMA + ", maybe_seen boolean"
+        flagged = (
+            cand.withColumn("__hh", host_hash_col(P))
+            .repartition(P, "__hh")
+            .mapInPandas(
+                B.make_check_stage(ctx.bloom_dir, cfg.bloom_bits),
+                CANDIDATE_SCHEMA + ", __hh int, maybe_seen boolean",
+            )
         )
-        definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen", "__hh")
         checked = (
-            flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+            flagged.filter(F.col("maybe_seen")).drop("maybe_seen", "__hh")
             .join(seen.select("host", "url_key"), ["host", "url_key"], "left_anti")
         )
         new_cand = definitely_new.unionByName(checked)
