@@ -14,12 +14,19 @@ from webcrawl_spark.plans.crawl import SparkCrawler
 
 
 def run_oracle(fx: Fixture):
-    return OracleCrawler(fx.pages_dict(), fx.seeds, fx.config, fx.robots).run()
+    return OracleCrawler(
+        fx.pages_dict(), fx.seeds, fx.config, fx.robots, redirects=fx.redirects
+    ).run()
 
 
 def run_spark(spark, fx: Fixture, state_dir: str, num_partitions: int = 4) -> SparkCrawler:
     cfg = fx.config.with_(num_partitions=num_partitions)
-    pages_df = spark.createDataFrame(fx.pages, schema=schemas.PAGES)
+    schema = (
+        schemas.PAGES_REDIRECT
+        if "redirect_to" in fx.pages.columns
+        else schemas.PAGES
+    )
+    pages_df = spark.createDataFrame(fx.pages, schema=schema)
     crawler = SparkCrawler(spark, pages_df, fx.seeds, state_dir, cfg, fx.robots)
     crawler.run()
     return crawler
@@ -57,8 +64,9 @@ def assert_match(oracle: OracleResult, crawler: SparkCrawler):
         a, b = em[u], om[u]
         assert (a is None and b is None) or (pd.isna(a) and pd.isna(b)) or a == b, u
 
-    # 4. mime/charset/bytes metadata
-    meta_cols = ["url", "round", "fetch_seq", "http_status", "mime", "charset", "bytes"]
+    # 4. mime/charset/bytes/redirect metadata
+    meta_cols = ["url", "round", "fetch_seq", "http_status", "mime", "charset",
+                 "bytes", "final_url"]
     assert_frame_equal(
         _sorted(ef[meta_cols], ["fetch_seq"]),
         _sorted(of[meta_cols], ["fetch_seq"]),

@@ -57,6 +57,20 @@ def test_robots_golden(spark, tmp_path):
     run_and_check(spark, gen.robots_fixture(), tmp_path)
 
 
+def test_redirects_golden(spark, tmp_path):
+    crawler = run_and_check(spark, gen.redirects_fixture(), tmp_path)
+    errs = crawler.errors().toPandas().set_index("url")["reason"].to_dict()
+    assert errs["http://redir.test/deep.html"] == "too_many_redirects"
+    assert errs["http://redir.test/loop1.html"] == "too_many_redirects"
+    assert errs["http://redir.test/dead.html"] == "http_404"
+    assert errs["http://redir.test/ext.html"] == "redirect_out_of_scope"
+    fetched = crawler.fetched().toPandas()
+    finals = fetched.set_index("url")["final_url"].to_dict()
+    assert finals["http://redir.test/r2.html"] == "http://redir.test/sub/target2.html"
+    # relative link on the landing page resolved against the LANDING url
+    assert "http://redir.test/sub/rel.html" in set(fetched["url"])
+
+
 def test_max_queued_links_golden(spark, tmp_path):
     fx = gen.chain(n=10, depth_limit=9)
     fx = gen.Fixture(

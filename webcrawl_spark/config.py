@@ -21,6 +21,7 @@ class CrawlConfig:
     # --- limits (Crawler.cs:564-669, 3364-3366) ---
     depth_limit: int = 50
     max_retries: int = 1
+    max_redirects: int = 20          # redirect-chain cap (Crawler.cs:635-647)
     max_queued_links: Optional[int] = None          # None = Infinite
     max_query_strings_per_file: Optional[int] = 500   # None = Infinite
     max_file_size: int = 50 * 1024 * 1024           # body truncation bytes

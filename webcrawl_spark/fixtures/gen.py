@@ -45,7 +45,7 @@ _RES_CARRIERS = [
 @dataclass
 class Fixture:
     name: str
-    pages: pd.DataFrame           # url, warc_ts, html, text, lang
+    pages: pd.DataFrame           # url, warc_ts, html, text, lang[, redirect_to]
     seeds: list
     config: CrawlConfig
     robots: pd.DataFrame = field(
@@ -53,9 +53,15 @@ class Fixture:
             columns=["host", "path_prefix", "allow", "crawl_delay"]
         )
     )
+    redirects: dict = field(default_factory=dict)  # url -> Location target
 
     def pages_dict(self) -> dict:
-        return dict(zip(self.pages["url"], self.pages["html"]))
+        """Content rows only — redirect rows live in ``redirects``."""
+        return {
+            u: h
+            for u, h in zip(self.pages["url"], self.pages["html"])
+            if u not in self.redirects
+        }
 
 
 def render_html(
@@ -97,7 +103,33 @@ def render_css(urls: list[str]) -> bytes:
     return "\n".join(lines).encode("utf-8")
 
 
-def _mk_pages(rows: list[tuple[str, bytes | None]], lang: str = "en") -> pd.DataFrame:
+def _mk_pages(
+    rows: list[tuple[str, bytes | None]],
+    lang: str = "en",
+    redirects: dict | None = None,
+) -> pd.DataFrame:
+    """Pages frame; with ``redirects`` adds a redirect_to column plus one
+    content-less row per redirect url (html/text NULL)."""
+    pdf = _mk_content_pages(rows, lang)
+    if not redirects:
+        return pdf
+    ts = pd.Timestamp("2024-01-01", tz="UTC")
+    rrows = pd.DataFrame(
+        {
+            "url": list(redirects),
+            "warc_ts": [ts] * len(redirects),
+            "html": [None] * len(redirects),
+            "text": [None] * len(redirects),
+            "lang": lang,
+        }
+    )
+    pdf = pd.concat([pdf, rrows], ignore_index=True)
+    pdf["redirect_to"] = pdf["url"].map(redirects).astype("object")
+    pdf["redirect_to"] = pdf["redirect_to"].where(pdf["redirect_to"].notna(), None)
+    return pdf
+
+
+def _mk_content_pages(rows: list[tuple[str, bytes | None]], lang: str = "en") -> pd.DataFrame:
     urls, bodies, texts = [], [], []
     for url, body in rows:
         urls.append(url)
@@ -441,6 +473,73 @@ def robots_fixture() -> Fixture:
     )
 
 
+def redirects_fixture(max_redirects: int = 2) -> Fixture:
+    """Redirect-chain coverage (MaxRedirects Crawler.cs:635-647; landing-url
+    re-scope check Crawler.cs:1585-1597):
+
+    - /r1 → /target1            one hop; /target1 also linked directly
+                                (reference fetches it again — URL identity)
+    - /r2 → /hop → /sub/target2 two hops at the cap; target2's RELATIVE link
+                                must resolve against the LANDING url
+                                (/sub/rel.html, not /rel.html)
+    - /deep → 3-hop chain       exceeds max_redirects=2 → too_many_redirects
+    - /loop1 ⇄ /loop2           cycle → too_many_redirects
+    - /dead → /missing          landing url absent → http_404
+    - /ext → other.test         landing out of scope (SameHostName) →
+                                redirect_out_of_scope
+    """
+    rng = random.Random(SEED + 10)
+    host = "http://redir.test"
+    rows = [
+        (
+            f"{host}/index.html",
+            render_html(
+                [
+                    ("/r1.html", "link"),
+                    ("/target1.html", "link"),
+                    ("/r2.html", "link"),
+                    ("/deep.html", "link"),
+                    ("/loop1.html", "link"),
+                    ("/dead.html", "link"),
+                    ("/ext.html", "link"),
+                ],
+                rng=rng,
+                title="idx",
+            ),
+        ),
+        (f"{host}/target1.html", render_html([], rng=rng, title="t1")),
+        (
+            f"{host}/sub/target2.html",
+            render_html([("rel.html", "link")], rng=rng, title="t2"),
+        ),
+        (f"{host}/sub/rel.html", render_html([], rng=rng, title="rel")),
+        ("http://other.test/out.html", render_html([], rng=rng, title="out")),
+    ]
+    redirects = {
+        f"{host}/r1.html": f"{host}/target1.html",
+        f"{host}/r2.html": f"{host}/hop.html",
+        f"{host}/hop.html": f"{host}/sub/target2.html",
+        f"{host}/deep.html": f"{host}/d1.html",
+        f"{host}/d1.html": f"{host}/d2.html",
+        f"{host}/d2.html": f"{host}/target1.html",
+        f"{host}/loop1.html": f"{host}/loop2.html",
+        f"{host}/loop2.html": f"{host}/loop1.html",
+        f"{host}/dead.html": f"{host}/missing.html",
+        f"{host}/ext.html": "http://other.test/out.html",
+    }
+    return Fixture(
+        "redirects",
+        _mk_pages(rows, redirects=redirects),
+        [f"{host}/index.html"],
+        CrawlConfig(
+            max_connections=None,
+            max_connections_per_server=10,
+            max_redirects=max_redirects,
+        ),
+        redirects=redirects,
+    )
+
+
 ALL_TOPOLOGIES = {
     "chain": chain,
     "tree": tree,
@@ -452,6 +551,7 @@ ALL_TOPOLOGIES = {
     "broken": broken,
     "filters": filters_fixture,
     "robots": robots_fixture,
+    "redirects": redirects_fixture,
 }
 
 

@@ -37,14 +37,15 @@ from ..kernels.urlnorm import canonicalize, resolve_links
 DECODE_COLS = [
     "url", "url_key", "host", "path", "query", "depth", "link_type",
     "is_external", "priority", "seq", "failures", "fetch_seq",
-    "rtype", "mime", "charset", "bytes", "text",
+    "rtype", "mime", "charset", "bytes", "text", "final_url", "reject",
 ]
 
 DECODE_SCHEMA = (
     "url string, url_key string, host string, path string, query string, "
     "depth int, link_type string, is_external boolean, priority int, "
     "seq long, failures int, fetch_seq long, rtype string, mime string, "
-    "charset string, bytes long, text string"
+    "charset string, bytes long, text string, final_url string, "
+    "reject string"
 )
 
 PARSE_SCHEMA = (
@@ -59,30 +60,70 @@ CANDIDATE_SCHEMA = (
 )
 
 
-def make_decode_stage(cfg: CrawlConfig):
+def make_decode_stage(cfg: CrawlConfig, base_uris_bc):
+    """Decode + the redirect-landing scope check (Crawler.cs:1585-1597: the
+    reference re-checks IsUriAllowed on the ResponseUri after the response;
+    a disallowed landing aborts the resource — no content, no links)."""
+
     def decode_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base_uris = base_uris_bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            rtype = M.guess_types_batch(pdf["path"])
+            pdf = pdf.reset_index(drop=True)
+            reject = pd.Series([None] * len(pdf), dtype="object")
+            # effective path: redirect rows type/scope by the TERMINAL url
+            eff_path = pdf["path"].copy()
+            red = pdf["final_url"].notna()
+            if red.any():
+                fc = canonicalize(
+                    pdf.loc[red, "final_url"],
+                    strip_www=cfg.strip_www,
+                    normalize_query=cfg.normalize_query,
+                    case_sensitive_paths=cfg.case_sensitive_paths,
+                )
+                bad = fc["url"].isna()
+                sc = scope_filter(
+                    pd.DataFrame(
+                        {
+                            "scheme": fc["scheme"].fillna(""),
+                            "host": fc["host"].fillna(""),
+                            "path": fc["path"].fillna(""),
+                            "link_type": pdf.loc[red, "link_type"],
+                        }
+                    ),
+                    base_uris,
+                    domain_nav=cfg.domain_navigation,
+                    dir_nav=cfg.directory_navigation,
+                    want_nonhtml=cfg.want_nonhtml,
+                    external_resources=cfg.external_resources,
+                    case_sensitive_paths=cfg.case_sensitive_paths,
+                )
+                out_of_scope = bad.to_numpy() | ~sc["allowed"].to_numpy()
+                reject.loc[red[red].index[out_of_scope]] = "redirect_out_of_scope"
+                ok_red = red[red].index[~out_of_scope]
+                eff_path.loc[ok_red] = fc["path"].loc[ok_red]
+            rtype = M.guess_types_batch(eff_path)
             # no response headers: unfetched-type pages are HTML (oracle ADAPT)
             rtype = rtype.where(rtype != M.UNKNOWN, M.HTML)
             mime = rtype.map(M.mime_of_type)
             is_binary = rtype == M.BINARY
+            rejected = reject.notna()
             dec = decode_batch(
-                pdf["html"].where(~is_binary, None), None, rtype
+                pdf["html"].where(~(is_binary | rejected), None), None, rtype
             )
             text = dec["text"]
             if cfg.content_filters:
                 text = apply_content_filters(text, cfg.content_filters)
             out = pdf.drop(columns=["html"]).copy()
-            out["rtype"] = rtype
-            out["mime"] = mime
-            out["charset"] = dec["charset"]
+            out["rtype"] = rtype.where(~rejected, None)
+            out["mime"] = mime.where(~rejected, None)
+            out["charset"] = dec["charset"].where(~rejected, None)
             out["bytes"] = (
                 pdf["html"].map(lambda b: 0 if b is None else min(len(b), cfg.max_file_size))
-            ).astype("int64")
-            out["text"] = text
+            ).astype("Int64").where(~rejected, pd.NA)
+            out["text"] = text.where(~rejected, None)
+            out["reject"] = reject
             yield out[DECODE_COLS]
 
     return decode_stage
@@ -92,15 +133,17 @@ def make_parse_stage():
     def parse_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for url, depth, fseq, rtype, text in zip(
-                pdf["url"], pdf["depth"], pdf["fetch_seq"], pdf["rtype"], pdf["text"]
+            base0 = pdf["base0"] if "base0" in pdf.columns else pdf["url"]
+            for url, depth, fseq, rtype, text, b0 in zip(
+                pdf["url"], pdf["depth"], pdf["fetch_seq"], pdf["rtype"],
+                pdf["text"], base0,
             ):
                 if not isinstance(text, str) or rtype not in (M.HTML, M.CSS):
                     continue
                 found = L.scan_html(text) if rtype == M.HTML else L.scan_css(text)
                 if not found:
                     continue
-                base_url = url
+                base_url = b0  # redirect-terminal url (Crawler.cs:1585-1588)
                 if rtype == M.HTML:
                     b = L.find_base_href(text)
                     if b and canonicalize(pd.Series([b])).iloc[0]["url"] is not None:
@@ -119,6 +162,19 @@ def make_parse_stage():
                 )
 
     return parse_stage
+
+
+def make_parse_candidate_stage(cfg: CrawlConfig, base_uris_bc, uri_filters, rule_index_bc):
+    """Fused parse→candidate stage: one Python runner, one Arrow round-trip.
+    The raw-links intermediate (the largest frame of the round) never
+    crosses the JVM↔Python boundary."""
+    parse = make_parse_stage()
+    candidate = make_candidate_stage(cfg, base_uris_bc, uri_filters, rule_index_bc)
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return candidate(parse(batches))
+
+    return stage
 
 
 def make_candidate_stage(cfg: CrawlConfig, base_uris_bc, uri_filters, rule_index_bc):

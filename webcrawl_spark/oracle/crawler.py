@@ -108,8 +108,10 @@ class OracleCrawler:
         seeds: list[str],
         config: CrawlConfig = CrawlConfig(),
         robots_rules: Optional[pd.DataFrame] = None,
+        redirects: Optional[dict] = None,
     ):
-        self.pages = pages
+        self.pages = pages            # content rows only (no redirect rows)
+        self.redirects = redirects or {}  # url -> Location target
         self.cfg = config
         self.seeds = seeds
         rules = robots_rules if robots_rules is not None else pd.DataFrame(
@@ -194,15 +196,34 @@ class OracleCrawler:
             # distributed engine reproduces exactly — ADAPT of the
             # reference's page-interleaved loop, Crawler.cs:1449-1725).
             new_entries: list[Entry] = []
-            parsed: list[tuple[Entry, int, str | None, str]] = []
+            parsed: list[tuple[Entry, int, str | None, str, str | None]] = []
             for e in selected:
                 my_fetch_seq = fetch_seq
                 fetch_seq += 1
 
-                if e.url not in self.pages:
+                if e.url not in self.pages and e.url not in self.redirects:
                     error_rows.append((e.url, rnd, e.failures + 1, True, "http_404"))
                     continue
-                body = self.pages[e.url]
+
+                # redirect chain (MaxRedirects, Crawler.cs:635-647): follow up
+                # to max_redirects hops; still redirecting → give up.
+                final_url = None
+                cur, hops = e.url, 0
+                while cur in self.redirects and hops < cfg.max_redirects:
+                    cur = self.redirects[cur]
+                    hops += 1
+                if cur in self.redirects:
+                    error_rows.append(
+                        (e.url, rnd, e.failures + 1, True, "too_many_redirects")
+                    )
+                    continue
+                if hops > 0:
+                    final_url = cur
+                    if final_url not in self.pages:
+                        error_rows.append((e.url, rnd, e.failures + 1, True, "http_404"))
+                        continue
+
+                body = self.pages[final_url or e.url]
                 if body is None:
                     failures = e.failures + 1
                     if failures > cfg.max_retries:
@@ -213,7 +234,31 @@ class OracleCrawler:
                         new_entries.append(e)  # requeue, same seq (Crawler.cs:2308)
                     continue
 
-                c = _canon1(e.url, cfg)
+                # landing-url re-scope check after the response
+                # (IsUriAllowed on ResponseUri, Crawler.cs:1585-1597)
+                if final_url is not None:
+                    fc = _canon1(final_url, cfg)
+                    allowed = fc.url is not None and bool(
+                        scope_filter(
+                            pd.DataFrame(
+                                {"scheme": [fc.scheme], "host": [fc.host],
+                                 "path": [fc.path], "link_type": [e.link_type]}
+                            ),
+                            base_uris,
+                            domain_nav=cfg.domain_navigation,
+                            dir_nav=cfg.directory_navigation,
+                            want_nonhtml=cfg.want_nonhtml,
+                            external_resources=cfg.external_resources,
+                            case_sensitive_paths=cfg.case_sensitive_paths,
+                        ).iloc[0].allowed
+                    )
+                    if not allowed:
+                        error_rows.append(
+                            (e.url, rnd, e.failures, True, "redirect_out_of_scope")
+                        )
+                        continue
+
+                c = _canon1(final_url or e.url, cfg)
                 rtype = M.guess_resource_type_from_path(c.path)
                 if rtype == M.UNKNOWN:
                     rtype = M.HTML  # ADAPT: no response headers; corpus is pages
@@ -230,12 +275,13 @@ class OracleCrawler:
                 trace_rows.append((rnd, my_fetch_seq, e.url, e.depth, e.link_type))
                 fetched_rows.append(
                     (e.url, e.url_key, e.host, rnd, my_fetch_seq, e.depth, e.link_type,
-                     200, mime, charset, min(len(body), cfg.max_file_size), text)
+                     200, mime, charset, min(len(body), cfg.max_file_size), text,
+                     final_url)
                 )
-                parsed.append((e, my_fetch_seq, text, rtype))
+                parsed.append((e, my_fetch_seq, text, rtype, final_url))
 
             # 4. PARSE + 5. ENQUEUE in fetch order
-            for e, my_fetch_seq, text, rtype in parsed:
+            for e, my_fetch_seq, text, rtype, final_url in parsed:
                 if text is None:
                     continue
                 found = L.scan_html(text) if rtype == M.HTML else (
@@ -243,7 +289,7 @@ class OracleCrawler:
                 )
                 if not found:
                     continue
-                base_url = e.url
+                base_url = final_url or e.url  # links resolve vs landing url
                 if rtype == M.HTML:
                     b = L.find_base_href(text)
                     if b:
@@ -327,7 +373,7 @@ class OracleCrawler:
                 fetched_rows,
                 columns=["url", "url_key", "host", "round", "fetch_seq", "depth",
                          "link_type", "http_status", "mime", "charset", "bytes",
-                         "extracted_text"],
+                         "extracted_text", "final_url"],
             ),
             errors=pd.DataFrame(
                 error_rows, columns=["url", "round", "failures", "fatal", "reason"]

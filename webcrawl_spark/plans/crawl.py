@@ -54,6 +54,15 @@ class SparkCrawler:
         self.cfg = config
         self.state = CrawlState(spark, state_dir)
 
+        # redirect chains resolve ONCE per crawl (static property of the
+        # pages table); the per-round fetch join sees the effective view.
+        # Tables without a redirect_to column pass through unchanged.
+        from ..operators.redirect import effective_pages
+
+        self.eff_pages = effective_pages(pages, config.max_redirects)
+        if "redirect_to" in pages.columns:
+            self.eff_pages = self.eff_pages.localCheckpoint(eager=True)
+
         rules = robots_rules if robots_rules is not None else _EMPTY_ROBOTS
         rule_index = R.build_rule_index(rules) if config.robots_enabled else {}
         delays = R.crawl_delays(rules) if config.robots_enabled else {}
@@ -214,7 +223,7 @@ class SparkCrawler:
             self.ctx,
             st,
             st.read_frontier(k),
-            self.pages,
+            self.eff_pages,
             st.read_seen(k),
             st.read_pq(k) if self.cfg.max_query_strings_per_file is not None else None,
             k,
@@ -224,14 +233,13 @@ class SparkCrawler:
         )
         _mk("run_round_total")
         if self._bloom_dir is not None:
-            # executor-side delta update: the round's seen delta (already
-            # host_hash-partitioned) ORs into per-partition bitset files;
-            # untouched partitions carry forward as hard links. The driver
-            # moves file metadata only — never keys.
+            # executor-side delta update: the round's seen delta (served from
+            # the round's acc checkpoint, host_hash attached) ORs into
+            # per-partition bitset files; untouched partitions carry forward
+            # as hard links. The driver moves file metadata only — never keys.
             nd = B.sidecar_dir(st.root, k + 1)
             B.build_sidecar(
-                st.read_table("seen", k + 1, schemas.SEEN),
-                self._bloom_dir, nd, self.cfg.bloom_bits,
+                stats.seen_keys, self._bloom_dir, nd, self.cfg.bloom_bits
             )
             self._bloom_dir = nd
             _mk("bloom_delta_update")

@@ -54,15 +54,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .. import schemas
 from ..config import CrawlConfig
 from ..functions.crawl_udfs import (
     CANDIDATE_SCHEMA,
     DECODE_SCHEMA,
-    PARSE_SCHEMA,
-    make_candidate_stage,
     make_decode_stage,
-    make_parse_stage,
+    make_parse_candidate_stage,
 )
 from ..kernels import robots as R
 from ..operators.seq import assign_global_seq
@@ -72,14 +69,6 @@ FRONTIER_COLS = [
     "referrer", "link_type", "is_external", "priority", "seq", "failures",
     "round",
 ]
-
-_RTYPE_FROM_MIME = {
-    "text/html": "html",
-    "text/css": "css",
-    "text/javascript": "javascript",
-    "text/vbscript": "vbscript",
-}
-
 
 def host_hash_col(P: int):
     """Deterministic host-hash partition id (shared by all state tables)."""
@@ -102,6 +91,10 @@ class RoundStats:
     next_fetch_seq: int
     frontier_rows: int
     counters: list
+    seen_keys: DataFrame = None   # (host, host_hash, url_key) of this round's
+                                  # seen delta, backed by the acc checkpoint —
+                                  # the Bloom sidecar update reads this instead
+                                  # of re-scanning the written delta
 
 
 def _budget_col(ctx: RoundContext):
@@ -190,8 +183,10 @@ def run_round(
 
     # ---------------- 2. FETCH: ONE pages scan, result checkpointed ----
     # Bounded by the politeness budget, not the corpus: joined holds at most
-    # (hosts-with-work × per-host budget) rows of html.
-    pg = pages.select("url", "html").withColumn("__present", F.lit(True))
+    # (hosts-with-work × per-host budget) rows of html. ``pages`` here is the
+    # redirect-resolved effective view (operators/redirect.py): (url, html,
+    # final_url, exceeded, final_present) — html is the chain-terminal row's.
+    pg = pages.withColumn("__present", F.lit(True))
     # repartition by url BEFORE the checkpoint: the join inherits the pages
     # table's layout (possibly a handful of files), and everything downstream
     # — decode, the fetch_log files, and therefore parse — would inherit that
@@ -203,50 +198,48 @@ def run_round(
     )
     _mark("select+fetch_ckpt")
 
-    stats = joined.agg(
-        F.count(F.lit(1)).alias("n_sel"),
-        F.count("__present").alias("n_present"),
-        F.count("html").alias("n_good"),
-        F.count(
-            F.when(
-                F.col("__present").isNotNull()
-                & F.col("html").isNull()
-                & (F.col("failures") + 1 <= cfg.max_retries),
-                1,
-            )
-        ).alias("n_retry"),
-    ).first()
-    _mark("stats_agg")
-    n_selected, n_good, n_retry = stats["n_sel"], stats["n_good"], stats["n_retry"]
-    next_fetch_seq += n_selected
-    counters += [
-        (rnd, "select", "selected", n_selected),
-        (rnd, "fetch", "fetched", n_good),
-        (rnd, "fetch", "retries", n_retry),
-        (rnd, "fetch", "errors", stats["n_present"] - n_good - n_retry
-         + (n_selected - stats["n_present"])),
-    ]
-
+    # routing (fatal taxonomy; IsFatalError Crawler.cs:2121-2164 + redirect
+    # outcomes Crawler.cs:635-647, 1585-1597):
+    #   original url absent                  → http_404 fatal
+    #   redirect chain exceeds MaxRedirects  → too_many_redirects fatal
+    #   chain lands on an absent url         → http_404 fatal
+    #   terminal row present, html NULL      → retryable (MaxRetries)
+    #   downloaded but final url out of scope→ redirect_out_of_scope fatal
+    #                                          (decided in DECODE, as the
+    #                                          reference checks ResponseUri
+    #                                          only after the response)
+    present = F.col("__present").isNotNull()
+    c_exceeded = present & F.col("exceeded")
+    c_dead = present & ~F.col("exceeded") & ~F.col("final_present")
     failed = (
-        joined.filter(F.col("__present").isNotNull() & F.col("html").isNull())
+        joined.filter(present & ~F.col("exceeded") & F.col("final_present")
+                      & F.col("html").isNull())
         .withColumn("__nf", (F.col("failures") + 1).cast("int"))
     )
     retry = failed.filter(F.col("__nf") <= cfg.max_retries)
     good = joined.filter(F.col("html").isNotNull())
 
-    # ---------------- 3. DECODE → one combined fetch_log commit --------
+    # ---------------- 3. DECODE (checkpointed once) --------------------
+    # the decode output feeds BOTH the fetch_log commit and the parse stage;
+    # checkpointing it runs the charset/filter work exactly once with no
+    # read-back of the written fetch_log (VERDICT r1 perf item).
     decoded = good.select(
         "url", "url_key", "host", "path", "query", "depth", "link_type",
         "is_external", "priority", "seq", "failures", "fetch_seq", "html",
-    ).mapInPandas(make_decode_stage(cfg), DECODE_SCHEMA)
+        "final_url",
+    ).mapInPandas(
+        make_decode_stage(cfg, ctx.base_uris_bc), DECODE_SCHEMA
+    ).localCheckpoint(eager=True)
+    _mark("decode_ckpt")
 
-    ok_rows = decoded.select(
+    ok_rows = decoded.filter(F.col("reject").isNull()).select(
         "url", "url_key", "host",
         F.lit(rnd).cast("int").alias("round"),
         "fetch_seq", "depth", "link_type",
         F.lit(200).alias("http_status"),
         "mime", "charset", "bytes",
         F.col("text").alias("extracted_text"),
+        "final_url",
         F.lit("ok").alias("status"),
         F.col("failures").cast("int").alias("failures"),
         F.lit(False).alias("fatal"),
@@ -262,42 +255,66 @@ def run_round(
             F.lit(None).cast("string").alias("charset"),
             F.lit(None).cast("long").alias("bytes"),
             F.lit(None).cast("string").alias("extracted_text"),
+            "final_url",
             F.lit(status).alias("status"),
             failures_col.cast("int").alias("failures"),
             F.lit(fatal).alias("fatal"),
         )
 
-    missing = joined.filter(F.col("__present").isNull())
+    missing = joined.filter(~present)
+    dead = joined.filter(c_dead)
+    over_redirected = joined.filter(c_exceeded)
+    scope_rejected = decoded.filter(F.col("reject").isNotNull())
     exhausted = failed.filter(F.col("__nf") > cfg.max_retries)
+    # per-round fetch stats ride the write as Observations — no standalone
+    # aggregate job (every selected row lands in fetch_log exactly once)
+    obs_f = Observation(f"fetch_r{rnd}")
     fetch_log = (
         ok_rows
         .unionByName(_err_rows(missing, "http_404", F.col("failures") + 1, True, 404))
+        .unionByName(_err_rows(dead, "http_404", F.col("failures") + 1, True, 404))
+        .unionByName(_err_rows(
+            over_redirected, "too_many_redirects", F.col("failures") + 1, True, 0))
+        .unionByName(_err_rows(
+            scope_rejected, "redirect_out_of_scope", F.col("failures"), True, 0))
         .unionByName(_err_rows(exhausted, "retries_exhausted", F.col("__nf"), True, 0))
         .unionByName(_err_rows(retry, "retryable", F.col("__nf"), False, 0))
+    ).observe(
+        obs_f,
+        F.count(F.lit(1)).alias("n_sel"),
+        F.count(F.when(F.col("status") == "ok", 1)).alias("n_good"),
+        F.count(F.when(F.col("status") == "retryable", 1)).alias("n_retry"),
     )
     state.write_table("fetch_log", rnd, fetch_log)
     _mark("fetch_log_write")
-    fetched_back = state.read_table("fetch_log", rnd, schemas.FETCH_LOG)
+    fvals = obs_f.get
+    n_selected, n_good, n_retry = fvals["n_sel"], fvals["n_good"], fvals["n_retry"]
+    next_fetch_seq += n_selected
+    counters += [
+        (rnd, "select", "selected", n_selected),
+        (rnd, "fetch", "fetched", n_good),
+        (rnd, "fetch", "retries", n_retry),
+        (rnd, "fetch", "errors", n_selected - n_good - n_retry),
+    ]
 
     retry_rows = retry.withColumn("failures", F.col("__nf")).select(*FRONTIER_COLS)
 
     # ---------------- 4. PARSE → candidates --------------------------
-    rtype_map = F.create_map(
-        *[F.lit(x) for kv in _RTYPE_FROM_MIME.items() for x in kv]
-    )
     cand = (
-        fetched_back.filter(
-            (F.col("status") == "ok") & F.col("extracted_text").isNotNull()
+        decoded.filter(
+            F.col("text").isNotNull() & F.col("rtype").isin("html", "css")
         )
-        .withColumn("rtype", F.coalesce(rtype_map[F.col("mime")], F.lit("binary")))
-        .filter(F.col("rtype").isin("html", "css"))
+        # links resolve against the redirect-terminal url (the reference
+        # updates resourceUri to the ResponseUri, Crawler.cs:1585-1588);
+        # parent_url/referrer stays the queued (original) url
         .select(
-            "url", "depth", "fetch_seq", "rtype",
-            F.col("extracted_text").alias("text"),
+            "url", "depth", "fetch_seq", "rtype", "text",
+            F.coalesce("final_url", "url").alias("base0"),
         )
-        .mapInPandas(make_parse_stage(), PARSE_SCHEMA)
         .mapInPandas(
-            make_candidate_stage(cfg, ctx.base_uris_bc, ctx.uri_filters, ctx.rule_index_bc),
+            make_parse_candidate_stage(
+                cfg, ctx.base_uris_bc, ctx.uri_filters, ctx.rule_index_bc
+            ),
             CANDIDATE_SCHEMA,
         )
         .localCheckpoint(eager=True)
@@ -334,6 +351,7 @@ def run_round(
     #     possible-seen rows (rediscoveries + false positives) enter the
     #     shuffle. The two consumers of the flagged frame share the
     #     repartition exchange (ReusedExchange).
+    bloom_flagged = None
     if ctx.bloom_dir is not None:
         from ..operators import bloom as B
 
@@ -344,7 +362,9 @@ def run_round(
                 B.make_check_stage(ctx.bloom_dir, cfg.bloom_bits),
                 CANDIDATE_SCHEMA + ", __hh int, maybe_seen boolean",
             )
+            .persist()  # two consumers below — run the check stage once
         )
+        bloom_flagged = flagged
         definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen", "__hh")
         checked = (
             flagged.filter(F.col("maybe_seen")).drop("maybe_seen", "__hh")
@@ -357,36 +377,44 @@ def run_round(
         )
 
     # 5c. first passing discovery per key wins and defines the entry's
-    #     attributes + seen.first_depth; discoveries at or after it
-    #     min-merge into the entry's frontier depth.
-    wk = Window.partitionBy("host", "url_key").orderBy("pos_f", "pos_o")
-    acc = (
-        new_cand.filter("passes")
-        .withColumn("__rn", F.row_number().over(wk))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .withColumn("first_depth", F.col("depth"))
+    #     attributes + seen.first_depth; discoveries at or after it (passing
+    #     or not) min-merge into the entry's frontier depth. ONE window pass
+    #     + ONE same-key groupBy (no re-shuffle: both key on (host, url_key))
+    #     — struct min is lexicographic, so min(struct(pos_f, pos_o)) over
+    #     passing rows IS the first passing position, and the anchor row's
+    #     attributes come back via min(when(pos == anchor, struct(attrs))).
+    pos = F.struct(F.col("pos_f"), F.col("pos_o"))
+    wk = Window.partitionBy("host", "url_key")
+    anchored = (
+        new_cand.withColumn(
+            "__anchor", F.min(F.when(F.col("passes"), pos)).over(wk)
+        )
+        .filter(F.col("__anchor").isNotNull() & (pos >= F.col("__anchor")))
     )
-    merged = (
-        new_cand.select("host", "url_key", "pos_f", "pos_o", "depth")
-        .join(
-            acc.select(
-                "host", "url_key",
-                F.col("pos_f").alias("__fpf"), F.col("pos_o").alias("__fpo"),
-            ),
-            ["host", "url_key"],
-        )
-        .filter(
-            (F.col("pos_f") > F.col("__fpf"))
-            | ((F.col("pos_f") == F.col("__fpf")) & (F.col("pos_o") >= F.col("__fpo")))
-        )
-        .groupBy("host", "url_key")
-        .agg(F.min("depth").alias("__mdepth"))
+    attrs = F.struct(
+        "url", "path", "query", "depth", "referrer", "link_type",
+        "is_external", "priority", "pos_f", "pos_o",
     )
     acc = (
-        acc.join(merged, ["host", "url_key"], "left")
-        .withColumn("depth", F.coalesce("__mdepth", "depth"))
-        .drop("__mdepth")
+        anchored.groupBy("host", "url_key")
+        .agg(
+            F.min(F.when(pos == F.col("__anchor"), attrs)).alias("__a"),
+            F.min("depth").alias("__mdepth"),
+        )
+        .select(
+            "host", "url_key",
+            F.col("__a.url").alias("url"),
+            F.col("__a.path").alias("path"),
+            F.col("__a.query").alias("query"),
+            F.col("__mdepth").alias("depth"),
+            F.col("__a.referrer").alias("referrer"),
+            F.col("__a.link_type").alias("link_type"),
+            F.col("__a.is_external").alias("is_external"),
+            F.col("__a.priority").alias("priority"),
+            F.col("__a.pos_f").alias("pos_f"),
+            F.col("__a.pos_o").alias("pos_o"),
+            F.col("__a.depth").alias("first_depth"),
+        )
     )
 
     # 5d. crawler-trap cap: ≥ max distinct query strings per (host, path)
@@ -420,6 +448,13 @@ def run_round(
             acc, ["pos_f", "pos_o"], start=next_seq, out_col="seq",
             num_partitions=P,
         )
+    # acc feeds three consumers (seen delta, new frontier entries, the Bloom
+    # sidecar update) — checkpoint once so the 5a-5f window/join pipeline
+    # runs exactly once per round instead of once per consumer
+    acc = acc.localCheckpoint(eager=True)
+    if bloom_flagged is not None:
+        bloom_flagged.unpersist()
+    _mark("acc_ckpt")
 
     # seen delta write carries an Observation so n_new costs no extra job
     obs = Observation(f"seen_r{rnd}")
@@ -461,4 +496,7 @@ def run_round(
         next_fetch_seq=next_fetch_seq,
         frontier_rows=frontier_rows_next,
         counters=counters,
+        seen_keys=acc.select(
+            "host", host_hash_col(P).alias("host_hash"), "url_key"
+        ),
     )

@@ -800,6 +800,41 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_duck_cos64('a.embedding', 'b.embedding')} > 0.3
 """
 
+    # redirect_resolve oracle: the same synthetic edge set, resolution
+    # unrolled as max_redirects-1 = 2 LEFT-JOIN steps + a final
+    # still-redirecting probe (mirrors operators/redirect.resolve_redirects)
+    _mk = "'http://h' || CAST(id % 7 AS VARCHAR) || '.test/d' || CAST(id AS VARCHAR)"
+    _mk1 = "'http://h' || CAST((id + 1) % 7 AS VARCHAR) || '.test/d' || CAST(id + 1 AS VARCHAR)"
+    sql["redirect_resolve"] = f"""
+WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+pages AS (
+  SELECT {_mk} AS url,
+    CASE
+      WHEN id = 444 THEN 'http://h4.test/d333'
+      WHEN id = 333 THEN 'http://h3.test/d444'
+      WHEN id % 35 = 0 THEN 'http://dead.test/x' || CAST(id AS VARCHAR)
+      WHEN id % 5 < 2 THEN {_mk1}
+      ELSE NULL
+    END AS redirect_to
+  FROM ids
+),
+edges AS (SELECT url, redirect_to FROM pages WHERE redirect_to IS NOT NULL),
+s0 AS (SELECT url, redirect_to AS cur, 1 AS hops FROM edges),
+s1 AS (
+  SELECT s0.url, coalesce(e.redirect_to, s0.cur) AS cur,
+         s0.hops + CASE WHEN e.url IS NOT NULL THEN 1 ELSE 0 END AS hops
+  FROM s0 LEFT JOIN edges e ON s0.cur = e.url
+),
+s2 AS (
+  SELECT s1.url, coalesce(e.redirect_to, s1.cur) AS cur,
+         s1.hops + CASE WHEN e.url IS NOT NULL THEN 1 ELSE 0 END AS hops
+  FROM s1 LEFT JOIN edges e ON s1.cur = e.url
+)
+SELECT s2.url, s2.cur AS final_url, CAST(s2.hops AS BIGINT) AS hops,
+       (e.url IS NOT NULL) AS exceeded
+FROM s2 LEFT JOIN edges e ON s2.cur = e.url
+"""
+
     sql["multimodal_meta"] = """
 SELECT doc_id AS id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -810,6 +845,32 @@ FROM documents WHERE doc_id < 200
 """
 
     return sql
+
+
+def q_redirect_resolve(spark, sf_dir):
+    """Bounded redirect-chain resolution (operators/redirect.py) over a
+    deterministic synthetic edge set derived from documents: 1-2 hop
+    chains (id%5<2), dead targets (id%35==0), and one 2-cycle (333⇄444)
+    that exceeds max_redirects=3."""
+    from .operators.redirect import resolve_redirects
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id").filter("doc_id < 500")
+    mk = "concat('http://h', cast(id % 7 as string), '.test/d', cast(id as string))"
+    mk1 = ("concat('http://h', cast((id + 1) % 7 as string), '.test/d', "
+           "cast(id + 1 as string))")
+    pages = ids.selectExpr("doc_id as id").selectExpr(
+        f"{mk} as url",
+        f"""case
+              when id = 444 then 'http://h4.test/d333'
+              when id = 333 then 'http://h3.test/d444'
+              when id % 35 = 0 then concat('http://dead.test/x', cast(id as string))
+              when id % 5 < 2 then {mk1}
+              else null
+            end as redirect_to""",
+    )
+    return resolve_redirects(pages, max_redirects=3).select(
+        "url", "final_url", F.col("hops").cast("long").alias("hops"), "exceeded"
+    )
 
 
 QUERIES: dict[str, Callable] = {
@@ -845,6 +906,7 @@ QUERIES: dict[str, Callable] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embed_neardup": q_embed_neardup,
     "multimodal_meta": q_multimodal_meta,
+    "redirect_resolve": q_redirect_resolve,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()

@@ -19,6 +19,14 @@ PAGES = T.StructType(
     ]
 )
 
+# pages extended with an HTTP-redirect edge (Location header equivalent);
+# a row with redirect_to set serves no content itself — the crawler follows
+# the chain (MaxRedirects, Crawler.cs:635-647). Optional: a pages table
+# without the column crawls exactly as before.
+PAGES_REDIRECT = T.StructType(
+    PAGES.fields + [T.StructField("redirect_to", T.StringType(), True)]
+)
+
 FRONTIER = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -64,6 +72,7 @@ FETCHED = T.StructType(
         T.StructField("charset", T.StringType(), True),
         T.StructField("bytes", T.LongType(), True),
         T.StructField("extracted_text", T.StringType(), True),
+        T.StructField("final_url", T.StringType(), True),  # redirect target; null = fetched directly
     ]
 )
 
