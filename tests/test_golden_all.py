@@ -71,6 +71,18 @@ def test_redirects_golden(spark, tmp_path):
     assert "http://redir.test/sub/rel.html" in set(fetched["url"])
 
 
+def test_post_golden(spark, tmp_path):
+    crawler = run_and_check(spark, gen.post_fixture(), tmp_path)
+    trace = crawler.trace().toPandas()
+    # force=true: the url seeded AND POSTed is fetched twice
+    assert (trace["url"] == "http://post.test/index.html").sum() == 2
+    # the POST-only page and the GET link it discovers are both fetched
+    assert "http://post.test/form.html" in set(trace["url"])
+    assert "http://post.test/result.html" in set(trace["url"])
+    errs = crawler.errors().toPandas().set_index("url")["reason"].to_dict()
+    assert errs["http://post.test/gone.html"] == "http_404"
+
+
 def test_max_queued_links_golden(spark, tmp_path):
     fx = gen.chain(n=10, depth_limit=9)
     fx = gen.Fixture(

@@ -41,6 +41,13 @@ class CrawlConfig:
     strip_www: bool = False
     normalize_query: bool = False
 
+    # --- user-enqueued POST resources (EnqueueUri(uri, postData),
+    #     Crawler.cs:1081-1101; GUI extra-URL input MainForm.cs:100-115).
+    #     ((url, post_data), ...) — force-enqueued at depth 0 after the seed
+    #     list: the public EnqueueUri overload passes force=true, bypassing
+    #     the seen-set dedup and the queue cap (Crawler.cs:2307-2315).
+    post_seeds: tuple = ()
+
     # --- user filters (console semantics, Crawler/main.cs:285-319) ---
     change_filters: tuple = ()       # ((pattern, replacement-with-$n), ...)
     positive_filters: tuple = ()     # URL must match ALL

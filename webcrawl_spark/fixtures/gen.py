@@ -540,6 +540,45 @@ def redirects_fixture(max_redirects: int = 2) -> Fixture:
     )
 
 
+def post_fixture() -> Fixture:
+    """User POST resources (EnqueueUri(uri, postData), Crawler.cs:1081-1101):
+
+    - /form.html POSTed with a body — fetched although nothing links to it
+    - /index.html both seeded (GET) and POSTed — force=true bypasses the
+      seen dedup, so it is fetched TWICE (Crawler.cs:1082-1084, 2307)
+    - /gone.html POSTed but absent → http_404
+    - links discovered from the POSTed page enqueue as ordinary GETs
+    """
+    rng = random.Random(SEED + 11)
+    host = "http://post.test"
+    rows = [
+        (
+            f"{host}/index.html",
+            render_html([("/a.html", "link")], rng=rng, title="idx"),
+        ),
+        (f"{host}/a.html", render_html([], rng=rng, title="a")),
+        (
+            f"{host}/form.html",
+            render_html([("/result.html", "link")], rng=rng, title="form"),
+        ),
+        (f"{host}/result.html", render_html([], rng=rng, title="res")),
+    ]
+    return Fixture(
+        "post",
+        _mk_pages(rows),
+        [f"{host}/index.html"],
+        CrawlConfig(
+            max_connections=None,
+            max_connections_per_server=10,
+            post_seeds=(
+                (f"{host}/form.html", "q=spark&lang=py"),
+                (f"{host}/index.html", "refresh=1"),
+                (f"{host}/gone.html", "x=1"),
+            ),
+        ),
+    )
+
+
 ALL_TOPOLOGIES = {
     "chain": chain,
     "tree": tree,
@@ -552,6 +591,7 @@ ALL_TOPOLOGIES = {
     "filters": filters_fixture,
     "robots": robots_fixture,
     "redirects": redirects_fixture,
+    "post": post_fixture,
 }
 
 

@@ -75,6 +75,7 @@ class Entry:
     seq: int
     failures: int = 0
     round: int = 0
+    post_data: Optional[str] = None   # user POSTs only (Crawler.cs:1081-1101)
 
 
 @dataclass
@@ -166,6 +167,27 @@ class OracleCrawler:
             )
             seq += 1
         self.base_uris = base_uris
+
+        # user POST resources: force-enqueued after the seed list (public
+        # EnqueueUri passes force=true, Crawler.cs:1082-1084 — bypasses the
+        # seen dedup and the queue cap; key excludes post data, MakeKey
+        # Crawler.cs:2618-2625). No base-URI registration (EnqueueUri does
+        # not call AddBaseUri).
+        for url, post_data in cfg.post_seeds:
+            c = _canon1(url, cfg)
+            if c.url is None or c.scheme not in ("http", "https", "ftp"):
+                continue
+            if not self._robots_ok(c.host, c.path):
+                continue
+            key = (c.host, c.url_key)
+            if key not in seen:
+                seen[key] = (0, 0)
+                path_queries.setdefault((c.host, c.path), set()).add(c.query)
+            frontier.append(
+                Entry(c.url, c.url_key, c.host, 0, None, "link", False,
+                      _priority(c.path, cfg), seq, 0, 0, post_data)
+            )
+            seq += 1
 
         rnd = 0
         while frontier and rnd < cfg.max_rounds:

@@ -101,57 +101,100 @@ class SparkCrawler:
             if r.url is not None and r.scheme in SCHEMES
         ]
 
+    def _seed_allowed(self, r) -> bool:
+        """ValidateNewUri scheme gate (Crawler.cs:3311-3327) + the engine's
+        robots gate on seeds (north_rule addition)."""
+        if r.url is None or r.scheme not in SCHEMES:
+            return False
+        if self._rule_index and not bool(
+            R.robots_allowed(
+                pd.Series([r.host]), pd.Series([r.path]), self._rule_index
+            ).iloc[0]
+        ):
+            return False
+        return True
+
+    def _entry_row(self, r, seq: int, post_data=None) -> tuple:
+        cfg = self.cfg
+        binary = M.guess_resource_type_from_path(r.path) == M.BINARY
+        prio = 1 if binary else 0
+        if cfg.prioritize_nonhtml:
+            prio = 1 - prio
+        return (r.url, r.url_key, r.host, r.path, r.query, 0, None, "link",
+                False, prio, seq, 0, 0, post_data)
+
+    _FRONTIER_DDL = {
+        "url": "url string", "url_key": "url_key string",
+        "host": "host string", "path": "path string",
+        "query": "query string", "depth": "depth int",
+        "referrer": "referrer string", "link_type": "link_type string",
+        "is_external": "is_external boolean", "priority": "priority int",
+        "seq": "seq long", "failures": "failures int",
+        "round": "round int", "post_data": "post_data string",
+    }
+
+    def _frontier_df(self, rows: list):
+        cols = [f for f in FRONTIER_COLS if f != "host_hash"]
+        return self.spark.createDataFrame(
+            pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols),
+            schema=", ".join(self._FRONTIER_DDL[f] for f in cols),
+        ).withColumn(
+            "host_hash", host_hash_col(self.cfg.num_partitions)
+        ).select(*FRONTIER_COLS)
+
     def _init_seeds(self) -> Manifest:
-        """Round-0 frontier from the seed list (driver-side: seeds are tiny
-        by definition; all per-row logic still runs the shared kernels)."""
+        """Round-0 frontier from the seed list plus user POST resources
+        (driver-side: seeds are tiny by definition; all per-row logic still
+        runs the shared kernels)."""
         cfg = self.cfg
         c = self._canon_seeds()
         seen_keys: set = set()
         rows = []
         seq = 0
         for r in c.itertuples():
-            if r.url is None or r.scheme not in SCHEMES:
-                continue
             key = (r.host, r.url_key)
-            if key in seen_keys:
-                continue
-            if self._rule_index and not bool(
-                R.robots_allowed(
-                    pd.Series([r.host]), pd.Series([r.path]), self._rule_index
-                ).iloc[0]
-            ):
+            if key in seen_keys or not self._seed_allowed(r):
                 continue
             seen_keys.add(key)
-            binary = M.guess_resource_type_from_path(r.path) == M.BINARY
-            prio = 1 if binary else 0
-            if cfg.prioritize_nonhtml:
-                prio = 1 - prio
-            rows.append(
-                (r.url, r.url_key, r.host, r.path, r.query, 0, None, "link",
-                 False, prio, seq, 0, 0)
-            )
+            rows.append(self._entry_row(r, seq))
             seq += 1
 
-        cols = [f for f in FRONTIER_COLS if f != "host_hash"]
-        frontier = self.spark.createDataFrame(
-            pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols),
-            schema=", ".join(
-                {
-                    "url": "url string", "url_key": "url_key string",
-                    "host": "host string", "path": "path string",
-                    "query": "query string", "depth": "depth int",
-                    "referrer": "referrer string", "link_type": "link_type string",
-                    "is_external": "is_external boolean", "priority": "priority int",
-                    "seq": "seq long", "failures": "failures int",
-                    "round": "round int",
-                }[f]
-                for f in cols
-            ),
-        ).withColumn("host_hash", host_hash_col(cfg.num_partitions)).select(*FRONTIER_COLS)
+        # POST resources: force-enqueued (public EnqueueUri passes
+        # force=true, Crawler.cs:1082-1084) — the seen-set dedup is
+        # BYPASSED, so a url both seeded and POSTed is fetched twice;
+        # post_data is not part of the identity key (MakeKey, 2618-2625).
+        for url, post_data in cfg.post_seeds:
+            r = canonicalize(
+                pd.Series([url], dtype="object"),
+                strip_www=cfg.strip_www,
+                normalize_query=cfg.normalize_query,
+                case_sensitive_paths=cfg.case_sensitive_paths,
+            ).iloc[0]
+            if not self._seed_allowed(r):
+                continue
+            seen_keys.add((r.host, r.url_key))
+            rows.append(self._entry_row(r, seq, post_data))
+            seq += 1
 
-        seen_delta = frontier.select(
-            "host", "host_hash", "url_key", "path", "query",
-            F.col("depth").alias("first_depth"),
+        frontier = self._frontier_df(rows)
+        # seen delta from the python-side key set (NOT the frontier — force-
+        # enqueued POSTs may duplicate a key in the frontier; seen holds it once)
+        first = {}
+        for row in rows:
+            k = (row[2], row[1])   # (host, url_key)
+            if k not in first:
+                first[k] = (row[3], row[4])  # path, query
+        seen_pdf = pd.DataFrame(
+            [(h, uk, p, q) for (h, uk), (p, q) in first.items()],
+            columns=["host", "url_key", "path", "query"],
+        )
+        seen_delta = self.spark.createDataFrame(
+            seen_pdf, schema="host string, url_key string, path string, query string"
+        ).select(
+            "host",
+            host_hash_col(cfg.num_partitions).alias("host_hash"),
+            "url_key", "path", "query",
+            F.lit(0).cast("int").alias("first_depth"),
             F.lit(0).cast("int").alias("first_round"),
         )
         self.state.write_table("frontier", 0, frontier)

@@ -67,7 +67,7 @@ from ..operators.seq import assign_global_seq
 FRONTIER_COLS = [
     "url", "url_key", "host", "host_hash", "path", "query", "depth",
     "referrer", "link_type", "is_external", "priority", "seq", "failures",
-    "round",
+    "round", "post_data",
 ]
 
 def host_hash_col(P: int):
@@ -481,6 +481,11 @@ def run_round(
         "seq",
         F.lit(0).cast("int").alias("failures"),
         F.lit(rnd + 1).cast("int").alias("round"),
+        # extracted links are always GETs; POST entries enter only through
+        # the seed/enqueue API (Crawler.cs:1081-1101) and, being user-forced,
+        # never pass the depth gate — the reference's POST depth exemption
+        # (Crawler.cs:1475-1484) is honored structurally.
+        F.lit(None).cast("string").alias("post_data"),
     )
     state.write_table(
         "frontier", rnd + 1, carried.select(*FRONTIER_COLS).unionByName(new_entries)

@@ -43,6 +43,10 @@ FRONTIER = T.StructType(
         T.StructField("seq", T.LongType(), False),           # global discovery sequence
         T.StructField("failures", T.IntegerType(), False),
         T.StructField("round", T.IntegerType(), False),      # round enqueued
+        # application/x-www-form-urlencoded POST body; null = GET. Only the
+        # user enqueue API sets it (Crawler.cs:1081-1101) — link extraction
+        # never does. NOT part of the dedup key (MakeKey, Crawler.cs:2618-2625).
+        T.StructField("post_data", T.StringType(), True),
     ]
 )
 
