@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pandas.testing import assert_frame_equal
+from pyspark.sql import types as T
 
 from webcrawl_spark import schemas
 from webcrawl_spark.fixtures.gen import Fixture
@@ -15,18 +16,26 @@ from webcrawl_spark.plans.crawl import SparkCrawler
 
 def run_oracle(fx: Fixture):
     return OracleCrawler(
-        fx.pages_dict(), fx.seeds, fx.config, fx.robots, redirects=fx.redirects
+        fx.pages_dict(), fx.seeds, fx.config, fx.robots,
+        redirects=fx.redirects, statuses=fx.statuses,
     ).run()
+
+
+_OPT_PAGE_FIELDS = {
+    "redirect_to": T.StructField("redirect_to", T.StringType(), True),
+    "http_status": T.StructField("http_status", T.IntegerType(), True),
+}
+
+
+def _pages_schema(pdf) -> T.StructType:
+    fields = list(schemas.PAGES.fields)
+    fields += [_OPT_PAGE_FIELDS[c] for c in pdf.columns if c in _OPT_PAGE_FIELDS]
+    return T.StructType(fields)
 
 
 def run_spark(spark, fx: Fixture, state_dir: str, num_partitions: int = 4) -> SparkCrawler:
     cfg = fx.config.with_(num_partitions=num_partitions)
-    schema = (
-        schemas.PAGES_REDIRECT
-        if "redirect_to" in fx.pages.columns
-        else schemas.PAGES
-    )
-    pages_df = spark.createDataFrame(fx.pages, schema=schema)
+    pages_df = spark.createDataFrame(fx.pages, schema=_pages_schema(fx.pages))
     crawler = SparkCrawler(spark, pages_df, fx.seeds, state_dir, cfg, fx.robots)
     crawler.run()
     return crawler

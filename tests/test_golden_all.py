@@ -71,6 +71,20 @@ def test_redirects_golden(spark, tmp_path):
     assert "http://redir.test/sub/rel.html" in set(fetched["url"])
 
 
+def test_http_errors_golden(spark, tmp_path):
+    crawler = run_and_check(spark, gen.http_errors_fixture(), tmp_path)
+    errs = crawler.errors().toPandas()
+    by_url = errs.groupby("url")["reason"].agg(list).to_dict()
+    # fatal codes die immediately, exactly one error row, no retry
+    assert by_url["http://err.test/gone.html"] == ["http_410"]
+    assert by_url["http://err.test/auth.html"] == ["http_401"]
+    # retryable codes follow MaxRetries: one retryable then exhausted
+    assert sorted(by_url["http://err.test/flaky500.html"]) == [
+        "retries_exhausted", "retryable"]
+    # redirect landing on a fatal status inherits it
+    assert by_url["http://err.test/moved.html"] == ["http_410"]
+
+
 def test_post_golden(spark, tmp_path):
     crawler = run_and_check(spark, gen.post_fixture(), tmp_path)
     trace = crawler.trace().toPandas()

@@ -54,6 +54,7 @@ class Fixture:
         )
     )
     redirects: dict = field(default_factory=dict)  # url -> Location target
+    statuses: dict = field(default_factory=dict)   # url -> HTTP status (absent = 200)
 
     def pages_dict(self) -> dict:
         """Content rows only — redirect rows live in ``redirects``."""
@@ -107,10 +108,15 @@ def _mk_pages(
     rows: list[tuple[str, bytes | None]],
     lang: str = "en",
     redirects: dict | None = None,
+    statuses: dict | None = None,
 ) -> pd.DataFrame:
     """Pages frame; with ``redirects`` adds a redirect_to column plus one
-    content-less row per redirect url (html/text NULL)."""
+    content-less row per redirect url (html/text NULL); with ``statuses``
+    adds an http_status column (absent/NULL = 200)."""
     pdf = _mk_content_pages(rows, lang)
+    if statuses:
+        s = pdf["url"].map(statuses)
+        pdf["http_status"] = s.astype("Int64")
     if not redirects:
         return pdf
     ts = pd.Timestamp("2024-01-01", tz="UTC")
@@ -126,6 +132,8 @@ def _mk_pages(
     pdf = pd.concat([pdf, rrows], ignore_index=True)
     pdf["redirect_to"] = pdf["url"].map(redirects).astype("object")
     pdf["redirect_to"] = pdf["redirect_to"].where(pdf["redirect_to"].notna(), None)
+    if "http_status" in pdf.columns:
+        pdf["http_status"] = pdf["http_status"].astype("Int64")
     return pdf
 
 
@@ -540,6 +548,54 @@ def redirects_fixture(max_redirects: int = 2) -> Fixture:
     )
 
 
+def http_errors_fixture() -> Fixture:
+    """Fatal-error taxonomy (IsFatalError, Crawler.cs:2121-2164): fatal
+    codes (410, 401) die without retry; retryable codes (500, 503) follow
+    MaxRetries like a dropped connection; a redirect landing on a fatal
+    status inherits it."""
+    rng = random.Random(SEED + 12)
+    host = "http://err.test"
+    rows = [
+        (
+            f"{host}/index.html",
+            render_html(
+                [
+                    ("/gone.html", "link"),
+                    ("/auth.html", "link"),
+                    ("/flaky500.html", "link"),
+                    ("/busy503.html", "link"),
+                    ("/ok.html", "link"),
+                    ("/moved.html", "link"),
+                ],
+                rng=rng,
+                title="idx",
+            ),
+        ),
+        (f"{host}/gone.html", render_html([], rng=rng, title="g")),
+        (f"{host}/auth.html", render_html([], rng=rng, title="a")),
+        (f"{host}/flaky500.html", render_html([], rng=rng, title="f")),
+        (f"{host}/busy503.html", render_html([], rng=rng, title="b")),
+        (f"{host}/ok.html", render_html([], rng=rng, title="ok")),
+        (f"{host}/target.html", render_html([], rng=rng, title="t")),
+    ]
+    statuses = {
+        f"{host}/gone.html": 410,
+        f"{host}/auth.html": 401,
+        f"{host}/flaky500.html": 500,
+        f"{host}/busy503.html": 503,
+        f"{host}/target.html": 410,   # redirect lands on a fatal status
+    }
+    redirects = {f"{host}/moved.html": f"{host}/target.html"}
+    return Fixture(
+        "http_errors",
+        _mk_pages(rows, redirects=redirects, statuses=statuses),
+        [f"{host}/index.html"],
+        CrawlConfig(max_connections=None, max_connections_per_server=10, max_retries=1),
+        redirects=redirects,
+        statuses=statuses,
+    )
+
+
 def post_fixture() -> Fixture:
     """User POST resources (EnqueueUri(uri, postData), Crawler.cs:1081-1101):
 
@@ -592,6 +648,7 @@ ALL_TOPOLOGIES = {
     "robots": robots_fixture,
     "redirects": redirects_fixture,
     "post": post_fixture,
+    "http_errors": http_errors_fixture,
 }
 
 

@@ -79,25 +79,37 @@ def resolve_redirects(pages: DataFrame, max_redirects: int = 20) -> DataFrame:
 
 
 def effective_pages(pages: DataFrame, max_redirects: int = 20) -> DataFrame:
-    """Fetch-ready view: (url, html, final_url, exceeded, final_present).
+    """Fetch-ready view:
+    (url, html, http_status, final_url, exceeded, final_present).
 
-    - no-redirect rows: their own html, final_url NULL, final_present true.
-    - redirect rows: the TERMINAL row's html; final_present false when the
-      chain lands on a url absent from the table (the reference's 404 at
-      the redirected location).
+    - no-redirect rows: their own html/status, final_url NULL,
+      final_present true.
+    - redirect rows: the TERMINAL row's html/status; final_present false
+      when the chain lands on a url absent from the table (the reference's
+      404 at the redirected location).
 
-    If the table has no ``redirect_to`` column this is a plain projection —
-    the redirect machinery costs nothing when unused.
+    ``http_status`` (optional column; NULL = 200 OK) carries protocol
+    errors into the IsFatalError routing (kernels/errors.py).
+
+    If the table has neither optional column this is a plain projection —
+    the machinery costs nothing when unused.
     """
+    status = (
+        F.col("http_status").cast("int")
+        if "http_status" in pages.columns
+        else F.lit(None).cast("int")
+    )
     if "redirect_to" not in pages.columns:
         return pages.select(
             "url", "html",
+            status.alias("http_status"),
             F.lit(None).cast("string").alias("final_url"),
             F.lit(False).alias("exceeded"),
             F.lit(True).alias("final_present"),
         )
     plain = pages.filter(F.col("redirect_to").isNull()).select(
         "url", "html",
+        status.alias("http_status"),
         F.lit(None).cast("string").alias("final_url"),
         F.lit(False).alias("exceeded"),
         F.lit(True).alias("final_present"),
@@ -108,11 +120,13 @@ def effective_pages(pages: DataFrame, max_redirects: int = 20) -> DataFrame:
     targets = pages.filter(F.col("redirect_to").isNull()).select(
         F.col("url").alias("final_url"),
         F.col("html").alias("__f_html"),
+        status.alias("__f_status"),
         F.lit(True).alias("__f_present"),
     )
     redirected = res.join(targets, "final_url", "left").select(
         "url",
         F.col("__f_html").alias("html"),
+        F.col("__f_status").alias("http_status"),
         "final_url",
         "exceeded",
         F.coalesce("__f_present", F.lit(False)).alias("final_present"),

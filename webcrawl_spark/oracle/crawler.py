@@ -52,6 +52,7 @@ from ..config import CrawlConfig
 from ..kernels import links as L
 from ..kernels import mime as M
 from ..kernels import robots as R
+from ..kernels.errors import is_fatal_status
 from ..kernels.filters import (
     apply_content_filters,
     apply_uri_filters,
@@ -110,9 +111,11 @@ class OracleCrawler:
         config: CrawlConfig = CrawlConfig(),
         robots_rules: Optional[pd.DataFrame] = None,
         redirects: Optional[dict] = None,
+        statuses: Optional[dict] = None,
     ):
         self.pages = pages            # content rows only (no redirect rows)
         self.redirects = redirects or {}  # url -> Location target
+        self.statuses = statuses or {}    # url -> HTTP status (absent = 200)
         self.cfg = config
         self.seeds = seeds
         rules = robots_rules if robots_rules is not None else pd.DataFrame(
@@ -245,8 +248,17 @@ class OracleCrawler:
                         error_rows.append((e.url, rnd, e.failures + 1, True, "http_404"))
                         continue
 
+                # protocol-error taxonomy (IsFatalError, Crawler.cs:2121-2164):
+                # fatal-table codes die immediately; other codes retry
+                status = self.statuses.get(final_url or e.url, 200)
+                if status != 200 and is_fatal_status(status):
+                    error_rows.append(
+                        (e.url, rnd, e.failures + 1, True, f"http_{status}")
+                    )
+                    continue
+
                 body = self.pages[final_url or e.url]
-                if body is None:
+                if status != 200 or body is None:
                     failures = e.failures + 1
                     if failures > cfg.max_retries:
                         error_rows.append((e.url, rnd, failures, True, "retries_exhausted"))

@@ -203,21 +203,34 @@ def run_round(
     #   original url absent                  → http_404 fatal
     #   redirect chain exceeds MaxRedirects  → too_many_redirects fatal
     #   chain lands on an absent url         → http_404 fatal
-    #   terminal row present, html NULL      → retryable (MaxRetries)
+    #   status in the fatal table            → http_<code> fatal, no retry
+    #   status retryable (5xx …) / html NULL → retryable (MaxRetries)
     #   downloaded but final url out of scope→ redirect_out_of_scope fatal
     #                                          (decided in DECODE, as the
     #                                          reference checks ResponseUri
     #                                          only after the response)
+    from ..kernels.errors import FATAL_CODES
+
     present = F.col("__present").isNotNull()
+    status_c = F.coalesce(F.col("http_status"), F.lit(200))
     c_exceeded = present & F.col("exceeded")
     c_dead = present & ~F.col("exceeded") & ~F.col("final_present")
+    reachable = present & ~F.col("exceeded") & F.col("final_present")
+    c_fatal_status = (
+        reachable & (status_c != 200) & status_c.isin(list(FATAL_CODES))
+    )
     failed = (
-        joined.filter(present & ~F.col("exceeded") & F.col("final_present")
-                      & F.col("html").isNull())
+        joined.filter(
+            reachable
+            & (
+                ((status_c == 200) & F.col("html").isNull())
+                | ((status_c != 200) & ~status_c.isin(list(FATAL_CODES)))
+            )
+        )
         .withColumn("__nf", (F.col("failures") + 1).cast("int"))
     )
     retry = failed.filter(F.col("__nf") <= cfg.max_retries)
-    good = joined.filter(F.col("html").isNotNull())
+    good = joined.filter(reachable & (status_c == 200) & F.col("html").isNotNull())
 
     # ---------------- 3. DECODE (checkpointed once) --------------------
     # the decode output feeds BOTH the fetch_log commit and the parse stage;
@@ -266,6 +279,22 @@ def run_round(
     over_redirected = joined.filter(c_exceeded)
     scope_rejected = decoded.filter(F.col("reject").isNotNull())
     exhausted = failed.filter(F.col("__nf") > cfg.max_retries)
+    # protocol errors in the fatal table: status rides the data column
+    # ("http_410", "http_401", …) — one frame for the whole code set
+    fatal_status_rows = joined.filter(c_fatal_status).select(
+        "url", "url_key", "host",
+        F.lit(rnd).cast("int").alias("round"),
+        "fetch_seq", "depth", "link_type",
+        status_c.cast("int").alias("http_status"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("string").alias("charset"),
+        F.lit(None).cast("long").alias("bytes"),
+        F.lit(None).cast("string").alias("extracted_text"),
+        "final_url",
+        F.concat(F.lit("http_"), status_c.cast("string")).alias("status"),
+        (F.col("failures") + 1).cast("int").alias("failures"),
+        F.lit(True).alias("fatal"),
+    )
     # per-round fetch stats ride the write as Observations — no standalone
     # aggregate job (every selected row lands in fetch_log exactly once)
     obs_f = Observation(f"fetch_r{rnd}")
@@ -275,6 +304,7 @@ def run_round(
         .unionByName(_err_rows(dead, "http_404", F.col("failures") + 1, True, 404))
         .unionByName(_err_rows(
             over_redirected, "too_many_redirects", F.col("failures") + 1, True, 0))
+        .unionByName(fatal_status_rows)
         .unionByName(_err_rows(
             scope_rejected, "redirect_out_of_scope", F.col("failures"), True, 0))
         .unionByName(_err_rows(exhausted, "retries_exhausted", F.col("__nf"), True, 0))

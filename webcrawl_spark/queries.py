@@ -835,6 +835,23 @@ SELECT s2.url, s2.cur AS final_url, CAST(s2.hops AS BIGINT) AS hops,
 FROM s2 LEFT JOIN edges e ON s2.cur = e.url
 """
 
+    from .kernels.errors import fatal_codes_sql_list
+
+    _codes = "[" + ", ".join(str(c) for c in _ERR_CODES) + "]"
+    sql["fatal_error_routing"] = f"""
+WITH assigned AS (
+  SELECT doc_id AS id,
+         {_codes}[CAST(doc_id % {len(_ERR_CODES)} AS INT) + 1] AS code
+  FROM documents WHERE doc_id < 1000
+)
+SELECT id, CAST(code AS BIGINT) AS code,
+       (code <> 200 AND code IN ({fatal_codes_sql_list()})) AS fatal,
+       CASE WHEN code = 200 THEN 'ok'
+            WHEN code IN ({fatal_codes_sql_list()}) THEN 'fatal'
+            ELSE 'retry' END AS action
+FROM assigned
+"""
+
     sql["multimodal_meta"] = """
 SELECT doc_id AS id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -845,6 +862,34 @@ FROM documents WHERE doc_id < 200
 """
 
     return sql
+
+
+_ERR_CODES = [200, 301, 401, 404, 410, 500, 503, 530, 999]
+
+
+def q_fatal_error_routing(spark, sf_dir):
+    """IsFatalError taxonomy (kernels/errors.py; Crawler.cs:2121-2164) over a
+    deterministic status assignment: ok / fatal / retry routing per url."""
+    from .kernels.errors import FATAL_CODES
+
+    codes_arr = "array(" + ", ".join(str(c) for c in _ERR_CODES) + ")"
+    fatal_list = ", ".join(str(c) for c in sorted(FATAL_CODES))
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter("doc_id < 1000")
+        .selectExpr(
+            "doc_id AS id",
+            f"element_at({codes_arr}, cast(doc_id % {len(_ERR_CODES)} as int) + 1) AS code",
+        )
+        .selectExpr(
+            "id",
+            "cast(code as bigint) AS code",
+            f"(code <> 200 AND code IN ({fatal_list})) AS fatal",
+            f"""case when code = 200 then 'ok'
+                     when code IN ({fatal_list}) then 'fatal'
+                     else 'retry' end AS action""",
+        )
+    )
 
 
 def q_redirect_resolve(spark, sf_dir):
@@ -907,6 +952,7 @@ QUERIES: dict[str, Callable] = {
     "embed_neardup": q_embed_neardup,
     "multimodal_meta": q_multimodal_meta,
     "redirect_resolve": q_redirect_resolve,
+    "fatal_error_routing": q_fatal_error_routing,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
