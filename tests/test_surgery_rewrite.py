@@ -64,3 +64,37 @@ def test_rewrite_links(spark, tmp_path):
     # last page has no links -> unchanged text
     last = max(out)
     assert "</html>" in out[last]
+
+
+def test_rewrite_substring_collision(spark):
+    """Span-anchored replacement: one href being a substring of another (or
+    appearing in body text) must not corrupt the longer URL or the body."""
+    import pandas as pd
+
+    html = (
+        '<a href="/a.html">one</a>'
+        '<a href="/a.html?id=1">two</a>'
+        'body mentions /a.html literally'
+    )
+    fetched = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["http://h.test/a.html", "http://h.test/a.html?id=1",
+                        "http://h.test/index.html"],
+                "host": ["h.test"] * 3,
+                "url_key": ["/a.html", "/a.html?id=1", "/index.html"],
+                "extracted_text": [
+                    "<html></html>", "<html></html>", html,
+                ],
+            }
+        )
+    )
+    from webcrawl_spark.operators.rewrite import rewrite_links
+
+    out = {r["url"]: r["rewritten"] for r in rewrite_links(spark, fetched).collect()}
+    doc = out["http://h.test/index.html"]
+    # the query-string variant keeps its md5-suffixed local path intact
+    assert 'href="h.test/a.html">' in doc
+    assert 'href="h.test/a.html_' in doc
+    # body text untouched
+    assert "body mentions /a.html literally" in doc

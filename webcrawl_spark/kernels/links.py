@@ -65,18 +65,24 @@ LINK = "link"
 RESOURCE = "resource"
 
 
-def _html_match_link(m: re.Match) -> tuple[str, str]:
-    """(href, link_type) — first successful group wins; l* → link, r* → resource."""
+def _html_match_group(m: re.Match) -> tuple[str, str]:
+    """(group_name, link_type) of the successful group; l* → link, r* → resource."""
     d = m.groupdict()
     for name in ("l1", "l2", "l3", "l4", "l5", "l6"):
-        v = d.get(name)
-        if v is not None:
-            return v, LINK
+        if d.get(name) is not None:
+            return name, LINK
     for i in range(1, 19):
-        v = d.get(f"r{i}")
-        if v is not None:
-            return v, RESOURCE
-    return "", RESOURCE  # unreachable: some group always matches
+        name = f"r{i}"
+        if d.get(name) is not None:
+            return name, RESOURCE
+    return "r1", RESOURCE  # unreachable: some group always matches
+
+
+def _html_match_link(m: re.Match) -> tuple[str, str]:
+    """(href, link_type) — first successful group wins; l* → link, r* → resource."""
+    name, ltype = _html_match_group(m)
+    v = m.group(name)
+    return (v if v is not None else "", ltype)
 
 
 def find_base_href(content: str) -> str | None:
@@ -101,6 +107,30 @@ def scan_html(content: str) -> list[tuple[str, str, bool]]:
         for lm in CSS_LINK_RE.finditer(css):
             href = lm.group("r1") or lm.group("r2") or ""
             out.append((href, RESOURCE, False))
+    return out
+
+
+def scan_html_spans(content: str) -> list[tuple[int, int, str, str, bool]]:
+    """Like :func:`scan_html` but with the href's exact character span:
+    [(start, end, href_raw, link_type, decode_entities)]. Spans anchor
+    rewrites to the matched attribute value — replacing by span can never
+    corrupt body text or collide when one href is a substring of another."""
+    out: list[tuple[int, int, str, str, bool]] = []
+    for m in HTML_LINK_RE.finditer(content):
+        name, ltype = _html_match_group(m)
+        out.append((m.start(name), m.end(name), m.group(name), ltype, True))
+    for sm in STYLE_RE.finditer(content):
+        for gname in ("css1", "css2", "css3"):
+            css = sm.group(gname)
+            if css:
+                base = sm.start(gname)
+                for lm in CSS_LINK_RE.finditer(css):
+                    g = "r1" if lm.group("r1") is not None else "r2"
+                    out.append(
+                        (base + lm.start(g), base + lm.end(g), lm.group(g),
+                         RESOURCE, False)
+                    )
+                break
     return out
 
 

@@ -2,10 +2,21 @@
 
 The reference rewrites links in saved pages to local paths via a dedicated
 thread with placeholder tags (Backend/Crawler.cs:3223-3294, 2994-3023).
-Batch re-expression: one vectorized pass over fetched HTML that replaces
-every absolute link whose canonical key was fetched with its local mirror
-path, and leaves everything else as the original URL — no placeholder
-protocol needed because the whole mapping exists up front.
+Batch re-expression, fully DISTRIBUTED (no driver-side mapping collect):
+
+1. a span-scan stage emits one row per link occurrence with the href's
+   exact character span (kernels/links.scan_html_spans) and its canonical
+   resolution;
+2. occurrences join the url→local-path mapping on the canonical target —
+   an ordinary shuffle join, so whole-corpus rewrites scale (the mapping
+   is as large as the fetched set and is never materialized anywhere);
+3. per-page replacement lists (collect_list of span structs) join back to
+   the pages and an Arrow-batched splice stage re-emits each document from
+   its span segments.
+
+Splicing by span replaces exactly the matched attribute values — one href
+being a substring of another, or appearing in body text, can never corrupt
+the output (the failure mode of naive str.replace).
 
 Local path scheme (mirrors ``Service.baseDir`` + filename allocation,
 Crawler.cs:2609-2616, 2384-2436, simplified): ``host/path`` with
@@ -21,7 +32,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..kernels.links import scan_html
+from ..kernels.links import scan_html_spans
 from ..kernels.urlnorm import canonicalize, resolve_links
 
 
@@ -44,55 +55,79 @@ def local_paths(fetched: DataFrame) -> DataFrame:
 
 
 REWRITE_SCHEMA = "url string, rewritten string"
+SPANS_SCHEMA = "url string, s long, e long, canon string"
 
 
-def make_rewrite_stage(mapping_bc):
-    """(url, extracted_text) batches → (url, rewritten): every href whose
-    canonical form maps to a fetched page becomes its local path."""
+def make_linkspan_stage():
+    """(url, extracted_text) batches → one row per link occurrence:
+    (url, span_start, span_end, canonical_target)."""
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mapping = mapping_bc.value
         for pdf in batches:
-            outs = []
+            rows = []
             for url, text in zip(pdf["url"], pdf["extracted_text"]):
                 if not isinstance(text, str) or not text:
-                    outs.append(text)
                     continue
-                found = scan_html(text)
-                hrefs = pd.Series([h for h, _t, _d in found], dtype="object")
-                if hrefs.empty:
-                    outs.append(text)
+                found = scan_html_spans(text)
+                if not found:
                     continue
+                hrefs = pd.Series([f[2] for f in found], dtype="object")
                 resolved = resolve_links(
                     hrefs, pd.Series([url] * len(hrefs)),
-                    pd.Series([d for _h, _t, d in found]),
+                    pd.Series([f[4] for f in found]),
                 )
                 canon = canonicalize(resolved)
-                repl = {
-                    raw: mapping[c]
-                    for raw, c in zip(hrefs, canon["url"])
-                    if c is not None and c in mapping
-                }
-                out = text
-                for raw, local in repl.items():
-                    out = out.replace(raw, local)
-                outs.append(out)
-            yield pd.DataFrame({"url": pdf["url"], "rewritten": outs})
+                rows.extend(
+                    (url, f[0], f[1], c)
+                    for f, c in zip(found, canon["url"])
+                    if c is not None
+                )
+            if rows:
+                yield pd.DataFrame(rows, columns=["url", "s", "e", "canon"])
 
     return stage
+
+
+def _splice_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        outs = []
+        for text, repls in zip(pdf["extracted_text"], pdf["repls"]):
+            if not isinstance(text, str) or repls is None or len(repls) == 0:
+                outs.append(text)
+                continue
+            spans = sorted((int(r["s"]), int(r["e"]), r["local_path"]) for r in repls)
+            parts, pos = [], 0
+            for s, e, local in spans:
+                if s < pos:
+                    continue  # overlap guard (defensive; scans don't overlap)
+                parts.append(text[pos:s])
+                parts.append(local)
+                pos = e
+            parts.append(text[pos:])
+            outs.append("".join(parts))
+        yield pd.DataFrame({"url": pdf["url"], "rewritten": outs})
 
 
 def rewrite_links(spark, fetched: DataFrame) -> DataFrame:
     """(url, rewritten) — fetched HTML with intra-mirror links localized.
 
-    The url→path mapping is collected and broadcast (mirror jobs are
-    host-scoped and small); for whole-corpus rewrites partition pages AND
-    mapping by host and feed per-host maps through a cogrouped
-    applyInPandas instead of one global broadcast."""
-    mapping = {
-        r["url"]: r["local_path"] for r in local_paths(fetched).collect()
-    }
-    bc = spark.sparkContext.broadcast(mapping)
-    return fetched.select("url", "extracted_text").mapInPandas(
-        make_rewrite_stage(bc), REWRITE_SCHEMA
+    Every stage is distributed: span scan (mapInPandas) → mapping join on
+    the canonical target → per-page replacement lists → splice
+    (mapInPandas). Scales to whole-corpus rewrites; the mapping never
+    leaves the executors."""
+    paths = local_paths(fetched).select(
+        F.col("url").alias("canon"), "local_path"
+    )
+    spans = fetched.select("url", "extracted_text").mapInPandas(
+        make_linkspan_stage(), SPANS_SCHEMA
+    )
+    repl = (
+        spans.join(paths, "canon")
+        .groupBy("url")
+        .agg(F.collect_list(F.struct("s", "e", "local_path")).alias("repls"))
+    )
+    return (
+        fetched.select("url", "extracted_text")
+        .join(repl, "url", "left")
+        .mapInPandas(_splice_stage, REWRITE_SCHEMA)
     )
