@@ -91,6 +91,103 @@ def ivf_topk(
     )
 
 
+def _quantized_long(emb: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
+    """(id, pos, val) integer long form: val = floor(x * scale + 0.5).
+
+    All k-means arithmetic stays in exact int64 — any engine evaluating the
+    same formulas gets bit-identical centroids, so the quantizer is
+    cross-engine deterministic (the DuckDB oracle replays it exactly)."""
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(
+                f"transform({vec_col}, x -> "
+                f"cast(floor(cast(x as double) * {scale} + 0.5d) as bigint))"
+            )
+        ).alias("pos", "val"),
+    )
+
+
+def _assign_dists(ve: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id, cid, dist): squared L2 between every vector and centroid —
+    long-form join on pos, integer arithmetic throughout."""
+    d = (F.col("val") - F.col("cval"))
+    return (
+        ve.join(cent, "pos")
+        .groupBy("id", "cid")
+        .agg(F.sum(d * d).alias("dist"))
+    )
+
+
+def kmeans_ivf_topk(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_queries: int = 8, k: int = 5, k_clusters: int = 4, iters: int = 2,
+    probes: int = 2, scale: int = 1000, round_to: int = 4,
+) -> DataFrame:
+    """IVF ANN with a deterministic integer k-means coarse quantizer and
+    multi-probe search.
+
+    Quantizer: embeddings quantized to int64 (×scale), centroids
+    initialized from the ``k_clusters`` lowest ids, ``iters`` Lloyd
+    iterations with integer-rounded means (floor(sum/count + 0.5) — one
+    IEEE division of exact integers, identical on every engine).
+    Search: each query probes its ``probes`` nearest centroids; candidates
+    are corpus vectors assigned to those centroids; exact cosine ranks the
+    final top-k. At 100 TB the assignment/centroid passes are uniform-key
+    shuffles over the long form, the centroid table is broadcast-size, and
+    the probe join replaces the crossJoin — recall tunes via probes.
+    """
+    ve = _quantized_long(emb, id_col, vec_col, scale)
+    cent = ve.filter(F.col("id") < k_clusters).select(
+        F.col("id").cast("int").alias("cid"), "pos", F.col("val").alias("cval")
+    )
+    for _ in range(iters):
+        w = Window.partitionBy("id").orderBy("dist", "cid")
+        assign = (
+            _assign_dists(ve, cent)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", "cid")
+        )
+        cent = (
+            ve.join(assign, "id")
+            .groupBy("cid", "pos")
+            .agg(
+                F.expr(
+                    "cast(floor(sum(val) * 1.0 / count(1) + 0.5d) as bigint)"
+                ).alias("cval")
+            )
+            .localCheckpoint(eager=True)   # k×dims rows; keeps the iterated plan flat
+        )
+    dists = _assign_dists(ve, cent)
+    w = Window.partitionBy("id").orderBy("dist", "cid")
+    ranked = dists.withColumn("__rn", F.row_number().over(w))
+    corpus_bucket = ranked.filter(F.col("__rn") == 1).select(
+        F.col("id").alias("neighbor_id"), "cid"
+    )
+    query_probe = ranked.filter(
+        (F.col("id") < n_queries) & (F.col("__rn") <= probes)
+    ).select(F.col("id").alias("query_id"), "cid")
+
+    base = _prep(emb, id_col, vec_col, "id", "v")
+    queries = base.withColumnRenamed("id", "query_id").withColumnRenamed("v", "qv")
+    corpus = base.withColumnRenamed("id", "neighbor_id").withColumnRenamed("v", "nv")
+    cand = (
+        query_probe.join(corpus_bucket, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")   # unique: each neighbor has ONE
+        .join(queries, "query_id")           # bucket, so probes can't dup a pair
+        .join(corpus, "neighbor_id")
+        .withColumn("cos", F.expr(cosine_sql("qv", "nv")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", round_to).alias("cos"))
+    )
+
+
 def neardup_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     n: int = 200, threshold: float = 0.3, round_to: int = 4,

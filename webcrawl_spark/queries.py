@@ -493,8 +493,11 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    return SIM.ivf_topk(_t(spark, sf_dir, "embeddings"), n_queries=8, k=5).select(
-        "query_id", "neighbor_id", F.col("bucket").cast("long").alias("bucket"), "cos"
+    """IVF ANN with the deterministic integer k-means quantizer + 2-probe
+    search (operators/similarity.kmeans_ivf_topk)."""
+    return SIM.kmeans_ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        n_queries=8, k=5, k_clusters=4, iters=2, probes=2,
     )
 
 
@@ -776,18 +779,50 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
   FROM s) WHERE rk <= 5
 """
 
-    bucket = "CAST(list_position(list_transform({v}, x -> CAST(x AS DOUBLE)), list_aggregate(list_transform({v}, x -> CAST(x AS DOUBLE)), 'max')) AS BIGINT)"
+    # ann_ivf_topk oracle: replay the integer k-means quantizer exactly —
+    # long-form (id, pos, val), 2 unrolled Lloyd iterations with
+    # floor(sum/count + 0.5) integer centroids, 2-probe search, exact
+    # cosine rank (mirrors operators/similarity.kmeans_ivf_topk).
+    _assign = """
+  SELECT ve.id, c.cid, SUM((ve.val - c.cval) * (ve.val - c.cval)) AS dist
+  FROM ve JOIN {cent} c USING (pos) GROUP BY ve.id, c.cid
+"""
+    _update = """
+  SELECT a.cid, ve.pos,
+         CAST(floor(SUM(ve.val) * 1.0 / COUNT(*) + 0.5) AS BIGINT) AS cval
+  FROM ve JOIN {assign} a USING (id) GROUP BY a.cid, ve.pos
+"""
     sql["ann_ivf_topk"] = f"""
-WITH e AS (
-  SELECT vec_id, embedding, {bucket.format(v='embedding')} AS bucket FROM embeddings
+WITH ve AS (
+  SELECT vec_id AS id, CAST(pos - 1 AS INT) AS pos,
+         CAST(floor(CAST(val AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS val
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)
 ),
+c0 AS (SELECT CAST(id AS INT) AS cid, pos, val AS cval FROM ve WHERE id < 4),
+d0 AS ({_assign.format(cent='c0')}),
+a0 AS (SELECT id, cid FROM d0
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid) = 1),
+c1 AS ({_update.format(assign='a0')}),
+d1 AS ({_assign.format(cent='c1')}),
+a1 AS (SELECT id, cid FROM d1
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid) = 1),
+c2 AS ({_update.format(assign='a1')}),
+df AS ({_assign.format(cent='c2')}),
+ranked AS (SELECT id, cid,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM df),
+corpus_bucket AS (SELECT id AS neighbor_id, cid FROM ranked WHERE rn = 1),
+probe AS (SELECT id AS query_id, cid FROM ranked WHERE id < 8 AND rn <= 2),
 s AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.bucket,
+  SELECT p.query_id, b.neighbor_id,
          {_duck_cos64('q.embedding', 'e.embedding')} AS cos
-  FROM (SELECT * FROM e WHERE vec_id < 8) q
-  JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+  FROM probe p
+  JOIN corpus_bucket b ON b.cid = p.cid AND b.neighbor_id <> p.query_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings e ON e.vec_id = b.neighbor_id
 )
-SELECT query_id, neighbor_id, bucket, ROUND(cos, 4) AS cos FROM (
+SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
   FROM s) WHERE rk <= 5
 """
