@@ -46,7 +46,8 @@ BENCH_QUERIES = [
     "dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs", "dedup_simhash", "simhash_hamming",
     "ngram_jaccard", "lang_id", "quality_score", "token_count",
     "fingerprint", "cosine_topk", "ann_ivf_topk", "embed_neardup",
-    "multimodal_meta",
+    "embed_neardup_ann", "multimodal_meta", "redirect_resolve",
+    "fatal_error_routing",
 ]
 
 

@@ -119,24 +119,16 @@ def _assign_dists(ve: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_ivf_topk(
+def kmeans_ranked(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    n_queries: int = 8, k: int = 5, k_clusters: int = 4, iters: int = 2,
-    probes: int = 2, scale: int = 1000, round_to: int = 4,
+    k_clusters: int = 4, iters: int = 2, scale: int = 1000,
 ) -> DataFrame:
-    """IVF ANN with a deterministic integer k-means coarse quantizer and
-    multi-probe search.
+    """(id, cid, dist, __rn): every vector ranked against the FINAL integer
+    k-means centroids (__rn = 1 is its bucket; __rn ≤ p are its p probes).
 
-    Quantizer: embeddings quantized to int64 (×scale), centroids
-    initialized from the ``k_clusters`` lowest ids, ``iters`` Lloyd
-    iterations with integer-rounded means (floor(sum/count + 0.5) — one
-    IEEE division of exact integers, identical on every engine).
-    Search: each query probes its ``probes`` nearest centroids; candidates
-    are corpus vectors assigned to those centroids; exact cosine ranks the
-    final top-k. At 100 TB the assignment/centroid passes are uniform-key
-    shuffles over the long form, the centroid table is broadcast-size, and
-    the probe join replaces the crossJoin — recall tunes via probes.
-    """
+    Centroids init from the ``k_clusters`` lowest ids; each Lloyd iteration
+    re-assigns and takes integer-rounded means — all arithmetic exact, so
+    any engine replaying the formulas gets identical buckets."""
     ve = _quantized_long(emb, id_col, vec_col, scale)
     cent = ve.filter(F.col("id") < k_clusters).select(
         F.col("id").cast("int").alias("cid"), "pos", F.col("val").alias("cval")
@@ -159,9 +151,29 @@ def kmeans_ivf_topk(
             )
             .localCheckpoint(eager=True)   # k×dims rows; keeps the iterated plan flat
         )
-    dists = _assign_dists(ve, cent)
     w = Window.partitionBy("id").orderBy("dist", "cid")
-    ranked = dists.withColumn("__rn", F.row_number().over(w))
+    return _assign_dists(ve, cent).withColumn("__rn", F.row_number().over(w))
+
+
+def kmeans_ivf_topk(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_queries: int = 8, k: int = 5, k_clusters: int = 4, iters: int = 2,
+    probes: int = 2, scale: int = 1000, round_to: int = 4,
+) -> DataFrame:
+    """IVF ANN with a deterministic integer k-means coarse quantizer and
+    multi-probe search.
+
+    Quantizer: embeddings quantized to int64 (×scale), centroids
+    initialized from the ``k_clusters`` lowest ids, ``iters`` Lloyd
+    iterations with integer-rounded means (floor(sum/count + 0.5) — one
+    IEEE division of exact integers, identical on every engine).
+    Search: each query probes its ``probes`` nearest centroids; candidates
+    are corpus vectors assigned to those centroids; exact cosine ranks the
+    final top-k. At 100 TB the assignment/centroid passes are uniform-key
+    shuffles over the long form, the centroid table is broadcast-size, and
+    the probe join replaces the crossJoin — recall tunes via probes.
+    """
+    ranked = kmeans_ranked(emb, id_col, vec_col, k_clusters, iters, scale)
     corpus_bucket = ranked.filter(F.col("__rn") == 1).select(
         F.col("id").alias("neighbor_id"), "cid"
     )
@@ -188,11 +200,39 @@ def kmeans_ivf_topk(
     )
 
 
+def neardup_pairs_bucketed(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.3, k_clusters: int = 4, iters: int = 2,
+    scale: int = 1000, round_to: int = 4,
+) -> DataFrame:
+    """(a, b, cos) near-duplicate pairs among SAME-k-means-bucket vectors.
+
+    The scale path for embedding near-dup: the k-means bucket join replaces
+    the all-pairs crossJoin — candidate volume is Σ bucket² instead of n²,
+    at the documented cost of missing cross-bucket pairs (recall tunes via
+    k_clusters; near-duplicates quantize together almost surely)."""
+    buckets = kmeans_ranked(emb, id_col, vec_col, k_clusters, iters, scale)
+    buckets = buckets.filter(F.col("__rn") == 1).select("id", "cid")
+    base = _prep(emb, id_col, vec_col, "id", "v").join(buckets, "id")
+    a = base.select(F.col("id").alias("a"), F.col("v").alias("va"), "cid")
+    b = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), "cid")
+    return (
+        a.join(b, "cid")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", F.expr(cosine_sql("va", "vb")))
+        .filter(F.col("cos") > threshold)
+        .select("a", "b", F.round("cos", round_to).alias("cos"))
+    )
+
+
 def neardup_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     n: int = 200, threshold: float = 0.3, round_to: int = 4,
 ) -> DataFrame:
-    """(a, b, cos) pairs with cosine above threshold among ids < n."""
+    """(a, b, cos) pairs with cosine above threshold among ids < n.
+
+    Exactness baseline: crossJoin bounded by ``n``; use
+    :func:`neardup_pairs_bucketed` for whole-corpus scale."""
     sub = _prep(emb, id_col, vec_col, "id", "v").filter(F.col("id") < n)
     a = sub.select(F.col("id").alias("a"), F.col("v").alias("va"))
     b = sub.select(F.col("id").alias("b"), F.col("v").alias("vb"))

@@ -792,8 +792,7 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
          CAST(floor(SUM(ve.val) * 1.0 / COUNT(*) + 0.5) AS BIGINT) AS cval
   FROM ve JOIN {assign} a USING (id) GROUP BY a.cid, ve.pos
 """
-    sql["ann_ivf_topk"] = f"""
-WITH ve AS (
+    _kmeans_ctes = f"""ve AS (
   SELECT vec_id AS id, CAST(pos - 1 AS INT) AS pos,
          CAST(floor(CAST(val AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS val
   FROM (SELECT vec_id, unnest(embedding) AS val,
@@ -811,7 +810,10 @@ a1 AS (SELECT id, cid FROM d1
 c2 AS ({_update.format(assign='a1')}),
 df AS ({_assign.format(cent='c2')}),
 ranked AS (SELECT id, cid,
-           ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM df),
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM df)"""
+
+    sql["ann_ivf_topk"] = f"""
+WITH {_kmeans_ctes},
 corpus_bucket AS (SELECT id AS neighbor_id, cid FROM ranked WHERE rn = 1),
 probe AS (SELECT id AS query_id, cid FROM ranked WHERE id < 8 AND rn <= 2),
 s AS (
@@ -825,6 +827,18 @@ s AS (
 SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
   FROM s) WHERE rk <= 5
+"""
+
+    sql["embed_neardup_ann"] = f"""
+WITH {_kmeans_ctes},
+bucket AS (SELECT id, cid FROM ranked WHERE rn = 1)
+SELECT x.id AS a, y.id AS b,
+       ROUND({_duck_cos64('ea.embedding', 'eb.embedding')}, 4) AS cos
+FROM bucket x
+JOIN bucket y ON x.cid = y.cid AND x.id < y.id
+JOIN embeddings ea ON ea.vec_id = x.id
+JOIN embeddings eb ON eb.vec_id = y.id
+WHERE {_duck_cos64('ea.embedding', 'eb.embedding')} > 0.3
 """
 
     sql["embed_neardup"] = f"""
@@ -927,6 +941,14 @@ def q_fatal_error_routing(spark, sf_dir):
     )
 
 
+def q_embed_neardup_ann(spark, sf_dir):
+    """Whole-corpus embedding near-dup via the k-means bucket join (the
+    scale path replacing the n-bounded crossJoin baseline)."""
+    return SIM.neardup_pairs_bucketed(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, k_clusters=4, iters=2
+    )
+
+
 def q_redirect_resolve(spark, sf_dir):
     """Bounded redirect-chain resolution (operators/redirect.py) over a
     deterministic synthetic edge set derived from documents: 1-2 hop
@@ -988,6 +1010,7 @@ QUERIES: dict[str, Callable] = {
     "multimodal_meta": q_multimodal_meta,
     "redirect_resolve": q_redirect_resolve,
     "fatal_error_routing": q_fatal_error_routing,
+    "embed_neardup_ann": q_embed_neardup_ann,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
