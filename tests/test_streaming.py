@@ -63,3 +63,74 @@ def test_stream_stateful_counts(spark):
         )
     }
     assert got == want and len(got) > 0
+
+
+def _frontier_rows(n, hosts):
+    return [
+        (f"http://h{i % hosts}.test/p{i}.html", f"h{i % hosts}.test",
+         (i * 7) % 2, i)
+        for i in range(n)
+    ]
+
+
+def test_streaming_frontier_single_trigger_equals_batch(spark, tmp_path):
+    """One trigger = one politeness quantum: released set == batch window
+    top-k per host (plans/round.py step 1)."""
+    from pyspark.sql import Window
+    from webcrawl_spark.streaming import frontier as SFr
+
+    rows = _frontier_rows(60, 5)
+    src = str(tmp_path / "f1")
+    spark.createDataFrame(rows, SFr.FRONTIER_IN_SCHEMA).coalesce(1).write.parquet(src)
+    q = SFr.stream_frontier_politeness(spark, src, "frontier_t1", budget=3)
+    _drain(q)
+    got = {
+        (r["host"], r["url"]) for r in spark.sql("select * from frontier_t1").collect()
+    }
+    w = Window.partitionBy("host").orderBy("priority", "seq")
+    want = {
+        (r["host"], r["url"])
+        for r in (
+            spark.createDataFrame(rows, SFr.FRONTIER_IN_SCHEMA)
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn <= 3")
+            .collect()
+        )
+    }
+    assert got == want and len(got) == 15
+
+
+def test_streaming_frontier_carryover(spark, tmp_path):
+    """Across triggers the per-host queue carries over in state; a python
+    replay of the same quantum discipline predicts the exact release order."""
+    from webcrawl_spark.streaming import frontier as SFr
+
+    batch1 = _frontier_rows(20, 4)
+    batch2 = [
+        (f"http://h{i % 4}.test/late{i}.html", f"h{i % 4}.test", 0, 100 + i)
+        for i in range(8)
+    ]
+    src = str(tmp_path / "f2")
+    spark.createDataFrame(batch1, SFr.FRONTIER_IN_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+    q = SFr.stream_frontier_politeness(spark, src, "frontier_t2", budget=2)
+    q.processAllAvailable()
+    spark.createDataFrame(batch2, SFr.FRONTIER_IN_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+    _drain(q)
+
+    got = [
+        (r["host"], r["url"], r["priority"], r["seq"])
+        for r in spark.sql("select * from frontier_t2").collect()
+    ]
+    # python replay: two quanta, budget 2 per host per quantum
+    state: dict = {}
+    want = set()
+    for batch in (batch1, batch2):
+        for url, host, prio, seq in batch:
+            state.setdefault(host, []).append((prio, seq, url))
+        for host, pend in state.items():
+            pend.sort()
+            emit, state[host] = pend[:2], pend[2:]
+            want.update((host, u) for _p, _s, u in emit)
+    assert {(h, u) for h, u, _p, _s in got} == want
