@@ -115,8 +115,13 @@ def _mk_pages(
     adds an http_status column (absent/NULL = 200)."""
     pdf = _mk_content_pages(rows, lang)
     if statuses:
-        s = pdf["url"].map(statuses)
-        pdf["http_status"] = s.astype("Int64")
+        # object column of python ints/None — converts identically with or
+        # without Arrow (float NaN trips the non-Arrow createDataFrame path;
+        # note .map would coerce int/None to float64)
+        pdf["http_status"] = pd.Series(
+            [int(statuses[u]) if u in statuses else None for u in pdf["url"]],
+            index=pdf.index, dtype="object",
+        )
     if not redirects:
         return pdf
     ts = pd.Timestamp("2024-01-01", tz="UTC")
@@ -133,7 +138,10 @@ def _mk_pages(
     pdf["redirect_to"] = pdf["url"].map(redirects).astype("object")
     pdf["redirect_to"] = pdf["redirect_to"].where(pdf["redirect_to"].notna(), None)
     if "http_status" in pdf.columns:
-        pdf["http_status"] = pdf["http_status"].astype("Int64")
+        pdf["http_status"] = pd.Series(
+            [None if pd.isna(v) else int(v) for v in pdf["http_status"]],
+            index=pdf.index, dtype="object",
+        )
     return pdf
 
 
