@@ -302,8 +302,129 @@ range-partitioned, and the per-round commit floor is O(1) per round
     print(f"efficiency N->4N: {eff:.2f} (written to BENCH/BASELINE.md)")
 
 
+def _pages_dir_for(mult: int) -> tuple[str, int, int]:
+    n_base = 5000 if "0.1" in SF_DIR else 500
+    n_hosts = max(32, n_base * mult // 2500)
+    pages_dir = os.path.join(
+        tempfile.gettempdir(), f"bench_pages_x{mult}_h{n_hosts}"
+    )
+    return pages_dir, n_base, n_hosts
+
+
+def main_scaling_cluster():
+    """Multi-process scaling evidence: the SAME crawl on a standalone
+    Spark cluster on localhost — separate executor JVMs (own heaps, GC,
+    Python workers), not local-mode threads — at N and 4N cores
+    (executor count 4 → 16 at 2 cores each). This retires the r1 caveat
+    that the platform-ceiling argument was thread-sharing-specific: here
+    the execution model IS the cluster model, only the hardware is shared.
+    """
+    spark_home = os.path.dirname(__import__("pyspark").__file__)
+    mult = SCALING_MULT
+    pages_dir, n_base, n_hosts = _pages_dir_for(mult)
+    assert os.path.exists(os.path.join(pages_dir, "_SUCCESS")), (
+        f"run --scaling first to synthesize {pages_dir}")
+
+    env = dict(os.environ, SPARK_NO_DAEMONIZE="1",
+               SPARK_LOG_DIR="/tmp/spark-logs")
+    os.makedirs("/tmp/spark-logs", exist_ok=True)
+    cls = os.path.join(spark_home, "bin", "spark-class")
+    master = subprocess.Popen(
+        [cls, "org.apache.spark.deploy.master.Master",
+         "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8090"],
+        env=env, stdout=open("/tmp/spark-logs/m.log", "w"),
+        stderr=subprocess.STDOUT)
+    time.sleep(6)
+    worker = subprocess.Popen(
+        [cls, "org.apache.spark.deploy.worker.Worker",
+         "spark://127.0.0.1:7077", "--cores", "32", "--memory", "96g",
+         "--webui-port", "8091"],
+        env=env, stdout=open("/tmp/spark-logs/w.log", "w"),
+        stderr=subprocess.STDOUT)
+    time.sleep(8)
+
+    results = {}
+    try:
+        for cores in (CLUSTER_N, 4 * CLUSTER_N):
+            code = (
+                "import bench, json;"
+                "from pyspark.sql import SparkSession;"
+                "spark = (SparkSession.builder.master('spark://127.0.0.1:7077')"
+                ".appName('scaling-%d')"
+                ".config('spark.executor.cores','2')"
+                ".config('spark.cores.max','%d')"
+                ".config('spark.executor.memory','5g')"
+                ".config('spark.driver.memory','8g')"
+                ".config('spark.sql.shuffle.partitions','32')"
+                ".config('spark.default.parallelism','32')"
+                ".config('spark.ui.enabled','false')"
+                ".config('spark.sql.session.timeZone','UTC')"
+                ".config('spark.sql.adaptive.enabled','true')"
+                ".getOrCreate());"
+                "spark.sparkContext.setLogLevel('ERROR');"
+                "import __spark_entry__ as E; E._ensure_shipped(spark);"
+                "c = bench.run_control(spark, %r);"
+                "r = bench.run_crawl(spark, %r, %d, n_seeds=max(4, %d * %d // 50), "
+                "target_rounds=7, pages_path=%r, n_hosts=%d);"
+                "print('RESULT ' + json.dumps([r, c]))"
+                % (cores, cores, pages_dir, SF_DIR, mult, n_base, mult,
+                   pages_dir, n_hosts)
+            )
+            p = subprocess.run(
+                [sys.executable, "-c", code], cwd=REPO, env=dict(os.environ),
+                capture_output=True, text=True, timeout=7200,
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
+            if not line:
+                print(p.stdout[-3000:], p.stderr[-3000:], file=sys.stderr)
+                raise RuntimeError(f"cluster run at {cores} cores failed")
+            (elapsed, n_urls, n_dedup, rounds, n_pages), (ctrl_s, _) = json.loads(line[0][7:])
+            results[cores] = {
+                "seconds": round(elapsed, 2),
+                "urls": n_urls,
+                "throughput": round((n_urls + n_dedup) / elapsed, 1),
+                "rounds": rounds,
+                "pages": n_pages,
+                "control_seconds": round(ctrl_s, 2),
+                "executors": cores // 2,
+            }
+            print(f"cluster {cores} cores ({cores // 2} executors): {results[cores]}")
+    finally:
+        worker.terminate()
+        master.terminate()
+
+    lo, hi = CLUSTER_N, 4 * CLUSTER_N
+    eff = results[hi]["throughput"] / (4 * results[lo]["throughput"])
+    ctrl_eff = results[lo]["control_seconds"] / (4 * results[hi]["control_seconds"])
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(f"""
+
+## Multi-process standalone cluster (N vs 4N executors)
+
+Same input, same code, but a REAL cluster execution model on localhost:
+one standalone master + worker, separate executor JVMs (2 cores each,
+own heap/GC/Python workers), shuffle over netty — the r1 caveat that
+local-mode threads share one JVM does not apply here.
+
+| config | executors | wall s | throughput /s | control stage s |
+|---|---|---|---|---|
+| {lo} cores  (N)  | {results[lo]['executors']} | {results[lo]['seconds']} | {results[lo]['throughput']} | {results[lo]['control_seconds']} |
+| {hi} cores (4N) | {results[hi]['executors']} | {results[hi]['seconds']} | {results[hi]['throughput']} | {results[hi]['control_seconds']} |
+
+**Cluster scaling efficiency N→4N ({results[lo]['executors']}→{results[hi]['executors']} executors): {eff:.2f}**
+**Platform-ceiling control on the cluster: {ctrl_eff:.2f}**
+**Engine efficiency relative to the ceiling: {min(1.0, eff / ctrl_eff):.2f}**
+""")
+    print(f"cluster efficiency N->4N: {eff:.2f} (appended to BENCH/BASELINE.md)")
+
+
+CLUSTER_N = int(os.environ.get("BENCH_CLUSTER_N", "8"))
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-cluster" in sys.argv:
+        main_scaling_cluster()
+    elif "--scaling" in sys.argv:
         main_scaling()
     else:
         main_default()
