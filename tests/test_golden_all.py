@@ -97,6 +97,25 @@ def test_post_golden(spark, tmp_path):
     assert errs["http://post.test/gone.html"] == "http_404"
 
 
+def test_bloom_forced_golden(spark, tmp_path):
+    """Force the Bloom check stage on from round 0 (bloom_min_seen=0) —
+    byte-identical to the oracle; and again with a saturated 8-bit filter
+    (every candidate maybe_seen → pure anti-join verification)."""
+    fx = gen.tree(branching=2, depth=3)
+    run_and_check(
+        spark,
+        gen.Fixture("tree_bloom", fx.pages, fx.seeds,
+                    fx.config.with_(bloom_min_seen=0)),
+        tmp_path,
+    )
+    run_and_check(
+        spark,
+        gen.Fixture("tree_bloom_sat", fx.pages, fx.seeds,
+                    fx.config.with_(bloom_min_seen=0, bloom_bits=8)),
+        tmp_path,
+    )
+
+
 def test_max_queued_links_golden(spark, tmp_path):
     fx = gen.chain(n=10, depth_limit=9)
     fx = gen.Fixture(

@@ -59,6 +59,13 @@ class CrawlConfig:
     num_partitions: int = 32         # host-hash partition count P
     salt_buckets: int = 1            # S sub-splits per mega-host (skew); 1 = off
     bloom_enabled: bool = True       # Bloom prefilter in front of the seen anti-join
+    bloom_min_seen: int = 100_000    # the check stage (candidate repartition +
+                                     # bitset-file probes) only pays once the
+                                     # seen set outgrows a plain anti-join;
+                                     # below this row count the round skips it.
+                                     # The sidecar files are MAINTAINED from
+                                     # round 0 either way, so crossing the
+                                     # threshold needs no rebuild. 0 = always on
     bloom_bits: int = 1 << 17        # bits per host-hash partition; size so
                                      # total bits ≈ 10-15× expected seen keys
                                      # (cluster: 1<<30+ per partition sidecar)

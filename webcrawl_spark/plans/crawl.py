@@ -273,6 +273,7 @@ class SparkCrawler:
             m.next_seq,
             m.next_fetch_seq,
             m.frontier_rows,
+            seen_rows=m.next_seq,   # every discovery seq = one seen insertion
         )
         _mk("run_round_total")
         if self._bloom_dir is not None:

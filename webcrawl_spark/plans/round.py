@@ -132,6 +132,7 @@ def run_round(
     next_seq: int,
     next_fetch_seq: int,
     frontier_rows: int,
+    seen_rows: int = None,
 ) -> RoundStats:
     cfg = ctx.cfg
     P = cfg.num_partitions
@@ -258,57 +259,60 @@ def run_round(
         F.lit(False).alias("fatal"),
     )
 
-    def _err_rows(df, status: str, failures_col, fatal: bool, http: int):
-        return df.select(
-            "url", "url_key", "host",
-            F.lit(rnd).cast("int").alias("round"),
-            "fetch_seq", "depth", "link_type",
-            F.lit(http).alias("http_status"),
-            F.lit(None).cast("string").alias("mime"),
-            F.lit(None).cast("string").alias("charset"),
-            F.lit(None).cast("long").alias("bytes"),
-            F.lit(None).cast("string").alias("extracted_text"),
-            "final_url",
-            F.lit(status).alias("status"),
-            failures_col.cast("int").alias("failures"),
-            F.lit(fatal).alias("fatal"),
+    # ALL error classes fed by the fetch join collapse into ONE branch with
+    # CASE routing (a single scan of the joined checkpoint — a 6-way union
+    # here re-read it per branch); only the decode-time scope reject needs
+    # the decoded frame. failures is failures+1 for every joined-side error.
+    nf = (F.col("failures") + 1).cast("int")
+    retryable_cond = (
+        reachable
+        & (
+            ((status_c == 200) & F.col("html").isNull())
+            | ((status_c != 200) & ~status_c.isin(list(FATAL_CODES)))
         )
-
-    missing = joined.filter(~present)
-    dead = joined.filter(c_dead)
-    over_redirected = joined.filter(c_exceeded)
-    scope_rejected = decoded.filter(F.col("reject").isNotNull())
-    exhausted = failed.filter(F.col("__nf") > cfg.max_retries)
-    # protocol errors in the fatal table: status rides the data column
-    # ("http_410", "http_401", …) — one frame for the whole code set
-    fatal_status_rows = joined.filter(c_fatal_status).select(
+        & (nf <= cfg.max_retries)
+    )
+    err_j = joined.filter(
+        ~(reachable & (status_c == 200) & F.col("html").isNotNull())
+    ).select(
         "url", "url_key", "host",
         F.lit(rnd).cast("int").alias("round"),
         "fetch_seq", "depth", "link_type",
-        status_c.cast("int").alias("http_status"),
+        F.when(~present | c_dead, 404)
+         .when(c_fatal_status, status_c)
+         .otherwise(0).cast("int").alias("http_status"),
         F.lit(None).cast("string").alias("mime"),
         F.lit(None).cast("string").alias("charset"),
         F.lit(None).cast("long").alias("bytes"),
         F.lit(None).cast("string").alias("extracted_text"),
         "final_url",
-        F.concat(F.lit("http_"), status_c.cast("string")).alias("status"),
-        (F.col("failures") + 1).cast("int").alias("failures"),
+        F.when(~present | c_dead, F.lit("http_404"))
+         .when(c_exceeded, F.lit("too_many_redirects"))
+         .when(c_fatal_status, F.concat(F.lit("http_"), status_c.cast("string")))
+         .when(retryable_cond, F.lit("retryable"))
+         .otherwise(F.lit("retries_exhausted")).alias("status"),
+        nf.alias("failures"),
+        (~retryable_cond).alias("fatal"),
+    )
+    scope_reject_rows = decoded.filter(F.col("reject").isNotNull()).select(
+        "url", "url_key", "host",
+        F.lit(rnd).cast("int").alias("round"),
+        "fetch_seq", "depth", "link_type",
+        F.lit(0).alias("http_status"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("string").alias("charset"),
+        F.lit(None).cast("long").alias("bytes"),
+        F.lit(None).cast("string").alias("extracted_text"),
+        "final_url",
+        F.col("reject").alias("status"),
+        F.col("failures").cast("int").alias("failures"),
         F.lit(True).alias("fatal"),
     )
     # per-round fetch stats ride the write as Observations — no standalone
     # aggregate job (every selected row lands in fetch_log exactly once)
     obs_f = Observation(f"fetch_r{rnd}")
     fetch_log = (
-        ok_rows
-        .unionByName(_err_rows(missing, "http_404", F.col("failures") + 1, True, 404))
-        .unionByName(_err_rows(dead, "http_404", F.col("failures") + 1, True, 404))
-        .unionByName(_err_rows(
-            over_redirected, "too_many_redirects", F.col("failures") + 1, True, 0))
-        .unionByName(fatal_status_rows)
-        .unionByName(_err_rows(
-            scope_rejected, "redirect_out_of_scope", F.col("failures"), True, 0))
-        .unionByName(_err_rows(exhausted, "retries_exhausted", F.col("__nf"), True, 0))
-        .unionByName(_err_rows(retry, "retryable", F.col("__nf"), False, 0))
+        ok_rows.unionByName(err_j).unionByName(scope_reject_rows)
     ).observe(
         obs_f,
         F.count(F.lit(1)).alias("n_sel"),
@@ -361,9 +365,12 @@ def run_round(
     # 5a. min-depth merge into carried entries (still-queued rediscoveries,
     #     Crawler.cs:2303-2307). Carried keys ⊆ seen, so joining all
     #     candidate minima is exact.
-    carried = frontier.join(joined.select("seq"), "seq", "left_anti").select(
-        *FRONTIER_COLS
-    ).unionByName(retry_rows)
+    # the selected set is politeness-budget-bounded (hosts × per-host cap),
+    # never corpus-sized — broadcast it so the (huge) frontier is filtered
+    # in place instead of shuffled
+    carried = frontier.join(
+        F.broadcast(joined.select("seq")), "seq", "left_anti"
+    ).select(*FRONTIER_COLS).unionByName(retry_rows)
     cand_mins = cand.groupBy("host", "url_key").agg(F.min("depth").alias("__cmin"))
     carried = (
         carried.join(cand_mins, ["host", "url_key"], "left")
@@ -382,7 +389,10 @@ def run_round(
     #     shuffle. The two consumers of the flagged frame share the
     #     repartition exchange (ReusedExchange).
     bloom_flagged = None
-    if ctx.bloom_dir is not None:
+    use_bloom = ctx.bloom_dir is not None and (
+        seen_rows is None or seen_rows >= cfg.bloom_min_seen
+    )
+    if use_bloom:
         from ..operators import bloom as B
 
         flagged = (
