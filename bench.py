@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     "ngram_jaccard", "lang_id", "quality_score", "token_count",
     "fingerprint", "cosine_topk", "ann_ivf_topk", "embed_neardup",
     "embed_neardup_ann", "multimodal_meta", "redirect_resolve",
-    "fatal_error_routing",
+    "fatal_error_routing", "ngram_jaccard_lsh",
 ]
 
 

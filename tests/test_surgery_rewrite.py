@@ -98,3 +98,37 @@ def test_rewrite_substring_collision(spark):
     assert 'href="h.test/a.html_' in doc
     # body text untouched
     assert "body mentions /a.html literally" in doc
+
+
+def test_enqueue_uri_between_runs(spark, tmp_path):
+    """EnqueueUri API (Crawler.cs:1081-1101): force-enqueue between runs —
+    an orphan page gets fetched, a force dup refetches a seen url, and a
+    non-forced dup is rejected."""
+    import random
+
+    import pandas as pd
+
+    from webcrawl_spark import schemas
+    from webcrawl_spark.fixtures import gen
+    from webcrawl_spark.plans.crawl import SparkCrawler
+
+    fx = gen.chain(n=4, depth_limit=9)
+    orphan = "http://chain.test/orphan.html"
+    extra = gen._mk_pages(
+        [(orphan, gen.render_html([], rng=random.Random(1), title="o"))]
+    )
+    pages = pd.concat([fx.pages, extra], ignore_index=True)
+    pdf = spark.createDataFrame(pages, schema=schemas.PAGES)
+    cfg = fx.config.with_(num_partitions=4)
+    c = SparkCrawler(spark, pdf, fx.seeds, str(tmp_path / "s"), cfg)
+    c.run(max_rounds=1)
+    assert c.enqueue_uri(orphan)
+    assert c.enqueue_uri(fx.seeds[0], force=True)
+    assert not c.enqueue_uri(fx.seeds[0], force=False)
+    assert not c.enqueue_uri("mailto:not-a-crawl-url")
+
+    c2 = SparkCrawler(spark, pdf, fx.seeds, str(tmp_path / "s"), cfg)
+    c2.run()
+    urls = [r["url"] for r in c2.trace().collect()]
+    assert orphan in urls
+    assert urls.count(fx.seeds[0]) == 2

@@ -209,22 +209,33 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    k: int = 3,
+    k: int = 3, pairs: DataFrame = None,
 ) -> DataFrame:
-    """Jaccard over k-shingle sets for consecutive-id pairs (a, a+1).
+    """Jaccard over k-shingle sets.
 
-    The consecutive pairing keeps the demo linear; swap the join condition
-    for an LSH candidate table to scale to arbitrary pair generation.
+    ``pairs`` (a, b) supplies the candidate pairs — at scale that is the
+    LSH candidate table (:func:`lsh_candidate_pairs`), so the verification
+    cost is per-candidate, never all-pairs. Without ``pairs`` the linear
+    consecutive-id pairing (a, a+1) serves as the demo baseline.
     """
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.expr(shingles_sql(text_col, k)).alias("sh"),
     )
-    a = sh.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
-    b = sh.select((F.col("id") - 1).alias("a"), F.col("id").alias("b"), F.col("sh").alias("shb"))
+    if pairs is None:
+        a = sh.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
+        b = sh.select(
+            (F.col("id") - 1).alias("a"), F.col("id").alias("b"),
+            F.col("sh").alias("shb"),
+        )
+        joined = a.join(b, "a")
+    else:
+        joined = (
+            pairs.join(sh.select(F.col("id").alias("a"), F.col("sh").alias("sha")), "a")
+            .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("shb")), "b")
+        )
     return (
-        a.join(b, "a")
-        .select(
+        joined.select(
             "a", "b",
             (F.size(F.array_intersect("sha", "shb"))
              / F.size(F.array_union("sha", "shb"))).alias("jaccard"),

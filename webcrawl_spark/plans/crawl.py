@@ -341,6 +341,63 @@ class SparkCrawler:
         return self.spark.createDataFrame(rows, schemas.COUNTERS)
 
 
+def _enqueue_uri(crawler: "SparkCrawler", url: str, post_data=None,
+                 force: bool = True) -> bool:
+    """EnqueueUri(uri, postData[, force]) between runs (Crawler.cs:1081-1101;
+    the public two-arg overload forces). Appends one depth-0 entry to the
+    current frontier snapshot and re-commits the manifest; with
+    ``force=False`` an already-seen key is dropped (Service.Enqueue,
+    Crawler.cs:2301-2320). Returns True if enqueued."""
+    st = crawler.state
+    m = crawler._m()
+    k = m.next_round
+    cfg = crawler.cfg
+    r = canonicalize(
+        pd.Series([url], dtype="object"),
+        strip_www=cfg.strip_www,
+        normalize_query=cfg.normalize_query,
+        case_sensitive_paths=cfg.case_sensitive_paths,
+    ).iloc[0]
+    if not crawler._seed_allowed(r):
+        return False
+    seen_new = (
+        st.read_seen(k)
+        .filter((F.col("host") == r.host) & (F.col("url_key") == r.url_key))
+        .isEmpty()
+    )
+    if not force and not seen_new:
+        return False
+    entry = crawler._frontier_df([crawler._entry_row(r, m.next_seq, post_data)])
+    frontier = st.read_frontier(k).unionByName(entry).localCheckpoint(eager=True)
+    st.write_table("frontier", k, frontier)
+    if seen_new:
+        import os as _os
+        import shutil as _shutil
+
+        delta = entry.select(
+            "host", "host_hash", "url_key", "path", "query",
+            F.col("depth").alias("first_depth"),
+            F.lit(k).cast("int").alias("first_round"),
+        )
+        d = st._dir("seen", k)
+        if _os.path.exists(d):
+            delta = crawler.spark.read.parquet(d).unionByName(delta)
+        delta = delta.localCheckpoint(eager=True)
+        st.write_table("seen", k, delta)
+        # the round-k bloom sidecar no longer covers the new key: drop it;
+        # the next run() rebuilds it distributed from the seen table
+        _shutil.rmtree(_os.path.join(st.root, "bloom"), ignore_errors=True)
+    st.commit(Manifest(
+        next_round=k,
+        next_seq=m.next_seq + 1,
+        next_fetch_seq=m.next_fetch_seq,
+        frontier_rows=m.frontier_rows + 1,
+        done=False,
+        counters=m.counters,
+    ))
+    return True
+
+
 def _frontier_removal(crawler: "SparkCrawler", pattern: str, allow_requeue: bool) -> int:
     """RemoveUris (Crawler.cs:874-883, Service.Remove 2326-2341): drop
     frontier entries whose URL matches ``pattern``. With
@@ -407,3 +464,6 @@ SparkCrawler.remove_uris = lambda self, pattern, allow_requeue=True: _frontier_r
     self, pattern, allow_requeue
 )
 SparkCrawler.clear_uris = lambda self: _clear_uris(self)
+SparkCrawler.enqueue_uri = lambda self, url, post_data=None, force=True: _enqueue_uri(
+    self, url, post_data, force
+)

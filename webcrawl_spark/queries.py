@@ -687,6 +687,28 @@ SELECT DISTINCT l.id AS a, r.id AS b
 FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.id < r.id
 """
 
+    sql["ngram_jaccard_lsh"] = f"""
+WITH aug AS ({_AUG_DOCS_SQL}),
+sigs AS (
+  SELECT doc_id AS id, {mh_cols}
+  FROM aug
+),
+buckets_all AS ({band_selects}),
+buckets AS (
+  SELECT id, bucket FROM buckets_all
+  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY id) <= 1000
+),
+pairs AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.id < r.id
+),
+sh AS (SELECT doc_id AS id, {_duck_shingles('text', 3)} AS s FROM aug)
+SELECT p.a, p.b,
+  ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+        CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE), 6) AS jaccard
+FROM pairs p JOIN sh x ON x.id = p.a JOIN sh y ON y.id = p.b
+"""
+
     sql["dedup_simhash"] = f"""
 WITH toks AS (
   SELECT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
@@ -941,6 +963,16 @@ def q_fatal_error_routing(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard_lsh(spark, sf_dir):
+    """Jaccard verification over the LSH candidate-pair table — the scale
+    path (per-candidate cost) replacing consecutive-id demo pairing."""
+    docs = _aug_docs(spark, sf_dir)
+    pairs = TD.lsh_candidate_pairs(
+        docs, bands=4, rows_per_band=2, k=5, max_bucket_size=1000
+    )
+    return TD.ngram_jaccard_pairs(docs, k=3, pairs=pairs)
+
+
 def q_embed_neardup_ann(spark, sf_dir):
     """Whole-corpus embedding near-dup via the k-means bucket join (the
     scale path replacing the n-bounded crossJoin baseline)."""
@@ -1011,6 +1043,7 @@ QUERIES: dict[str, Callable] = {
     "redirect_resolve": q_redirect_resolve,
     "fatal_error_routing": q_fatal_error_routing,
     "embed_neardup_ann": q_embed_neardup_ann,
+    "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
