@@ -97,6 +97,19 @@ def test_post_golden(spark, tmp_path):
     assert errs["http://post.test/gone.html"] == "http_404"
 
 
+def test_mime_overrides_golden(spark, tmp_path):
+    crawler = run_and_check(spark, gen.mime_override_fixture(), tmp_path)
+    fetched = crawler.fetched().toPandas()
+    urls = set(fetched["url"])
+    # reachable only through overridden types: .png parsed as html,
+    # .txt mapping removed -> unknown -> html
+    assert "http://mo.test/deep.html" in urls
+    assert "http://mo.test/fromtxt.html" in urls
+    mimes = fetched.set_index("url")["mime"].to_dict()
+    assert mimes["http://mo.test/gallery.png"] == "text/html"
+    assert mimes["http://mo.test/pic.jpg"] == "application/octet-stream"
+
+
 def test_bloom_forced_golden(spark, tmp_path):
     """Force the Bloom check stage on from round 0 (bloom_min_seen=0) —
     byte-identical to the oracle; and again with a saturated 8-bit filter

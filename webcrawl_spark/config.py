@@ -41,6 +41,12 @@ class CrawlConfig:
     strip_www: bool = False
     normalize_query: bool = False
 
+    # --- user MIME overrides (SetMimeOverride, Crawler.cs:1104-1148) ---
+    # ((extension, mime), ...) — extend/replace the standard ~45-entry
+    # extension→MIME table; empty mime removes the mapping. Drives type
+    # guessing (priority, decode, scope "want" checks) everywhere.
+    mime_overrides: tuple = ()
+
     # --- user-enqueued POST resources (EnqueueUri(uri, postData),
     #     Crawler.cs:1081-1101; GUI extra-URL input MainForm.cs:100-115).
     #     ((url, post_data), ...) — force-enqueued at depth 0 after the seed

@@ -604,6 +604,46 @@ def http_errors_fixture() -> Fixture:
     )
 
 
+def mime_override_fixture() -> Fixture:
+    """User MIME overrides (SetMimeOverride, Crawler.cs:1104-1148):
+    png remapped to text/html → the .png page is parsed for links and loses
+    its binary priority; the txt mapping REMOVED → .txt falls to unknown
+    (→ HTML ADAPT) and is parsed too; jpg stays binary."""
+    rng = random.Random(SEED + 13)
+    host = "http://mo.test"
+    rows = [
+        (
+            f"{host}/index.html",
+            render_html(
+                [
+                    ("/gallery.png", "link"),
+                    ("/notes.txt", "link"),
+                    ("/pic.jpg", "resource"),
+                ],
+                rng=rng,
+                title="idx",
+            ),
+        ),
+        (f"{host}/gallery.png",
+         render_html([("/deep.html", "link")], rng=rng, title="g")),
+        (f"{host}/notes.txt",
+         render_html([("/fromtxt.html", "link")], rng=rng, title="n")),
+        (f"{host}/deep.html", render_html([], rng=rng, title="d")),
+        (f"{host}/fromtxt.html", render_html([], rng=rng, title="f")),
+        (f"{host}/pic.jpg", b"\xff\xd8JPEG-fake"),
+    ]
+    return Fixture(
+        "mime_overrides",
+        _mk_pages(rows),
+        [f"{host}/index.html"],
+        CrawlConfig(
+            max_connections=None,
+            max_connections_per_server=10,
+            mime_overrides=(("png", "text/html"), ("txt", "")),
+        ),
+    )
+
+
 def post_fixture() -> Fixture:
     """User POST resources (EnqueueUri(uri, postData), Crawler.cs:1081-1101):
 
@@ -657,6 +697,7 @@ ALL_TOPOLOGIES = {
     "redirects": redirects_fixture,
     "post": post_fixture,
     "http_errors": http_errors_fixture,
+    "mime_overrides": mime_override_fixture,
 }
 
 

@@ -65,6 +65,8 @@ def make_decode_stage(cfg: CrawlConfig, base_uris_bc):
     reference re-checks IsUriAllowed on the ResponseUri after the response;
     a disallowed landing aborts the resource — no content, no links)."""
 
+    ext_table = M.build_ext_table(cfg.mime_overrides)
+
     def decode_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         base_uris = base_uris_bc.value
         for pdf in batches:
@@ -103,7 +105,7 @@ def make_decode_stage(cfg: CrawlConfig, base_uris_bc):
                 reject.loc[red[red].index[out_of_scope]] = "redirect_out_of_scope"
                 ok_red = red[red].index[~out_of_scope]
                 eff_path.loc[ok_red] = fc["path"].loc[ok_red]
-            rtype = M.guess_types_batch(eff_path)
+            rtype = M.guess_types_batch(eff_path, ext_table)
             # no response headers: unfetched-type pages are HTML (oracle ADAPT)
             rtype = rtype.where(rtype != M.UNKNOWN, M.HTML)
             mime = rtype.map(M.mime_of_type)
@@ -181,6 +183,8 @@ def make_candidate_stage(cfg: CrawlConfig, base_uris_bc, uri_filters, rule_index
     """``base_uris_bc`` is a Spark broadcast (seed lists can reach millions
     of entries — closure capture would re-serialize them per task)."""
 
+    ext_table = M.build_ext_table(cfg.mime_overrides)
+
     def candidate_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rule_index = rule_index_bc.value if rule_index_bc is not None else {}
         base_uris = base_uris_bc.value
@@ -223,7 +227,7 @@ def make_candidate_stage(cfg: CrawlConfig, base_uris_bc, uri_filters, rule_index
             sub = sub[keep]
             is_ext = sc["is_external"][keep]
             depth = (sub["parent_depth"] + 1).astype("int32")
-            binary = M.guess_types_batch(c["path"]).eq(M.BINARY)
+            binary = M.guess_types_batch(c["path"], ext_table).eq(M.BINARY)
             prio = binary.astype("int32")
             if cfg.prioritize_nonhtml:
                 prio = 1 - prio

@@ -55,6 +55,20 @@ EXT_TO_MIME = {
 }
 
 
+def build_ext_table(overrides: tuple = ()) -> dict:
+    """User MIME overrides (SetMimeOverride, Crawler.cs:1104-1148): entries
+    extend/replace the standard table; an empty/None mime REMOVES the
+    extension's mapping (the reference's null-mime branch)."""
+    t = dict(EXT_TO_MIME)
+    for ext, mime in overrides:
+        e = str(ext).lower().lstrip(".")
+        if mime:
+            t[e] = str(mime).lower()
+        else:
+            t.pop(e, None)
+    return t
+
+
 def resource_type_of_mime(mime: str | None) -> str:
     """GetResourceType (Crawler.cs:3025-3054); None → unknown."""
     if not mime:
@@ -73,22 +87,23 @@ def extension_of_path(path: str) -> str:
     return seg[dot + 1:].lower() if dot > -1 else ""
 
 
-def guess_resource_type_from_path(path: str) -> str:
+def guess_resource_type_from_path(path: str, table: dict | None = None) -> str:
     """GuessResourceType by extension (Crawler.cs:3064-3087):
-    no/unknown extension → unknown; known → via the MIME table."""
+    no/unknown extension → unknown; known → via the MIME table
+    (``table`` = :func:`build_ext_table` output; default standard table)."""
     ext = extension_of_path(path)
     if not ext:
         return UNKNOWN
-    mime = EXT_TO_MIME.get(ext)
+    mime = (table if table is not None else EXT_TO_MIME).get(ext)
     return resource_type_of_mime(mime) if mime else UNKNOWN
 
 
-def guess_types_batch(paths: pd.Series) -> pd.Series:
+def guess_types_batch(paths: pd.Series, table: dict | None = None) -> pd.Series:
     """Vectorized extension → resource type over a path Series."""
     seg = paths.fillna("").str.rsplit("/", n=1).str[-1]
     ext = seg.str.rpartition(".")[2].str.lower()
     ext = ext.where(seg.str.contains(".", regex=False), "")
-    mime = ext.map(EXT_TO_MIME)
+    mime = ext.map(table if table is not None else EXT_TO_MIME)
     rtype = mime.map(_MIME_TO_TYPE)
     rtype = rtype.where(mime.notna(), UNKNOWN).fillna(BINARY)
     rtype = rtype.where(ext != "", UNKNOWN)

@@ -97,8 +97,8 @@ def _canon1(url: str, cfg: CrawlConfig):
     ).iloc[0]
 
 
-def _priority(path: str, cfg: CrawlConfig) -> int:
-    binary = M.guess_resource_type_from_path(path) == M.BINARY
+def _priority(path: str, cfg: CrawlConfig, table: dict | None = None) -> int:
+    binary = M.guess_resource_type_from_path(path, table) == M.BINARY
     p = 1 if binary else 0
     return 1 - p if cfg.prioritize_nonhtml else p
 
@@ -123,6 +123,7 @@ class OracleCrawler:
         )
         self.rule_index = R.build_rule_index(rules) if config.robots_enabled else {}
         self.delays = R.crawl_delays(rules) if config.robots_enabled else {}
+        self.ext_table = M.build_ext_table(config.mime_overrides)
         self.uri_filters = compile_uri_filters(
             config.change_filters, config.positive_filters, config.negative_filters
         )
@@ -166,7 +167,7 @@ class OracleCrawler:
             path_queries.setdefault((c.host, c.path), set()).add(c.query)
             frontier.append(
                 Entry(c.url, c.url_key, c.host, 0, None, "link", False,
-                      _priority(c.path, cfg), seq, 0, 0)
+                      _priority(c.path, cfg, self.ext_table), seq, 0, 0)
             )
             seq += 1
         self.base_uris = base_uris
@@ -188,7 +189,7 @@ class OracleCrawler:
                 path_queries.setdefault((c.host, c.path), set()).add(c.query)
             frontier.append(
                 Entry(c.url, c.url_key, c.host, 0, None, "link", False,
-                      _priority(c.path, cfg), seq, 0, 0, post_data)
+                      _priority(c.path, cfg, self.ext_table), seq, 0, 0, post_data)
             )
             seq += 1
 
@@ -293,7 +294,7 @@ class OracleCrawler:
                         continue
 
                 c = _canon1(final_url or e.url, cfg)
-                rtype = M.guess_resource_type_from_path(c.path)
+                rtype = M.guess_resource_type_from_path(c.path, self.ext_table)
                 if rtype == M.UNKNOWN:
                     rtype = M.HTML  # ADAPT: no response headers; corpus is pages
                 mime = M.mime_of_type(rtype)
@@ -387,7 +388,7 @@ class OracleCrawler:
                     seen[key] = (depth, rnd)
                     new_entries.append(
                         Entry(cc.url, cc.url_key, cc.host, depth, e.url, ltype,
-                              bool(sc.is_external), _priority(cc.path, cfg),
+                              bool(sc.is_external), _priority(cc.path, cfg, self.ext_table),
                               seq, 0, rnd + 1)
                     )
                     seq += 1

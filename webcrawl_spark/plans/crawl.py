@@ -63,6 +63,7 @@ class SparkCrawler:
         if "redirect_to" in pages.columns:
             self.eff_pages = self.eff_pages.localCheckpoint(eager=True)
 
+        self._ext_table = M.build_ext_table(config.mime_overrides)
         rules = robots_rules if robots_rules is not None else _EMPTY_ROBOTS
         rule_index = R.build_rule_index(rules) if config.robots_enabled else {}
         delays = R.crawl_delays(rules) if config.robots_enabled else {}
@@ -116,7 +117,7 @@ class SparkCrawler:
 
     def _entry_row(self, r, seq: int, post_data=None) -> tuple:
         cfg = self.cfg
-        binary = M.guess_resource_type_from_path(r.path) == M.BINARY
+        binary = M.guess_resource_type_from_path(r.path, self._ext_table) == M.BINARY
         prio = 1 if binary else 0
         if cfg.prioritize_nonhtml:
             prio = 1 - prio
