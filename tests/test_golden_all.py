@@ -97,6 +97,18 @@ def test_post_golden(spark, tmp_path):
     assert errs["http://post.test/gone.html"] == "http_404"
 
 
+def test_reliable_checkpoints_golden(spark, tmp_path):
+    """Cluster-mode lineage cuts (DataFrame.checkpoint into the state dir)
+    produce the identical golden trace."""
+    fx = gen.tree(branching=2, depth=3)
+    run_and_check(
+        spark,
+        gen.Fixture("tree_rckpt", fx.pages, fx.seeds,
+                    fx.config.with_(reliable_checkpoints=True)),
+        tmp_path,
+    )
+
+
 def test_mime_overrides_golden(spark, tmp_path):
     crawler = run_and_check(spark, gen.mime_override_fixture(), tmp_path)
     fetched = crawler.fetched().toPandas()

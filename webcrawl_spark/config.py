@@ -82,6 +82,11 @@ class CrawlConfig:
                                      # two-phase numbering in operators/seq.py
     bloom_fpp: float = 0.01
     robots_enabled: bool = True
+    reliable_checkpoints: bool = False  # lineage cuts via DataFrame.checkpoint
+                                     # into the state dir (survives executor
+                                     # loss on a cluster) instead of
+                                     # localCheckpoint (fast, non-resilient;
+                                     # the in-sandbox default)
 
     def with_(self, **kw) -> "CrawlConfig":
         return replace(self, **kw)

@@ -33,6 +33,7 @@ def assign_global_seq(
     out_col: str = "seq",
     num_partitions: int = 32,
     with_count: bool = False,
+    reliable: bool = False,
 ):
     """Add ``out_col`` = start, start+1, … in ``order_cols`` order.
 
@@ -45,8 +46,10 @@ def assign_global_seq(
         df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
     )
+    from .ckpt import cut
+
+    ranged = cut(ranged, reliable)
     counts = dict(
         ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
     )

@@ -64,6 +64,14 @@ class SparkCrawler:
             self.eff_pages = self.eff_pages.localCheckpoint(eager=True)
 
         self._ext_table = M.build_ext_table(config.mime_overrides)
+        if config.reliable_checkpoints:
+            # cluster mode: lineage cuts go to shared storage with the rest
+            # of the crawl state and survive executor loss
+            import os as _os
+
+            spark.sparkContext.setCheckpointDir(
+                _os.path.join(state_dir, "_ckpt")
+            )
         rules = robots_rules if robots_rules is not None else _EMPTY_ROBOTS
         rule_index = R.build_rule_index(rules) if config.robots_enabled else {}
         delays = R.crawl_delays(rules) if config.robots_enabled else {}

@@ -62,6 +62,7 @@ from ..functions.crawl_udfs import (
     make_parse_candidate_stage,
 )
 from ..kernels import robots as R
+from ..operators.ckpt import cut
 from ..operators.seq import assign_global_seq
 
 FRONTIER_COLS = [
@@ -180,6 +181,7 @@ def run_round(
         sel = assign_global_seq(
             sel, ["priority", "seq"], start=next_fetch_seq,
             out_col="fetch_seq", num_partitions=P,
+            reliable=cfg.reliable_checkpoints,
         )
 
     # ---------------- 2. FETCH: ONE pages scan, result checkpointed ----
@@ -192,10 +194,9 @@ def run_round(
     # table's layout (possibly a handful of files), and everything downstream
     # — decode, the fetch_log files, and therefore parse — would inherit that
     # serialization. The shuffle moves one round's html only (budget-bounded).
-    joined = (
-        sel.join(pg, "url", "left")
-        .repartition(P, "url")
-        .localCheckpoint(eager=True)
+    joined = cut(
+        sel.join(pg, "url", "left").repartition(P, "url"),
+        cfg.reliable_checkpoints,
     )
     _mark("select+fetch_ckpt")
 
@@ -243,7 +244,8 @@ def run_round(
         "final_url",
     ).mapInPandas(
         make_decode_stage(cfg, ctx.base_uris_bc), DECODE_SCHEMA
-    ).localCheckpoint(eager=True)
+    )
+    decoded = cut(decoded, cfg.reliable_checkpoints)
     _mark("decode_ckpt")
 
     ok_rows = decoded.filter(F.col("reject").isNull()).select(
@@ -351,8 +353,8 @@ def run_round(
             ),
             CANDIDATE_SCHEMA,
         )
-        .localCheckpoint(eager=True)
     )
+    cand = cut(cand, cfg.reliable_checkpoints)
     # discoveries (acc ⊆ cand) can be orders of magnitude larger than the
     # incoming frontier (fan-out × links per page), so the single-partition
     # fast path for 5f gates on the candidate count, not frontier_rows; the
@@ -476,7 +478,8 @@ def run_round(
     if cfg.max_queued_links is not None:
         slots = max(0, cfg.max_queued_links - n_carried)
         acc = assign_global_seq(
-            acc, ["pos_f", "pos_o"], 0, out_col="__caprank", num_partitions=P
+            acc, ["pos_f", "pos_o"], 0, out_col="__caprank", num_partitions=P,
+            reliable=cfg.reliable_checkpoints,
         ).filter(F.col("__caprank") < slots).drop("__caprank")
 
     # 5f. deterministic discovery sequence (EnqueueCore order ADAPTed to a
@@ -486,12 +489,12 @@ def run_round(
     else:
         acc = assign_global_seq(
             acc, ["pos_f", "pos_o"], start=next_seq, out_col="seq",
-            num_partitions=P,
+            num_partitions=P, reliable=cfg.reliable_checkpoints,
         )
     # acc feeds three consumers (seen delta, new frontier entries, the Bloom
     # sidecar update) — checkpoint once so the 5a-5f window/join pipeline
     # runs exactly once per round instead of once per consumer
-    acc = acc.localCheckpoint(eager=True)
+    acc = cut(acc, cfg.reliable_checkpoints)
     if bloom_flagged is not None:
         bloom_flagged.unpersist()
     _mark("acc_ckpt")
