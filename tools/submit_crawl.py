@@ -37,6 +37,17 @@ def main(argv=None):
     ap.add_argument("--dir-nav", default="Down",
                     choices=["Same", "Up", "Down", "UpAndDown"])
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--max-redirects", type=int, default=20)
+    ap.add_argument("--max-retries", type=int, default=1)
+    ap.add_argument("--post", nargs=2, action="append", default=[],
+                    metavar=("URL", "DATA"),
+                    help="POST resource to force-enqueue (repeatable)")
+    ap.add_argument("--mime-override", nargs=2, action="append", default=[],
+                    metavar=("EXT", "MIME"),
+                    help="extension→MIME override; empty MIME removes (repeatable)")
+    ap.add_argument("--reliable-checkpoints", action="store_true",
+                    help="lineage cuts via DataFrame.checkpoint into the "
+                         "state dir (survives executor loss on a cluster)")
     args = ap.parse_args(argv)
 
     seeds = list(args.seeds)
@@ -67,6 +78,11 @@ def main(argv=None):
         domain_navigation=args.domain_nav,
         directory_navigation=args.dir_nav,
         bloom_enabled=not args.no_bloom,
+        max_redirects=args.max_redirects,
+        max_retries=args.max_retries,
+        post_seeds=tuple((u, d) for u, d in args.post),
+        mime_overrides=tuple((e, m) for e, m in args.mime_override),
+        reliable_checkpoints=args.reliable_checkpoints,
     )
     crawler = SparkCrawler(
         spark, spark.read.parquet(args.pages), seeds, args.state, cfg, robots
