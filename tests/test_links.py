@@ -100,3 +100,45 @@ class TestOrderAndBatch:
         assert hrefs(s.iloc[1]) == ["v"]
         assert s.iloc[2] == []
         assert s.iloc[3] == []
+
+
+def test_scan_html_spans_reconstruct():
+    """Span invariant: text[s:e] == href for every span scan_html_spans
+    emits, and the (href, type, dec) sequence equals scan_html's."""
+    from webcrawl_spark.kernels.links import scan_html, scan_html_spans
+
+    html = (
+        '<a href="/a.html">x</a><img src="/i.png">'
+        "<a href='/b.html?q=1'>y</a>"
+        '<link href="/c.css"><style>@import "/d.css"; '
+        "div{background:url('/e.png')}</style>"
+        '<div style="background:url(/f.gif)"></div>'
+        '<body background="/g.jpg">'
+    )
+    spans = scan_html_spans(html)
+    assert spans, "expected links"
+    for s, e, href, _lt, _dec in spans:
+        assert html[s:e] == href, (href, html[s:e])
+    assert [(h, t, d) for _s, _e, h, t, d in spans] == scan_html(html)
+
+
+def test_scan_html_spans_property():
+    """Randomized documents: spans always slice back to their hrefs."""
+    import random
+
+    from webcrawl_spark.fixtures.gen import render_html
+    from webcrawl_spark.kernels.links import scan_html, scan_html_spans
+
+    rng = random.Random(7)
+    for trial in range(25):
+        links = [
+            (f"/p{rng.randrange(100)}.html" if rng.random() < 0.5
+             else f"/img{rng.randrange(100)}.png",
+             "link" if rng.random() < 0.5 else "resource")
+            for _ in range(rng.randrange(0, 12))
+        ]
+        html = render_html(links, rng=rng, title=f"t{trial}").decode("utf-8")
+        spans = scan_html_spans(html)
+        for s, e, href, _lt, _dec in spans:
+            assert html[s:e] == href
+        assert [(h, t, d) for _s, _e, h, t, d in spans] == scan_html(html)

@@ -1,0 +1,74 @@
+"""Physical-plan regression guards (PLANS.md claims, asserted).
+
+These don't execute data — they check that the plans Catalyst produces for
+the scale-critical operators keep the properties the 100-TB design relies
+on: no Python in JVM-only pipelines, broadcasts where a side is bounded,
+and no stray shuffles/exchanges where none are needed.
+"""
+
+import io
+import contextlib
+
+import pyspark.sql.functions as F
+
+from webcrawl_spark.operators import redirect as RD
+from webcrawl_spark.operators import similarity as SIM
+from webcrawl_spark.operators import textdedup as TD
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_dedup_pipelines_are_jvm_only(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (
+        TD.minhash_signatures(docs),
+        TD.lsh_candidate_pairs(docs, max_bucket_size=1000),
+        TD.simhash(docs),
+        TD.exact_duplicates(docs),
+    ):
+        assert "EvalPython" not in _plan(df)
+
+
+def test_kmeans_ivf_broadcasts_centroids(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(SIM.kmeans_ivf_topk(emb, n_queries=4, k=3))
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_effective_pages_python_free(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pages = docs.selectExpr(
+        "cast(doc_id as string) as url", "text as html",
+        "cast(null as string) as redirect_to",
+    )
+    assert "EvalPython" not in _plan(RD.effective_pages(pages, 4))
+
+
+def test_carried_antijoin_broadcasts_selected(spark):
+    """The budget-bounded selected set must broadcast — the corpus-scale
+    frontier is filtered in place, never shuffled (plans/round.py 5a)."""
+    frontier = spark.range(10000).selectExpr("id as seq", "cast(id as string) as url")
+    sel = frontier.limit(10)
+    p = _plan(frontier.join(F.broadcast(sel.select("seq")), "seq", "left_anti"))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    p = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in p
+    # column pruning: only the two referenced columns reach the scan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>" in p
