@@ -38,19 +38,38 @@ def _prep(emb: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str) 
     )
 
 
+def _prep_normed(
+    emb: DataFrame, id_col: str, vec_col: str,
+    out_id: str, out_vec: str, out_norm: str,
+) -> DataFrame:
+    """Like :func:`_prep` plus the vector's L2 norm computed ONCE per vector.
+
+    Pair-scoring then uses ``dot / (na * nb)`` — the exact same IEEE
+    operations (and therefore bit-identical results) as inlining
+    :func:`cosine_sql` per pair, at 1 fold per pair instead of 3."""
+    v = as_double(vec_col)
+    return emb.select(
+        F.col(id_col).alias(out_id),
+        F.expr(v).alias(out_vec),
+        F.expr(norm_sql(v)).alias(out_norm),
+    )
+
+
 def brute_force_topk(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     n_queries: int = 8, k: int = 5, round_to: int = 4,
 ) -> DataFrame:
     """(query_id, neighbor_id, cos) — exact top-k per query (self excluded)."""
-    queries = _prep(emb, id_col, vec_col, "query_id", "qv").filter(
+    queries = _prep_normed(emb, id_col, vec_col, "query_id", "qv", "qn").filter(
         F.col("query_id") < n_queries
     )
-    corpus = _prep(emb, id_col, vec_col, "neighbor_id", "nv")
+    corpus = _prep_normed(emb, id_col, vec_col, "neighbor_id", "nv", "nn")
     scored = (
         queries.crossJoin(corpus)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.expr(cosine_sql("qv", "nv")))
+        .withColumn(
+            "cos", F.expr(dot_sql("qv", "nv")) / (F.col("qn") * F.col("nn"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -110,10 +129,14 @@ def _quantized_long(emb: DataFrame, id_col: str, vec_col: str, scale: int) -> Da
 
 def _assign_dists(ve: DataFrame, cent: DataFrame) -> DataFrame:
     """(id, cid, dist): squared L2 between every vector and centroid —
-    long-form join on pos, integer arithmetic throughout."""
+    long-form join on pos, integer arithmetic throughout.
+
+    The centroid table (k_clusters x dims rows) is explicitly broadcast:
+    after lineage cuts its size can't be estimated, and the corpus-scale
+    long form must never shuffle for this join."""
     d = (F.col("val") - F.col("cval"))
     return (
-        ve.join(cent, "pos")
+        ve.join(F.broadcast(cent), "pos")
         .groupBy("id", "cid")
         .agg(F.sum(d * d).alias("dist"))
     )
@@ -128,8 +151,12 @@ def kmeans_ranked(
 
     Centroids init from the ``k_clusters`` lowest ids; each Lloyd iteration
     re-assigns and takes integer-rounded means — all arithmetic exact, so
-    any engine replaying the formulas gets identical buckets."""
-    ve = _quantized_long(emb, id_col, vec_col, scale)
+    any engine replaying the formulas gets identical buckets.
+
+    The quantized long form is materialized once (eager lineage cut) —
+    every Lloyd pass and the final ranking read it, and recomputing the
+    scan+explode per pass is the textbook iterative-algorithm mistake."""
+    ve = _quantized_long(emb, id_col, vec_col, scale).localCheckpoint(eager=True)
     cent = ve.filter(F.col("id") < k_clusters).select(
         F.col("id").cast("int").alias("cid"), "pos", F.col("val").alias("cval")
     )
@@ -155,10 +182,37 @@ def kmeans_ranked(
     return _assign_dists(ve, cent).withColumn("__rn", F.row_number().over(w))
 
 
+_KMEANS_CACHE: dict = {}
+
+
+def kmeans_ranked_cached(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k_clusters: int = 4, iters: int = 2, scale: int = 1000,
+    cache_key=None,
+) -> DataFrame:
+    """Fit-once k-means quantizer model: :func:`kmeans_ranked` materialized
+    (eager lineage cut) and memoized per (Spark application, ``cache_key``,
+    params) so ANN top-k and embedding near-dup share one fit instead of
+    each re-running Lloyd from scratch. ``cache_key`` must identify the
+    input (e.g. its path); ``None`` disables caching."""
+    if cache_key is None:
+        return kmeans_ranked(emb, id_col, vec_col, k_clusters, iters, scale)
+    full_key = (
+        emb.sparkSession.sparkContext.applicationId,
+        cache_key, id_col, vec_col, k_clusters, iters, scale,
+    )
+    if full_key not in _KMEANS_CACHE:
+        _KMEANS_CACHE[full_key] = kmeans_ranked(
+            emb, id_col, vec_col, k_clusters, iters, scale
+        ).localCheckpoint(eager=True)
+    return _KMEANS_CACHE[full_key]
+
+
 def kmeans_ivf_topk(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     n_queries: int = 8, k: int = 5, k_clusters: int = 4, iters: int = 2,
     probes: int = 2, scale: int = 1000, round_to: int = 4,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN with a deterministic integer k-means coarse quantizer and
     multi-probe search.
@@ -172,8 +226,12 @@ def kmeans_ivf_topk(
     final top-k. At 100 TB the assignment/centroid passes are uniform-key
     shuffles over the long form, the centroid table is broadcast-size, and
     the probe join replaces the crossJoin — recall tunes via probes.
+
+    ``ranked`` accepts a prefit quantizer (:func:`kmeans_ranked_cached`)
+    so several consumers share one Lloyd fit.
     """
-    ranked = kmeans_ranked(emb, id_col, vec_col, k_clusters, iters, scale)
+    if ranked is None:
+        ranked = kmeans_ranked(emb, id_col, vec_col, k_clusters, iters, scale)
     corpus_bucket = ranked.filter(F.col("__rn") == 1).select(
         F.col("id").alias("neighbor_id"), "cid"
     )
@@ -181,16 +239,20 @@ def kmeans_ivf_topk(
         (F.col("id") < n_queries) & (F.col("__rn") <= probes)
     ).select(F.col("id").alias("query_id"), "cid")
 
-    base = _prep(emb, id_col, vec_col, "id", "v")
-    queries = base.withColumnRenamed("id", "query_id").withColumnRenamed("v", "qv")
-    corpus = base.withColumnRenamed("id", "neighbor_id").withColumnRenamed("v", "nv")
+    base = _prep_normed(emb, id_col, vec_col, "id", "v", "n")
+    queries = (base.withColumnRenamed("id", "query_id")
+               .withColumnRenamed("v", "qv").withColumnRenamed("n", "qn"))
+    corpus = (base.withColumnRenamed("id", "neighbor_id")
+              .withColumnRenamed("v", "nv").withColumnRenamed("n", "nn"))
     cand = (
         query_probe.join(corpus_bucket, "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")   # unique: each neighbor has ONE
         .join(queries, "query_id")           # bucket, so probes can't dup a pair
         .join(corpus, "neighbor_id")
-        .withColumn("cos", F.expr(cosine_sql("qv", "nv")))
+        .withColumn(
+            "cos", F.expr(dot_sql("qv", "nv")) / (F.col("qn") * F.col("nn"))
+        )
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -203,23 +265,42 @@ def kmeans_ivf_topk(
 def neardup_pairs_bucketed(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.3, k_clusters: int = 4, iters: int = 2,
-    scale: int = 1000, round_to: int = 4,
+    scale: int = 1000, round_to: int = 4, salt: int = 16,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """(a, b, cos) near-duplicate pairs among SAME-k-means-bucket vectors.
 
     The scale path for embedding near-dup: the k-means bucket join replaces
     the all-pairs crossJoin — candidate volume is Σ bucket² instead of n²,
     at the documented cost of missing cross-bucket pairs (recall tunes via
-    k_clusters; near-duplicates quantize together almost surely)."""
-    buckets = kmeans_ranked(emb, id_col, vec_col, k_clusters, iters, scale)
-    buckets = buckets.filter(F.col("__rn") == 1).select("id", "cid")
-    base = _prep(emb, id_col, vec_col, "id", "v").join(buckets, "id")
-    a = base.select(F.col("id").alias("a"), F.col("v").alias("va"), "cid")
-    b = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), "cid")
+    k_clusters; near-duplicates quantize together almost surely).
+
+    The self-join key has only ``k_clusters`` distinct values, so without
+    help its parallelism is capped at k_clusters tasks and a big bucket is
+    a straggler. The left side is therefore salted (``id % salt``) and the
+    right side replicated ``salt``x — the block-join trade: salt x more
+    rows shuffled on the replicated side buys salt x the parallelism for
+    the per-pair scoring, which dominates. Each pair still arises exactly
+    once (a given ``a`` carries one salt value). ``ranked`` accepts a
+    prefit quantizer (:func:`kmeans_ranked_cached`)."""
+    if ranked is None:
+        ranked = kmeans_ranked(emb, id_col, vec_col, k_clusters, iters, scale)
+    buckets = ranked.filter(F.col("__rn") == 1).select("id", "cid")
+    base = _prep_normed(emb, id_col, vec_col, "id", "v", "n").join(buckets, "id")
+    a = base.select(
+        F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"),
+        "cid", F.pmod(F.col("id"), F.lit(salt)).alias("__salt"),
+    )
+    b = base.select(
+        F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"),
+        "cid", F.explode(F.expr(f"sequence(0, {salt - 1})")).alias("__salt"),
+    )
     return (
-        a.join(b, "cid")
+        a.join(b, ["cid", "__salt"])
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos", F.expr(cosine_sql("va", "vb")))
+        .withColumn(
+            "cos", F.expr(dot_sql("va", "vb")) / (F.col("na") * F.col("nb"))
+        )
         .filter(F.col("cos") > threshold)
         .select("a", "b", F.round("cos", round_to).alias("cos"))
     )
@@ -233,13 +314,15 @@ def neardup_pairs(
 
     Exactness baseline: crossJoin bounded by ``n``; use
     :func:`neardup_pairs_bucketed` for whole-corpus scale."""
-    sub = _prep(emb, id_col, vec_col, "id", "v").filter(F.col("id") < n)
-    a = sub.select(F.col("id").alias("a"), F.col("v").alias("va"))
-    b = sub.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    sub = _prep_normed(emb, id_col, vec_col, "id", "v", "nm").filter(F.col("id") < n)
+    a = sub.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("nm").alias("na"))
+    b = sub.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nm").alias("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos", F.expr(cosine_sql("va", "vb")))
+        .withColumn(
+            "cos", F.expr(dot_sql("va", "vb")) / (F.col("na") * F.col("nb"))
+        )
         .filter(F.col("cos") > threshold)
         .select("a", "b", F.round("cos", round_to).alias("cos"))
     )

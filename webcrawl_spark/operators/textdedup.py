@@ -57,18 +57,65 @@ def shingle_hashes_sql(col: str, k: int = 5) -> str:
 
 
 def minhash_array_sql(col: str, num_hashes: int, k: int = 5) -> str:
-    """``array<bigint>`` of all ``num_hashes`` MinHashes with the shingle md5
-    pass done ONCE per row: the shingle-hash array is bound to a lambda
-    variable (one-element array + transform), so Catalyst's projection
-    collapse cannot inline — and thus recompute — the md5 scan per hash
-    function. The md5-per-shingle pass dominates MinHash cost; this is an
-    ``num_hashes``× reduction of it."""
+    """``array<bigint>`` of all ``num_hashes`` MinHashes as a single column
+    expression (the shingle-hash array is bound to a lambda variable so
+    projection collapse cannot duplicate the md5 scan per hash function).
+
+    Expression form only — higher-order functions are interpreted
+    (CodegenFallback), which made this 3-8x slower than
+    :func:`minhash_wide`'s generator+aggregate form in practice; the
+    pipeline entry points use that instead."""
     mins = ", ".join(
         f"cast(array_min(transform(hs, h -> "
         f"({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_PRIME})) as bigint)"
         for j in range(num_hashes)
     )
     return f"transform(array({shingle_hashes_sql(col, k)}), hs -> array({mins}))[0]"
+
+
+def _shingle_hash_rows(
+    docs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, h0): one row per k-shingle OCCURRENCE, 32-bit base hash.
+
+    Whole-stage-codegen throughout: the shingle positions come from an
+    exploded ``sequence`` (a generator, not a higher-order function) and the
+    md5 hash is computed once per occurrence in a collapsed projection.
+    No distinct pass — MIN aggregation is idempotent over duplicate
+    shingles, so deduplication would only add a shuffle."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("__t"),
+            F.explode(
+                F.expr(f"sequence(1, greatest(length({text_col}) - {k - 1}, 1))")
+            ).alias("i"),
+        )
+        .select("id", F.expr(HASH32.format(col=f"substring(__t, i, {k})")).alias("h0"))
+    )
+
+
+def minhash_wide(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 8, k: int = 5,
+) -> DataFrame:
+    """(id, sig ``array<bigint>``) wide MinHash signatures.
+
+    The scale form: explode shingles as generator rows, hash each occurrence
+    once, and take the ``num_hashes`` affine mins as aggregate functions —
+    the whole pipeline stays inside WholeStageCodegen and the groupBy
+    partial-aggregates map-side (each task ships ≤ ``num_hashes`` values
+    per id into the single uniform-key shuffle)."""
+    rows = _shingle_hash_rows(docs, text_col, id_col, k)
+    aggs = [
+        F.min(
+            F.expr(f"({MINHASH_A[j]} * h0 + {MINHASH_B[j]}) % {MINHASH_PRIME}")
+        ).cast("bigint").alias(f"__mh{j}")
+        for j in range(num_hashes)
+    ]
+    return rows.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[f"__mh{j}" for j in range(num_hashes)]).alias("sig")
+    )
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -86,10 +133,7 @@ def minhash_signatures(
     num_hashes: int = 8, k: int = 5,
 ) -> DataFrame:
     """Long-form signatures: (id, h, minhash) — one row per hash function."""
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        F.expr(minhash_array_sql(text_col, num_hashes, k)).alias("sig"),
-    )
+    sig = minhash_wide(docs, text_col, id_col, num_hashes, k)
     return sig.select(
         "id", F.posexplode("sig").alias("h", "minhash")
     )
@@ -103,10 +147,7 @@ def lsh_buckets(
     hashes concatenated. ONE signature pass + one explode (the per-band
     union of the naive formulation would recompute the md5 scan per band)."""
     nh = bands * rows_per_band
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        F.expr(minhash_array_sql(text_col, nh, k)).alias("mh"),
-    )
+    sig = minhash_wide(docs, text_col, id_col, nh, k).withColumnRenamed("sig", "mh")
     row_refs = ", ".join(
         f"cast(mh[b * {rows_per_band} + {r}] as string)"
         for r in range(rows_per_band)

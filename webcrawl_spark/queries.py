@@ -492,12 +492,21 @@ def q_cosine_topk(spark, sf_dir):
     return SIM.brute_force_topk(_t(spark, sf_dir, "embeddings"), n_queries=8, k=5)
 
 
+def _shared_quantizer(spark, sf_dir):
+    """Fit-once k-means quantizer shared by ann_ivf_topk and
+    embed_neardup_ann (memoized per application+input in similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb, SIM.kmeans_ranked_cached(
+        emb, k_clusters=4, iters=2, cache_key=("emb", sf_dir)
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN with the deterministic integer k-means quantizer + 2-probe
     search (operators/similarity.kmeans_ivf_topk)."""
+    emb, ranked = _shared_quantizer(spark, sf_dir)
     return SIM.kmeans_ivf_topk(
-        _t(spark, sf_dir, "embeddings"),
-        n_queries=8, k=5, k_clusters=4, iters=2, probes=2,
+        emb, n_queries=8, k=5, k_clusters=4, iters=2, probes=2, ranked=ranked,
     )
 
 
@@ -974,10 +983,12 @@ def q_ngram_jaccard_lsh(spark, sf_dir):
 
 
 def q_embed_neardup_ann(spark, sf_dir):
-    """Whole-corpus embedding near-dup via the k-means bucket join (the
-    scale path replacing the n-bounded crossJoin baseline)."""
+    """Whole-corpus embedding near-dup via the salted k-means bucket join
+    (the scale path replacing the n-bounded crossJoin baseline); shares the
+    quantizer fit with ann_ivf_topk."""
+    emb, ranked = _shared_quantizer(spark, sf_dir)
     return SIM.neardup_pairs_bucketed(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, k_clusters=4, iters=2
+        emb, threshold=0.3, k_clusters=4, iters=2, ranked=ranked
     )
 
 
