@@ -26,8 +26,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .ckpt import cut
 
-def resolve_redirects(pages: DataFrame, max_redirects: int = 20) -> DataFrame:
+
+def resolve_redirects(
+    pages: DataFrame, max_redirects: int = 20, reliable: bool = False
+) -> DataFrame:
     """(url, final_url, hops, exceeded) for every row with redirect_to set.
 
     ``final_url`` is where the chain lands after at most ``max_redirects``
@@ -58,7 +62,7 @@ def resolve_redirects(pages: DataFrame, max_redirects: int = 20) -> DataFrame:
             )
         )
         if (i + 1) % 4 == 0 or i == max_redirects - 2:
-            stepped = stepped.localCheckpoint(eager=True)
+            stepped = cut(stepped, reliable)
             if stepped.filter("__advanced").isEmpty():
                 state = stepped.drop("__advanced")
                 break
@@ -78,7 +82,9 @@ def resolve_redirects(pages: DataFrame, max_redirects: int = 20) -> DataFrame:
     )
 
 
-def effective_pages(pages: DataFrame, max_redirects: int = 20) -> DataFrame:
+def effective_pages(
+    pages: DataFrame, max_redirects: int = 20, reliable: bool = False
+) -> DataFrame:
     """Fetch-ready view:
     (url, html, http_status, final_url, exceeded, final_present).
 
@@ -114,7 +120,7 @@ def effective_pages(pages: DataFrame, max_redirects: int = 20) -> DataFrame:
         F.lit(False).alias("exceeded"),
         F.lit(True).alias("final_present"),
     )
-    res = resolve_redirects(pages, max_redirects)
+    res = resolve_redirects(pages, max_redirects, reliable)
     # presence = the terminal ROW exists (its html may still be NULL — a
     # retryable failure at the redirected location, same as a direct fetch)
     targets = pages.filter(F.col("redirect_to").isNull()).select(

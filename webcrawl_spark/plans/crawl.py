@@ -54,24 +54,29 @@ class SparkCrawler:
         self.cfg = config
         self.state = CrawlState(spark, state_dir)
 
-        # redirect chains resolve ONCE per crawl (static property of the
-        # pages table); the per-round fetch join sees the effective view.
-        # Tables without a redirect_to column pass through unchanged.
-        from ..operators.redirect import effective_pages
-
-        self.eff_pages = effective_pages(pages, config.max_redirects)
-        if "redirect_to" in pages.columns:
-            self.eff_pages = self.eff_pages.localCheckpoint(eager=True)
-
         self._ext_table = M.build_ext_table(config.mime_overrides)
         if config.reliable_checkpoints:
             # cluster mode: lineage cuts go to shared storage with the rest
-            # of the crawl state and survive executor loss
+            # of the crawl state and survive executor loss (set BEFORE the
+            # effective-pages cut below, which every round's fetch join
+            # depends on — a local cut there would defeat the guarantee)
             import os as _os
 
             spark.sparkContext.setCheckpointDir(
                 _os.path.join(state_dir, "_ckpt")
             )
+
+        # redirect chains resolve ONCE per crawl (static property of the
+        # pages table); the per-round fetch join sees the effective view.
+        # Tables without a redirect_to column pass through unchanged.
+        from ..operators.ckpt import cut as _cut
+        from ..operators.redirect import effective_pages
+
+        self.eff_pages = effective_pages(
+            pages, config.max_redirects, config.reliable_checkpoints
+        )
+        if "redirect_to" in pages.columns:
+            self.eff_pages = _cut(self.eff_pages, config.reliable_checkpoints)
         rules = robots_rules if robots_rules is not None else _EMPTY_ROBOTS
         rule_index = R.build_rule_index(rules) if config.robots_enabled else {}
         delays = R.crawl_delays(rules) if config.robots_enabled else {}
@@ -270,6 +275,20 @@ class SparkCrawler:
         k = m.next_round
         st = self.state
         self.ctx.bloom_dir = self._bloom_dir
+        bloom_cb = None
+        if self._bloom_dir is not None:
+            # executor-side delta update: the round's seen delta (served from
+            # the round's acc checkpoint, host_hash attached) ORs into
+            # per-partition bitset files; untouched partitions carry forward
+            # as hard links. The driver moves file metadata only — never keys.
+            # Passed as a callback so run_round overlaps it with the frontier
+            # and seen-delta commits.
+            prev_dir = self._bloom_dir
+            nd = B.sidecar_dir(st.root, k + 1)
+
+            def bloom_cb(keys_df):
+                B.build_sidecar(keys_df, prev_dir, nd, self.cfg.bloom_bits)
+
         stats = run_round(
             self.spark,
             self.ctx,
@@ -283,19 +302,11 @@ class SparkCrawler:
             m.next_fetch_seq,
             m.frontier_rows,
             seen_rows=m.next_seq,   # every discovery seq = one seen insertion
+            bloom_update=bloom_cb,
         )
-        _mk("run_round_total")
-        if self._bloom_dir is not None:
-            # executor-side delta update: the round's seen delta (served from
-            # the round's acc checkpoint, host_hash attached) ORs into
-            # per-partition bitset files; untouched partitions carry forward
-            # as hard links. The driver moves file metadata only — never keys.
-            nd = B.sidecar_dir(st.root, k + 1)
-            B.build_sidecar(
-                stats.seen_keys, self._bloom_dir, nd, self.cfg.bloom_bits
-            )
+        if bloom_cb is not None:
             self._bloom_dir = nd
-            _mk("bloom_delta_update")
+        _mk("run_round_total")
         nm = Manifest(
             next_round=k + 1,
             next_seq=stats.next_seq,

@@ -51,6 +51,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
+from pyspark import InheritableThread
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -112,6 +113,31 @@ def _budget_col(ctx: RoundContext):
     return F.coalesce(m[F.col("host")], F.lit(default))
 
 
+class _Job(InheritableThread):
+    """Background Spark action: the round's independent commits (fetch_log,
+    seen delta, frontier, Bloom sidecar) overlap instead of queueing as
+    serial driver actions — the scheduler interleaves their tasks. Each
+    writes its own directory; the manifest commit (after all joins) remains
+    the only visibility point, so failure atomicity is unchanged."""
+
+    def __init__(self, fn):
+        super().__init__(target=self._run)
+        self._fn = fn
+        self.exc = None
+        self.start()
+
+    def _run(self):
+        try:
+            self._fn()
+        except BaseException as e:  # re-raised on wait() in the driver thread
+            self.exc = e
+
+    def wait(self):
+        self.join()
+        if self.exc is not None:
+            raise self.exc
+
+
 def _lazy_seq(df: DataFrame, order_cols: list, start: int, out_col: str) -> DataFrame:
     """Single-partition global numbering — deterministic, zero extra jobs;
     for rounds below the small-round threshold only."""
@@ -134,6 +160,7 @@ def run_round(
     next_fetch_seq: int,
     frontier_rows: int,
     seen_rows: int = None,
+    bloom_update=None,
 ) -> RoundStats:
     cfg = ctx.cfg
     P = cfg.num_partitions
@@ -321,17 +348,10 @@ def run_round(
         F.count(F.when(F.col("status") == "ok", 1)).alias("n_good"),
         F.count(F.when(F.col("status") == "retryable", 1)).alias("n_retry"),
     )
-    state.write_table("fetch_log", rnd, fetch_log)
-    _mark("fetch_log_write")
-    fvals = obs_f.get
-    n_selected, n_good, n_retry = fvals["n_sel"], fvals["n_good"], fvals["n_retry"]
-    next_fetch_seq += n_selected
-    counters += [
-        (rnd, "select", "selected", n_selected),
-        (rnd, "fetch", "fetched", n_good),
-        (rnd, "fetch", "retries", n_retry),
-        (rnd, "fetch", "errors", n_selected - n_good - n_retry),
-    ]
+    # the fetch_log commit has no downstream dependents until its
+    # Observation is read — run it in the background so the parse stage
+    # (which reads the same decode checkpoint) overlaps it
+    fl_job = _Job(lambda: state.write_table("fetch_log", rnd, fetch_log))
 
     retry_rows = retry.withColumn("failures", F.col("__nf")).select(*FRONTIER_COLS)
 
@@ -354,14 +374,28 @@ def run_round(
             CANDIDATE_SCHEMA,
         )
     )
-    cand = cut(cand, cfg.reliable_checkpoints)
     # discoveries (acc ⊆ cand) can be orders of magnitude larger than the
     # incoming frontier (fan-out × links per page), so the single-partition
     # fast path for 5f gates on the candidate count, not frontier_rows; the
-    # count scans the materialized checkpoint only.
-    cand_count = cand.count()
+    # count rides the checkpoint job as an Observation (no standalone scan).
+    obs_c = Observation(f"cand_r{rnd}")
+    cand = cand.observe(obs_c, F.count(F.lit(1)).alias("n"))
+    cand = cut(cand, cfg.reliable_checkpoints)
+    cand_count = cand.count() if cfg.reliable_checkpoints else obs_c.get["n"]
     small_acc = cand_count <= cfg.small_round_threshold
     _mark("parse_ckpt")
+
+    fl_job.wait()
+    _mark("fetch_log_join")
+    fvals = obs_f.get
+    n_selected, n_good, n_retry = fvals["n_sel"], fvals["n_good"], fvals["n_retry"]
+    next_fetch_seq += n_selected
+    counters += [
+        (rnd, "select", "selected", n_selected),
+        (rnd, "fetch", "fetched", n_good),
+        (rnd, "fetch", "retries", n_retry),
+        (rnd, "fetch", "errors", n_selected - n_good - n_retry),
+    ]
 
     # ---------------- 5. ENQUEUE ----------------
     # 5a. min-depth merge into carried entries (still-queued rediscoveries,
@@ -369,9 +403,15 @@ def run_round(
     #     candidate minima is exact.
     # the selected set is politeness-budget-bounded (hosts × per-host cap),
     # never corpus-sized — broadcast it so the (huge) frontier is filtered
-    # in place instead of shuffled
+    # in place instead of shuffled. The hint is gated on the MEASURED
+    # selected-row count (known from the fetch Observation): with
+    # max_connections unset, hosts-with-work × per-host budget can exceed
+    # driver memory, and Catalyst must pick the join then.
+    sel_seqs = joined.select("seq")
+    if n_selected <= 5_000_000:
+        sel_seqs = F.broadcast(sel_seqs)
     carried = frontier.join(
-        F.broadcast(joined.select("seq")), "seq", "left_anti"
+        sel_seqs, "seq", "left_anti"
     ).select(*FRONTIER_COLS).unionByName(retry_rows)
     cand_mins = cand.groupBy("host", "url_key").agg(F.min("depth").alias("__cmin"))
     carried = (
@@ -497,8 +537,12 @@ def run_round(
     acc = cut(acc, cfg.reliable_checkpoints)
     if bloom_flagged is not None:
         bloom_flagged.unpersist()
+    seen.unpersist()
     _mark("acc_ckpt")
 
+    # the three remaining commits all read only checkpointed inputs and
+    # write independent directories — run them CONCURRENTLY (the per-round
+    # serial-action floor is what caps scaling efficiency at small rounds)
     # seen delta write carries an Observation so n_new costs no extra job
     obs = Observation(f"seen_r{rnd}")
     seen_delta = acc.select(
@@ -508,11 +552,6 @@ def run_round(
         F.col("first_depth").cast("int").alias("first_depth"),
         F.lit(rnd).cast("int").alias("first_round"),
     ).observe(obs, F.count(F.lit(1)).alias("n"))
-    state.write_table("seen", rnd + 1, seen_delta)
-    _mark("seen_write")
-    n_new = obs.get["n"]
-    next_seq += n_new
-    counters.append((rnd, "enqueue", "new_links", n_new))
 
     new_entries = acc.select(
         "url", "url_key", "host",
@@ -530,12 +569,22 @@ def run_round(
         # (Crawler.cs:1475-1484) is honored structurally.
         F.lit(None).cast("string").alias("post_data"),
     )
-    state.write_table(
-        "frontier", rnd + 1, carried.select(*FRONTIER_COLS).unionByName(new_entries)
-    )
-
-    _mark("frontier_write")
-    seen.unpersist()
+    seen_keys = acc.select("host", host_hash_col(P).alias("host_hash"), "url_key")
+    jobs = [
+        _Job(lambda: state.write_table("seen", rnd + 1, seen_delta)),
+        _Job(lambda: state.write_table(
+            "frontier", rnd + 1,
+            carried.select(*FRONTIER_COLS).unionByName(new_entries),
+        )),
+    ]
+    if bloom_update is not None:
+        jobs.append(_Job(lambda: bloom_update(seen_keys)))
+    for j in jobs:
+        j.wait()
+    _mark("commit_writes")
+    n_new = obs.get["n"]
+    next_seq += n_new
+    counters.append((rnd, "enqueue", "new_links", n_new))
     frontier_rows_next = n_carried + n_new
     counters.append((rnd, "commit", "frontier_out", frontier_rows_next))
 
@@ -544,7 +593,5 @@ def run_round(
         next_fetch_seq=next_fetch_seq,
         frontier_rows=frontier_rows_next,
         counters=counters,
-        seen_keys=acc.select(
-            "host", host_hash_col(P).alias("host_hash"), "url_key"
-        ),
+        seen_keys=seen_keys,
     )
