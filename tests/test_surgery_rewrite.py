@@ -122,13 +122,26 @@ def test_enqueue_uri_between_runs(spark, tmp_path):
     cfg = fx.config.with_(num_partitions=4)
     c = SparkCrawler(spark, pdf, fx.seeds, str(tmp_path / "s"), cfg)
     c.run(max_rounds=1)
+    from webcrawl_spark.operators import bloom as B
+
+    bd = B.sidecar_dir(c.state.root, c.state.latest_manifest().next_round)
+    gen_before = B._generation(bd)
     assert c.enqueue_uri(orphan)
+    # O(1) in-place sidecar insert: the dir survives complete (no
+    # O(seen-set) rebuild queued for the next run) with a bumped generation
+    assert B.is_complete(bd)
+    assert B._generation(bd) > gen_before
     assert c.enqueue_uri(fx.seeds[0], force=True)
     assert not c.enqueue_uri(fx.seeds[0], force=False)
     assert not c.enqueue_uri("mailto:not-a-crawl-url")
+    # the manifest tracks the true seen count: chain seeds + discoveries
+    # + the orphan; the force-dup re-enqueue must NOT inflate it
+    m = c.state.latest_manifest()
+    assert m.seen_rows == c.seen().count()
 
     c2 = SparkCrawler(spark, pdf, fx.seeds, str(tmp_path / "s"), cfg)
     c2.run()
     urls = [r["url"] for r in c2.trace().collect()]
     assert orphan in urls
     assert urls.count(fx.seeds[0]) == 2
+    assert c2.state.latest_manifest().seen_rows == c2.seen().count()

@@ -142,15 +142,25 @@ def make_update_fn(prev_dir: str | None, out_dir: str, bits: int):
     return update
 
 
-# per-Python-worker bitset cache: files are round-scoped (immutable once the
-# dir is complete) so entries never go stale; bounded to cap worker memory
-# across long crawls (workers are reused between rounds).
+# per-Python-worker bitset cache: keyed by (dir, partition, generation),
+# where the generation is the _COMPLETE marker's mtime — any in-place
+# mutation of a complete dir (the O(1) EnqueueUri insert bumps the marker)
+# invalidates stale entries, so a same-path rebuild can never serve old
+# bitsets (false negatives → duplicate fetches). Bounded to cap worker
+# memory across long crawls (workers are reused between rounds).
 _PART_CACHE: dict = {}
 _PART_CACHE_MAX = 64
 
 
+def _generation(d: str) -> int:
+    try:
+        return os.stat(_marker(d)).st_mtime_ns
+    except OSError:
+        return -1
+
+
 def _cached_part(d: str, p: int):
-    key = (d, p)
+    key = (d, p, _generation(d))
     if key not in _PART_CACHE:
         if len(_PART_CACHE) >= _PART_CACHE_MAX:
             _PART_CACHE.clear()
@@ -214,6 +224,22 @@ def build_sidecar(keys_df, prev_dir: str | None, out_dir: str, bits: int) -> Non
                 shutil.copyfile(_part_path(prev_dir, p), dst)
     with open(_marker(out_dir), "w"):
         pass
+
+
+def add_key_inplace(d: str, host: str, url_key: str, host_hash: int,
+                    bits: int) -> None:
+    """O(1) single-key insert into a COMPLETE sidecar dir (the EnqueueUri
+    path — rebuilding the whole sidecar for one key would be an
+    O(seen-set) job). Only the key's partition file is rewritten, via
+    atomic replace: hard-linked copies of the old file in other round dirs
+    keep their inode and stay untouched. The _COMPLETE marker's mtime is
+    then bumped — the generation stamp that invalidates worker caches."""
+    p = int(host_hash)
+    prev = _load_part(d, p)
+    arr = prev.copy() if prev is not None else np.zeros(bits // 8, dtype=np.uint8)
+    set_bits(arr, pd.Series([host]), pd.Series([url_key]), bits)
+    _atomic_save(_part_path(d, p), arr)
+    os.utime(_marker(d))
 
 
 def gc_sidecars(state_root: str, keep_from_round: int) -> None:

@@ -221,6 +221,7 @@ class SparkCrawler:
         m = Manifest(
             next_round=0, next_seq=seq, next_fetch_seq=0, frontier_rows=len(rows),
             done=(len(rows) == 0),
+            seen_rows=len(first),   # unique keys (POST force-dups collapse)
         )
         self.state.commit(m)
         return m
@@ -301,7 +302,10 @@ class SparkCrawler:
             m.next_seq,
             m.next_fetch_seq,
             m.frontier_rows,
-            seen_rows=m.next_seq,   # every discovery seq = one seen insertion
+            # the true seen count from the manifest; old manifests (or a
+            # post-requeue-removal state) fall back to next_seq, which can
+            # only overstate (force-enqueues reuse seen keys)
+            seen_rows=m.seen_rows if m.seen_rows is not None else m.next_seq,
             bloom_update=bloom_cb,
         )
         if bloom_cb is not None:
@@ -314,6 +318,9 @@ class SparkCrawler:
             frontier_rows=stats.frontier_rows,
             done=(stats.frontier_rows == 0),
             counters=[list(c) for c in stats.counters],
+            seen_rows=(
+                None if m.seen_rows is None else m.seen_rows + stats.n_new
+            ),
         )
         st.commit(nm)
         if self._bloom_dir is not None:
@@ -404,9 +411,17 @@ def _enqueue_uri(crawler: "SparkCrawler", url: str, post_data=None,
             delta = crawler.spark.read.parquet(d).unionByName(delta)
         delta = delta.localCheckpoint(eager=True)
         st.write_table("seen", k, delta)
-        # the round-k bloom sidecar no longer covers the new key: drop it;
-        # the next run() rebuilds it distributed from the seen table
-        _shutil.rmtree(_os.path.join(st.root, "bloom"), ignore_errors=True)
+        # O(1) sidecar maintenance: OR the one key's bits into its partition
+        # file in place (an incomplete/missing sidecar falls back to the
+        # distributed rebuild on the next run())
+        bd = B.sidecar_dir(st.root, k)
+        if B.is_complete(bd):
+            row = entry.select("host", "url_key", "host_hash").head()
+            B.add_key_inplace(
+                bd, row.host, row.url_key, row.host_hash, cfg.bloom_bits
+            )
+        else:
+            _shutil.rmtree(_os.path.join(st.root, "bloom"), ignore_errors=True)
     st.commit(Manifest(
         next_round=k,
         next_seq=m.next_seq + 1,
@@ -414,6 +429,10 @@ def _enqueue_uri(crawler: "SparkCrawler", url: str, post_data=None,
         frontier_rows=m.frontier_rows + 1,
         done=False,
         counters=m.counters,
+        seen_rows=(
+            None if m.seen_rows is None
+            else m.seen_rows + (1 if seen_new else 0)
+        ),
     ))
     return True
 
@@ -469,6 +488,9 @@ def _frontier_removal(crawler: "SparkCrawler", pattern: str, allow_requeue: bool
         frontier_rows=m.frontier_rows - n_removed,
         done=(m.frontier_rows - n_removed) == 0,
         counters=m.counters,
+        # requeue removal shrinks seen by an uncounted amount → unknown;
+        # the no-requeue path leaves seen untouched
+        seen_rows=None if allow_requeue else m.seen_rows,
     ))
     return n_removed
 

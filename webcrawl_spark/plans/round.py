@@ -93,6 +93,7 @@ class RoundStats:
     next_fetch_seq: int
     frontier_rows: int
     counters: list
+    n_new: int = 0                # seen keys added this round
     seen_keys: DataFrame = None   # (host, host_hash, url_key) of this round's
                                   # seen delta, backed by the acc checkpoint —
                                   # the Bloom sidecar update reads this instead
@@ -593,5 +594,6 @@ def run_round(
         next_fetch_seq=next_fetch_seq,
         frontier_rows=frontier_rows_next,
         counters=counters,
+        n_new=n_new,
         seen_keys=seen_keys,
     )

@@ -50,6 +50,10 @@ class Manifest:
     frontier_rows: int    # rows in frontier/round=next_round
     done: bool = False
     counters: list = field(default_factory=list)  # (round, stage, metric, value)
+    # true seen-key count (Bloom check-stage gate). None = unknown (old
+    # manifests / after a requeue removal) → callers fall back to next_seq,
+    # which only ever OVERSTATES (force-enqueues re-use seen keys).
+    seen_rows: int = None
 
 
 class CrawlState:
@@ -93,6 +97,7 @@ class CrawlState:
         with open(self._manifest_path(best)) as f:
             d = json.load(f)
         d.setdefault("counters", [])
+        d.setdefault("seen_rows", None)
         return Manifest(**d)
 
     def manifests(self) -> list:
@@ -102,6 +107,7 @@ class CrawlState:
             with open(self._manifest_path(k)) as f:
                 d = json.load(f)
             d.setdefault("counters", [])
+            d.setdefault("seen_rows", None)
             out.append(Manifest(**d))
             k += 1
         return out
