@@ -136,8 +136,9 @@ def q_crawl_frontier_round1(spark, sf_dir):
 
 
 def q_crawl_bfs_trace(spark, sf_dir):
-    """Full deterministic crawl trace (politeness + priority + rounds) —
-    iterative; no single-SQL equivalent → rows-only check."""
+    """Full deterministic crawl trace (politeness + priority + rounds).
+    Oracle: the scheduled BFS unrolled into per-round CTEs
+    (sources/synth_web.trace_sql) — hash-checked on every column."""
     c = _crawl(spark, sf_dir, 300)
     return c.trace().select(
         F.col("round").cast("long").alias("round"),
@@ -541,6 +542,11 @@ def _oracle_sql() -> dict:
     sql = {}
 
     sql["crawl_reach_seen"] = SW.reach_seen_sql(300)
+
+    # flagship trace: the politeness-scheduled BFS unrolled into static
+    # per-round CTEs (sources/synth_web.trace_sql) — full-row hash check
+    # on (round, fetch_seq, url, depth, link_type)
+    sql["crawl_bfs_trace"] = SW.trace_sql(300)
 
     sql["crawl_frontier_round1"] = f"""
 WITH {SW.edges_sql(300)}
@@ -1021,7 +1027,7 @@ def q_redirect_resolve(spark, sf_dir):
 QUERIES: dict[str, Callable] = {
     "crawl_reach_seen": q_crawl_reach_seen,
     "crawl_frontier_round1": q_crawl_frontier_round1,
-    "crawl_bfs_trace": q_crawl_bfs_trace,           # rows-only (iterative)
+    "crawl_bfs_trace": q_crawl_bfs_trace,
     "url_canonicalize": q_url_canonicalize,
     "link_extract": q_link_extract,
     "mime_infer": q_mime_infer,

@@ -146,6 +146,88 @@ edges AS (
 )"""
 
 
+def trace_sql(n_docs: int, n_seeds: int = 4, budget: int = 8,
+              rounds: int = 12, depth_limit: int = 50) -> str:
+    """FULL crawl-trace oracle: (round, fetch_seq, url, depth, link_type).
+
+    The synthetic-web crawl reduces to a politeness-scheduled BFS with a
+    total order (uniform priority, no retries/redirects/caps, every URL
+    present), so the whole engine loop — per-host top-``budget`` selection
+    by seq (MaxConnectionsPerServer, Crawler.cs:533-548), in-order
+    fetch_seq assignment, first-passing discovery ordering by (parent
+    fetch position, link position) (EnqueueCore, Crawler.cs:2507-2512),
+    seen-set dedup (Service.Enqueue, Crawler.cs:2301-2320) and min-depth
+    merge into still-queued entries (Crawler.cs:2303-2307) — unrolls into
+    ``rounds`` static per-round CTE blocks DuckDB evaluates exactly.
+    Over-unrolling is safe (a drained frontier yields empty picks); CTEs
+    are MATERIALIZED because each round references the previous twice,
+    which would otherwise inline exponentially.
+    """
+    host = host_id_expr("id")
+
+    def m(name, body):
+        return f"{name} AS MATERIALIZED ({body})"
+
+    parts = [
+        m("docs", f"SELECT doc_id FROM documents WHERE doc_id < {n_docs}"),
+        m("edges",
+          f"SELECT d.doc_id AS src, ks.k AS k, "
+          f"((d.doc_id * {LINK_MULT} + {LINK_STEP} * ks.k + 1) % {n_docs}) AS dst "
+          f"FROM docs d CROSS JOIN (SELECT unnest(range(0, {MAX_LINKS})) AS k) ks "
+          f"WHERE ks.k < 2 + (d.doc_id % 4)"),
+        m("f0", f"SELECT doc_id AS id, 0 AS depth, doc_id AS seq "
+                f"FROM docs WHERE doc_id < {n_seeds}"),
+        m("seen0", "SELECT id FROM f0"),
+    ]
+    for r in range(rounds):
+        parts += [
+            m(f"pick{r}",
+              f"SELECT id, depth, seq FROM ("
+              f"SELECT id, depth, seq, "
+              f"row_number() OVER (PARTITION BY {host} ORDER BY seq) AS rn "
+              f"FROM f{r}) WHERE rn <= {budget}"),
+            m(f"disc{r}",
+              f"SELECT e.dst AS id, p.depth + 1 AS depth, p.seq AS pseq, e.k AS k "
+              f"FROM pick{r} p JOIN edges e ON e.src = p.id "
+              f"WHERE p.depth + 1 <= {depth_limit}"),
+            # first-passing discovery per new key: position = (parent seq,
+            # link index) — parent fetch order within a round IS seq order,
+            # so this is the engine's (pos_f, pos_o); depth = min over the
+            # round's discoveries of the key
+            m(f"newseq{r}",
+              f"SELECT id, depth, "
+              f"(SELECT count(*) FROM seen{r}) "
+              f"+ row_number() OVER (ORDER BY posk) - 1 AS seq FROM ("
+              f"SELECT d.id, min(d.depth) AS depth, "
+              f"min(d.pseq * 1000000 + d.k) AS posk "
+              f"FROM disc{r} d ANTI JOIN seen{r} s ON s.id = d.id "
+              f"GROUP BY d.id)"),
+            m(f"f{r + 1}",
+              f"SELECT c.id, least(c.depth, coalesce(m.md, c.depth)) AS depth, "
+              f"c.seq FROM ("
+              f"SELECT f.* FROM f{r} f ANTI JOIN pick{r} p ON p.seq = f.seq) c "
+              f"LEFT JOIN (SELECT id, min(depth) AS md FROM disc{r} "
+              f"GROUP BY id) m ON m.id = c.id "
+              f"UNION ALL SELECT id, depth, seq FROM newseq{r}"),
+            m(f"seen{r + 1}",
+              f"SELECT id FROM seen{r} UNION ALL SELECT id FROM newseq{r}"),
+        ]
+    union = " UNION ALL ".join(
+        f"SELECT {r} AS round, id, depth, seq FROM pick{r}" for r in range(rounds)
+    )
+    return f"""
+WITH {",".join(parts)},
+trace AS ({union})
+SELECT CAST(round AS BIGINT) AS round,
+       CAST(row_number() OVER (ORDER BY round, seq) - 1 AS BIGINT) AS fetch_seq,
+       ('http://site' || CAST({host} AS VARCHAR) || '.test/doc'
+        || CAST(id AS VARCHAR) || '.html') AS url,
+       CAST(depth AS BIGINT) AS depth,
+       'link' AS link_type
+FROM trace ORDER BY fetch_seq
+"""
+
+
 def reach_seen_sql(n_docs: int, n_seeds: int = 4) -> str:
     """Seen-set membership oracle: BFS reachability from the seeds.
 
