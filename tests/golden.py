@@ -17,13 +17,14 @@ from webcrawl_spark.plans.crawl import SparkCrawler
 def run_oracle(fx: Fixture):
     return OracleCrawler(
         fx.pages_dict(), fx.seeds, fx.config, fx.robots,
-        redirects=fx.redirects, statuses=fx.statuses,
+        redirects=fx.redirects, statuses=fx.statuses, mimes=fx.mimes,
     ).run()
 
 
 _OPT_PAGE_FIELDS = {
     "redirect_to": T.StructField("redirect_to", T.StringType(), True),
     "http_status": T.StructField("http_status", T.IntegerType(), True),
+    "mime": T.StructField("mime", T.StringType(), True),
 }
 
 

@@ -122,6 +122,32 @@ def test_mime_overrides_golden(spark, tmp_path):
     assert mimes["http://mo.test/pic.jpg"] == "application/octet-stream"
 
 
+def test_mime_retype_golden(spark, tmp_path):
+    """Server-Content-Type re-type (GetMimeType, Crawler.cs:2100-2119):
+    an extension-less URL served text/css is scanned with the CSS regexes,
+    octet-stream suppresses parsing, a .css page served text/html is
+    scanned as HTML, and the header of a redirect's TERMINAL row wins."""
+    crawler = run_and_check(spark, gen.mime_retype_fixture(), tmp_path)
+    fetched = crawler.fetched().toPandas()
+    urls = set(fetched["url"])
+    # /styles re-typed text/css → its url(...) targets were discovered
+    assert "http://mt.test/fromcss.png" in urls
+    assert "http://mt.test/c2.gif" in urls
+    # /page.css re-typed text/html → its anchor was discovered
+    assert "http://mt.test/fromhtml.html" in urls
+    # extension-less with no header → HTML default → link discovered
+    assert "http://mt.test/fromplain.html" in urls
+    # octet-stream → binary: no text, and its link was never discovered
+    assert "http://mt.test/never.html" not in urls
+    meta = fetched.set_index("url")
+    assert meta.loc["http://mt.test/styles", "mime"] == "text/css"
+    assert meta.loc["http://mt.test/blob", "mime"] == "application/octet-stream"
+    assert meta.loc["http://mt.test/blob", "extracted_text"] is None
+    assert meta.loc["http://mt.test/page.css", "mime"] == "text/html"
+    # redirect /goto landed on /styles: typed by the terminal row's header
+    assert meta.loc["http://mt.test/goto", "mime"] == "text/css"
+
+
 def test_bloom_forced_golden(spark, tmp_path):
     """Force the Bloom check stage on from round 0 (bloom_min_seen=0) —
     byte-identical to the oracle; and again with a saturated 8-bit filter

@@ -159,6 +159,44 @@ def test_depth_exemption_external_resource(spark, tmp_path):
     assert "pic.png" in urls and "p2.html" not in urls
 
 
+def test_post_depth_exemption(spark, tmp_path):
+    """POSTs bypass the depth gate (Crawler.cs:1475-1484): with
+    depth_limit=0 no extracted link may enqueue, but user-forced POST
+    resources (EnqueueUri with postData) are still fetched — both at
+    crawl start (post_seeds) and injected mid-crawl via the runtime API."""
+    rng = random.Random(SEED + 8)
+    host = "http://pd.test"
+    rows = [
+        (f"{host}/index.html",
+         render_html([("/a.html", "link")], rng=rng, title="idx")),
+        (f"{host}/a.html", render_html([], rng=rng, title="a")),
+        (f"{host}/form.html",
+         render_html([("/result.html", "link")], rng=rng, title="form")),
+        (f"{host}/result.html", render_html([], rng=rng, title="res")),
+        (f"{host}/late.html", render_html([], rng=rng, title="late")),
+    ]
+    cfg = CrawlConfig(
+        max_connections=None, max_connections_per_server=8, depth_limit=0,
+        post_seeds=((f"{host}/form.html", "q=1"),),
+    )
+    c = run_and_check(spark, _fx("pdx", rows, [f"{host}/index.html"], cfg), tmp_path)
+    urls = {r["url"].rsplit("/", 1)[-1] for r in c.fetched().collect()}
+    # seeds + POST fetched; their depth-1 links gated out by depth_limit=0
+    assert urls == {"index.html", "form.html"}
+
+    # mid-crawl POST injection at the same exhausted depth budget: the
+    # runtime API's forced entry is fetched, its links still depth-gated
+    assert c.enqueue_uri(f"{host}/late.html", post_data="x=2")
+    from webcrawl_spark.plans.crawl import SparkCrawler
+
+    pages_df = c.pages
+    c2 = SparkCrawler(spark, pages_df, [f"{host}/index.html"],
+                      c.state.root, cfg)
+    c2.run()
+    urls2 = {r["url"].rsplit("/", 1)[-1] for r in c2.fetched().collect()}
+    assert urls2 == {"index.html", "form.html", "late.html"}
+
+
 def test_both_caps_combined(spark, tmp_path):
     """MaxQueuedLinks + MaxQueryStringsPerFile active together — the
     set-based two-pass cap accounting must still match the oracle."""

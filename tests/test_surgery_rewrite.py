@@ -100,6 +100,43 @@ def test_rewrite_substring_collision(spark):
     assert "body mentions /a.html literally" in doc
 
 
+def test_rewrite_unmapped_relative_to_original(spark):
+    """A relative link to an UNFETCHED page must be spliced to its absolute
+    original URL so it still resolves offline (BeginRewritingToOriginalUrl,
+    Crawler.cs:3246-3294); absolute unmapped links stay untouched; mapped
+    links still localize."""
+    import pandas as pd
+
+    html = (
+        '<a href="/a.html">mirrored</a>'
+        '<a href="/missing.html">unfetched-rel</a>'
+        '<a href="http://other.test/x.html">unfetched-abs</a>'
+    )
+    fetched = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["http://h.test/a.html", "http://h.test/index.html"],
+                "host": ["h.test"] * 2,
+                "url_key": ["/a.html", "/index.html"],
+                "extracted_text": ["<html></html>", html],
+            }
+        )
+    )
+    from webcrawl_spark.operators.rewrite import rewrite_links
+
+    out = {r["url"]: r["rewritten"] for r in rewrite_links(spark, fetched).collect()}
+    doc = out["http://h.test/index.html"]
+    assert 'href="h.test/a.html">' in doc                      # localized
+    assert 'href="http://h.test/missing.html">' in doc         # rel → original
+    assert 'href="http://other.test/x.html">' in doc           # abs untouched
+    # opt-out keeps the dangling relative href as-is
+    out2 = {
+        r["url"]: r["rewritten"]
+        for r in rewrite_links(spark, fetched, unmapped_to_original=False).collect()
+    }
+    assert 'href="/missing.html">' in out2["http://h.test/index.html"]
+
+
 def test_enqueue_uri_between_runs(spark, tmp_path):
     """EnqueueUri API (Crawler.cs:1081-1101): force-enqueue between runs —
     an orphan page gets fetched, a force dup refetches a seen url, and a

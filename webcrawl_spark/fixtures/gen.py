@@ -55,6 +55,7 @@ class Fixture:
     )
     redirects: dict = field(default_factory=dict)  # url -> Location target
     statuses: dict = field(default_factory=dict)   # url -> HTTP status (absent = 200)
+    mimes: dict = field(default_factory=dict)      # url -> server Content-Type
 
     def pages_dict(self) -> dict:
         """Content rows only — redirect rows live in ``redirects``."""
@@ -109,11 +110,17 @@ def _mk_pages(
     lang: str = "en",
     redirects: dict | None = None,
     statuses: dict | None = None,
+    mimes: dict | None = None,
 ) -> pd.DataFrame:
     """Pages frame; with ``redirects`` adds a redirect_to column plus one
     content-less row per redirect url (html/text NULL); with ``statuses``
-    adds an http_status column (absent/NULL = 200)."""
+    adds an http_status column (absent/NULL = 200); with ``mimes`` adds a
+    mime column (the server Content-Type header; absent/NULL = no header)."""
     pdf = _mk_content_pages(rows, lang)
+    if mimes:
+        pdf["mime"] = pd.Series(
+            [mimes.get(u) for u in pdf["url"]], index=pdf.index, dtype="object"
+        )
     if statuses:
         # object column of python ints/None — converts identically with or
         # without Arrow (float NaN trips the non-Arrow createDataFrame path;
@@ -142,6 +149,8 @@ def _mk_pages(
             [None if pd.isna(v) else int(v) for v in pdf["http_status"]],
             index=pdf.index, dtype="object",
         )
+    if "mime" in pdf.columns:
+        pdf["mime"] = pdf["mime"].where(pdf["mime"].notna(), None).astype("object")
     return pdf
 
 
@@ -644,6 +653,66 @@ def mime_override_fixture() -> Fixture:
     )
 
 
+def mime_retype_fixture() -> Fixture:
+    """Server-Content-Type re-type (GetMimeType prefers the response header
+    over the extension guess, Crawler.cs:2100-2119):
+
+    - /styles (extension-less) served text/css → its url(...) links are
+      scanned with the CSS regexes instead of defaulting to HTML
+    - /blob (extension-less) served application/octet-stream → binary:
+      no decode, no links
+    - /page.css served text/html → scanned as HTML despite the extension
+    - /plain (extension-less, no header) → HTML default unchanged
+    - a redirect lands on /styles → the TERMINAL row's header re-types it
+    """
+    rng = random.Random(SEED + 17)
+    host = "http://mt.test"
+    rows = [
+        (
+            f"{host}/index.html",
+            render_html(
+                [
+                    ("/styles", "resource"),
+                    ("/blob", "link"),
+                    ("/page.css", "link"),
+                    ("/plain", "link"),
+                    ("/goto", "link"),
+                ],
+                rng=rng,
+                title="idx",
+            ),
+        ),
+        (f"{host}/styles", render_css([f"{host}/fromcss.png", "/c2.gif"])),
+        (f"{host}/blob", render_html([("/never.html", "link")], rng=rng, title="b")),
+        (f"{host}/page.css",
+         render_html([("/fromhtml.html", "link")], rng=rng, title="p")),
+        (f"{host}/plain", render_html([("/fromplain.html", "link")], rng=rng, title="q")),
+        (f"{host}/fromcss.png", b"\x89PNG-fake"),
+        (f"{host}/c2.gif", b"GIF89a-fake"),
+        (f"{host}/fromhtml.html", render_html([], rng=rng, title="fh")),
+        (f"{host}/fromplain.html", render_html([], rng=rng, title="fp")),
+    ]
+    redirects = {f"{host}/goto": f"{host}/styles"}
+    mimes = {
+        f"{host}/styles": "text/css; charset=utf-8",
+        f"{host}/blob": "application/octet-stream",
+        f"{host}/page.css": "text/html",
+    }
+    return Fixture(
+        "mime_retype",
+        _mk_pages(rows, redirects=redirects, mimes=mimes),
+        [f"{host}/index.html"],
+        CrawlConfig(
+            max_connections=None,
+            max_connections_per_server=10,
+            want_nonhtml=True,
+            external_resources=True,
+        ),
+        redirects=redirects,
+        mimes=mimes,
+    )
+
+
 def post_fixture() -> Fixture:
     """User POST resources (EnqueueUri(uri, postData), Crawler.cs:1081-1101):
 
@@ -698,6 +767,7 @@ ALL_TOPOLOGIES = {
     "post": post_fixture,
     "http_errors": http_errors_fixture,
     "mime_overrides": mime_override_fixture,
+    "mime_retype": mime_retype_fixture,
 }
 
 

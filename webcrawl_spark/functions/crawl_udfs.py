@@ -109,6 +109,18 @@ def make_decode_stage(cfg: CrawlConfig, base_uris_bc):
             # no response headers: unfetched-type pages are HTML (oracle ADAPT)
             rtype = rtype.where(rtype != M.UNKNOWN, M.HTML)
             mime = rtype.map(M.mime_of_type)
+            # second-chance re-type from the server Content-Type when the
+            # pages table carries one (GetMimeType prefers the response
+            # header over the extension guess, Crawler.cs:2100-2119)
+            if "server_mime" in pdf.columns:
+                srv = M.resource_types_of_mime_batch(pdf["server_mime"])
+                use = srv != M.UNKNOWN
+                rtype = srv.where(use, rtype)
+                base = (
+                    pdf["server_mime"].fillna("").astype(str)
+                    .str.split(";").str[0].str.strip().str.lower()
+                )
+                mime = base.where(use, mime)
             is_binary = rtype == M.BINARY
             rejected = reject.notna()
             dec = decode_batch(

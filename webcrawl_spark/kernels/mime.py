@@ -76,6 +76,20 @@ def resource_type_of_mime(mime: str | None) -> str:
     return _MIME_TO_TYPE.get(mime.split(";", 1)[0].strip().lower(), BINARY)
 
 
+def normalize_mime(mime: str) -> str:
+    """Base content type: parameters stripped, lowercased."""
+    return mime.split(";", 1)[0].strip().lower()
+
+
+def resource_types_of_mime_batch(mimes: pd.Series) -> pd.Series:
+    """Vectorized :func:`resource_type_of_mime` over a (nullable)
+    Content-Type Series — NULL/empty → unknown, unmapped → binary."""
+    base = mimes.fillna("").astype(str).str.split(";").str[0].str.strip().str.lower()
+    rtype = base.map(_MIME_TO_TYPE)
+    rtype = rtype.where(rtype.notna(), BINARY)
+    return rtype.where(base != "", UNKNOWN)
+
+
 def extension_of_path(path: str) -> str:
     """Extension (no dot, lower) of the last path segment; '' if none.
 

@@ -86,29 +86,40 @@ def effective_pages(
     pages: DataFrame, max_redirects: int = 20, reliable: bool = False
 ) -> DataFrame:
     """Fetch-ready view:
-    (url, html, http_status, final_url, exceeded, final_present).
+    (url, html, http_status, server_mime, final_url, exceeded,
+    final_present).
 
-    - no-redirect rows: their own html/status, final_url NULL,
+    - no-redirect rows: their own html/status/mime, final_url NULL,
       final_present true.
-    - redirect rows: the TERMINAL row's html/status; final_present false
-      when the chain lands on a url absent from the table (the reference's
-      404 at the redirected location).
+    - redirect rows: the TERMINAL row's html/status/mime; final_present
+      false when the chain lands on a url absent from the table (the
+      reference's 404 at the redirected location).
 
     ``http_status`` (optional column; NULL = 200 OK) carries protocol
     errors into the IsFatalError routing (kernels/errors.py).
+    ``mime`` (optional column; the server's Content-Type header) drives the
+    decode stage's second-chance re-type (GetMimeType prefers the response
+    header over the extension guess, Crawler.cs:2100-2119) — surfaced here
+    as ``server_mime``, from the response-serving (terminal) row.
 
-    If the table has neither optional column this is a plain projection —
-    the machinery costs nothing when unused.
+    If the table has none of the optional columns this is a plain
+    projection — the machinery costs nothing when unused.
     """
     status = (
         F.col("http_status").cast("int")
         if "http_status" in pages.columns
         else F.lit(None).cast("int")
     )
+    smime = (
+        F.col("mime").cast("string")
+        if "mime" in pages.columns
+        else F.lit(None).cast("string")
+    )
     if "redirect_to" not in pages.columns:
         return pages.select(
             "url", "html",
             status.alias("http_status"),
+            smime.alias("server_mime"),
             F.lit(None).cast("string").alias("final_url"),
             F.lit(False).alias("exceeded"),
             F.lit(True).alias("final_present"),
@@ -116,6 +127,7 @@ def effective_pages(
     plain = pages.filter(F.col("redirect_to").isNull()).select(
         "url", "html",
         status.alias("http_status"),
+        smime.alias("server_mime"),
         F.lit(None).cast("string").alias("final_url"),
         F.lit(False).alias("exceeded"),
         F.lit(True).alias("final_present"),
@@ -127,12 +139,14 @@ def effective_pages(
         F.col("url").alias("final_url"),
         F.col("html").alias("__f_html"),
         status.alias("__f_status"),
+        smime.alias("__f_mime"),
         F.lit(True).alias("__f_present"),
     )
     redirected = res.join(targets, "final_url", "left").select(
         "url",
         F.col("__f_html").alias("html"),
         F.col("__f_status").alias("http_status"),
+        F.col("__f_mime").alias("server_mime"),
         "final_url",
         "exceeded",
         F.coalesce("__f_present", F.lit(False)).alias("final_present"),

@@ -55,12 +55,13 @@ def local_paths(fetched: DataFrame) -> DataFrame:
 
 
 REWRITE_SCHEMA = "url string, rewritten string"
-SPANS_SCHEMA = "url string, s long, e long, canon string"
+SPANS_SCHEMA = "url string, s long, e long, canon string, abs string, is_rel boolean"
 
 
 def make_linkspan_stage():
     """(url, extracted_text) batches → one row per link occurrence:
-    (url, span_start, span_end, canonical_target)."""
+    (url, span_start, span_end, canonical_target, resolved_absolute,
+    was_relative)."""
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -78,12 +79,14 @@ def make_linkspan_stage():
                 )
                 canon = canonicalize(resolved)
                 rows.extend(
-                    (url, f[0], f[1], c)
-                    for f, c in zip(found, canon["url"])
+                    (url, f[0], f[1], c, r, f[2] != r)
+                    for f, r, c in zip(found, resolved, canon["url"])
                     if c is not None
                 )
             if rows:
-                yield pd.DataFrame(rows, columns=["url", "s", "e", "canon"])
+                yield pd.DataFrame(
+                    rows, columns=["url", "s", "e", "canon", "abs", "is_rel"]
+                )
 
     return stage
 
@@ -108,21 +111,37 @@ def _splice_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"url": pdf["url"], "rewritten": outs})
 
 
-def rewrite_links(spark, fetched: DataFrame) -> DataFrame:
+def rewrite_links(
+    spark, fetched: DataFrame, unmapped_to_original: bool = True
+) -> DataFrame:
     """(url, rewritten) — fetched HTML with intra-mirror links localized.
 
     Every stage is distributed: span scan (mapInPandas) → mapping join on
     the canonical target → per-page replacement lists → splice
     (mapInPandas). Scales to whole-corpus rewrites; the mapping never
-    leaves the executors."""
+    leaves the executors.
+
+    ``unmapped_to_original``: a RELATIVE link whose target is not in the
+    mirror is spliced to its resolved absolute original URL, so it still
+    works offline instead of dangling (the reference's
+    BeginRewritingToOriginalUrl pass for failed/unfetched resources,
+    Crawler.cs:3246-3294). Absolute unmapped links are already valid and
+    stay untouched."""
     paths = local_paths(fetched).select(
         F.col("url").alias("canon"), "local_path"
     )
     spans = fetched.select("url", "extracted_text").mapInPandas(
         make_linkspan_stage(), SPANS_SCHEMA
     )
+    joined = spans.join(paths, "canon", "left")
+    new_text = F.coalesce(
+        "local_path",
+        F.when(F.col("is_rel"), F.col("abs")) if unmapped_to_original
+        else F.lit(None).cast("string"),
+    )
     repl = (
-        spans.join(paths, "canon")
+        joined.withColumn("local_path", new_text)
+        .filter(F.col("local_path").isNotNull())
         .groupBy("url")
         .agg(F.collect_list(F.struct("s", "e", "local_path")).alias("repls"))
     )

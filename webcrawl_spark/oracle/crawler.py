@@ -112,10 +112,12 @@ class OracleCrawler:
         robots_rules: Optional[pd.DataFrame] = None,
         redirects: Optional[dict] = None,
         statuses: Optional[dict] = None,
+        mimes: Optional[dict] = None,
     ):
         self.pages = pages            # content rows only (no redirect rows)
         self.redirects = redirects or {}  # url -> Location target
         self.statuses = statuses or {}    # url -> HTTP status (absent = 200)
+        self.mimes = mimes or {}          # url -> server Content-Type header
         self.cfg = config
         self.seeds = seeds
         rules = robots_rules if robots_rules is not None else pd.DataFrame(
@@ -294,10 +296,18 @@ class OracleCrawler:
                         continue
 
                 c = _canon1(final_url or e.url, cfg)
-                rtype = M.guess_resource_type_from_path(c.path, self.ext_table)
-                if rtype == M.UNKNOWN:
-                    rtype = M.HTML  # ADAPT: no response headers; corpus is pages
-                mime = M.mime_of_type(rtype)
+                # server Content-Type (of the response-serving url) wins over
+                # the extension guess (GetMimeType, Crawler.cs:2100-2119)
+                server_mime = self.mimes.get(final_url or e.url)
+                srtype = M.resource_type_of_mime(server_mime)
+                if srtype != M.UNKNOWN:
+                    rtype = srtype
+                    mime = M.normalize_mime(server_mime)
+                else:
+                    rtype = M.guess_resource_type_from_path(c.path, self.ext_table)
+                    if rtype == M.UNKNOWN:
+                        rtype = M.HTML  # ADAPT: no response headers; corpus is pages
+                    mime = M.mime_of_type(rtype)
                 if rtype == M.BINARY:
                     text, charset = None, None
                 else:

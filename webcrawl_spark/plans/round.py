@@ -269,7 +269,7 @@ def run_round(
     decoded = good.select(
         "url", "url_key", "host", "path", "query", "depth", "link_type",
         "is_external", "priority", "seq", "failures", "fetch_seq", "html",
-        "final_url",
+        "final_url", "server_mime",
     ).mapInPandas(
         make_decode_stage(cfg, ctx.base_uris_bc), DECODE_SCHEMA
     )
