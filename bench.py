@@ -105,8 +105,16 @@ def run_crawl(spark, sf_dir: str, mult: int, n_seeds: int = 4, target_rounds: in
     # mega-host holds ~1/MEGA_MOD of pages; size its drain to ~target_rounds
     budget = max(8, n_pages // SW.MEGA_MOD // target_rounds)
     bloom_bits = 1 << max(17, (n_pages * 16 // 32).bit_length())
+    # partition count sized to the DATA, not the core count: a round moves
+    # ~n_pages/target_rounds rows, and a handful of thousands of rows per
+    # task amortizes the per-task (python worker + scheduler) overhead; the
+    # scaling harness overrides this to keep partitioning fixed while
+    # executor slots vary (its documented methodology).
+    n_part = min(64, max(8, n_pages // 2500)) if pages_path is None else min(
+        64, max(16, CPUS)
+    )
     cfg = SW.crawl_config(
-        num_partitions=min(64, max(16, CPUS)),
+        num_partitions=n_part,
         max_connections_per_server=budget,
         bloom_bits=bloom_bits,
     )

@@ -93,3 +93,59 @@ class CrawlConfig:
 
 
 DEFAULT_CONFIG = CrawlConfig()
+
+
+# ---------------------------------------------------------------- persistence
+# The reference serializes every knob with a format version and restores it
+# on startup (LoadSettings/SaveSettings, Backend/Crawler.cs:885-981; the
+# version gate is Crawler.cs:889-893: an unknown future version is refused,
+# older versions load with defaults for fields they predate).
+
+SETTINGS_VERSION = 1
+
+# fields whose values are (possibly nested) tuples — JSON round-trips them
+# as lists, so loading re-freezes them
+_TUPLE_FIELDS = (
+    "mime_overrides", "post_seeds", "change_filters", "positive_filters",
+    "negative_filters", "content_filters",
+)
+
+
+def save_settings(cfg: CrawlConfig, path: str) -> None:
+    """Write ``cfg`` to ``path`` as versioned JSON (atomic tmp+rename)."""
+    import json
+    import os
+
+    d = {"version": SETTINGS_VERSION}
+    d.update(cfg.__dict__)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(d, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def load_settings(path: str) -> CrawlConfig:
+    """Restore a :class:`CrawlConfig` saved by :func:`save_settings`.
+
+    Mirrors the reference's compatibility rules: a NEWER version than this
+    build understands is an error; fields added after the file was written
+    take their defaults; unknown (removed) fields are ignored.
+    """
+    import json
+    from dataclasses import fields as dc_fields
+
+    with open(path) as f:
+        d = json.load(f)
+    ver = d.pop("version", 0)
+    if ver > SETTINGS_VERSION:
+        raise ValueError(
+            f"settings version {ver} is newer than supported {SETTINGS_VERSION}"
+        )
+    known = {f.name for f in dc_fields(CrawlConfig)}
+    kw = {k: v for k, v in d.items() if k in known}
+    for name in _TUPLE_FIELDS:
+        if name in kw:
+            kw[name] = tuple(
+                tuple(x) if isinstance(x, list) else x for x in kw[name]
+            )
+    return CrawlConfig(**kw)

@@ -34,17 +34,27 @@ from ..kernels.scope import scope_filter
 from ..kernels.textdec import decode_batch
 from ..kernels.urlnorm import canonicalize, resolve_links
 
+# the fetch+decode stage emits EVERY joined row (decoded pages AND error
+# rows) so the round needs only ONE lineage cut for the whole fetch side:
+# frontier columns pass through untouched, the JVM-computed routing flags
+# (present/exceeded/final_present/http_status/ok) ride along for the
+# post-checkpoint CASE routing, and html is dropped (text replaces it) —
+# the checkpoint is therefore LIGHTER than the raw fetch join it replaces.
 DECODE_COLS = [
-    "url", "url_key", "host", "path", "query", "depth", "link_type",
-    "is_external", "priority", "seq", "failures", "fetch_seq",
-    "rtype", "mime", "charset", "bytes", "text", "final_url", "reject",
+    "url", "url_key", "host", "host_hash", "path", "query", "depth",
+    "referrer", "link_type", "is_external", "priority", "seq", "failures",
+    "round", "post_data", "fetch_seq", "final_url", "http_status",
+    "present", "exceeded", "final_present", "ok",
+    "rtype", "mime", "charset", "bytes", "text", "reject",
 ]
 
 DECODE_SCHEMA = (
-    "url string, url_key string, host string, path string, query string, "
-    "depth int, link_type string, is_external boolean, priority int, "
-    "seq long, failures int, fetch_seq long, rtype string, mime string, "
-    "charset string, bytes long, text string, final_url string, "
+    "url string, url_key string, host string, host_hash int, path string, "
+    "query string, depth int, referrer string, link_type string, "
+    "is_external boolean, priority int, seq long, failures int, round int, "
+    "post_data string, fetch_seq long, final_url string, http_status int, "
+    "present boolean, exceeded boolean, final_present boolean, ok boolean, "
+    "rtype string, mime string, charset string, bytes long, text string, "
     "reject string"
 )
 
@@ -63,7 +73,12 @@ CANDIDATE_SCHEMA = (
 def make_decode_stage(cfg: CrawlConfig, base_uris_bc):
     """Decode + the redirect-landing scope check (Crawler.cs:1585-1597: the
     reference re-checks IsUriAllowed on the ResponseUri after the response;
-    a disallowed landing aborts the resource — no content, no links)."""
+    a disallowed landing aborts the resource — no content, no links).
+
+    Rows with ``ok`` false (fetch errors, absent urls, dead redirects) pass
+    straight through with NULL decode columns — they exist in the output so
+    the error CASE routing reads the same checkpoint as the fetch_log and
+    parse consumers (one cut instead of two)."""
 
     ext_table = M.build_ext_table(cfg.mime_overrides)
 
@@ -73,10 +88,11 @@ def make_decode_stage(cfg: CrawlConfig, base_uris_bc):
             if pdf.empty:
                 continue
             pdf = pdf.reset_index(drop=True)
+            ok = pdf["ok"].fillna(False).astype(bool)
             reject = pd.Series([None] * len(pdf), dtype="object")
             # effective path: redirect rows type/scope by the TERMINAL url
             eff_path = pdf["path"].copy()
-            red = pdf["final_url"].notna()
+            red = pdf["final_url"].notna() & ok
             if red.any():
                 fc = canonicalize(
                     pdf.loc[red, "final_url"],
@@ -122,21 +138,21 @@ def make_decode_stage(cfg: CrawlConfig, base_uris_bc):
                 )
                 mime = base.where(use, mime)
             is_binary = rtype == M.BINARY
-            rejected = reject.notna()
+            valid = ok & reject.isna()
             dec = decode_batch(
-                pdf["html"].where(~(is_binary | rejected), None), None, rtype
+                pdf["html"].where(valid & ~is_binary, None), None, rtype
             )
             text = dec["text"]
             if cfg.content_filters:
                 text = apply_content_filters(text, cfg.content_filters)
-            out = pdf.drop(columns=["html"]).copy()
-            out["rtype"] = rtype.where(~rejected, None)
-            out["mime"] = mime.where(~rejected, None)
-            out["charset"] = dec["charset"].where(~rejected, None)
+            out = pdf.drop(columns=["html", "server_mime"]).copy()
+            out["rtype"] = rtype.where(valid, None)
+            out["mime"] = mime.where(valid, None)
+            out["charset"] = dec["charset"].where(valid, None)
             out["bytes"] = (
                 pdf["html"].map(lambda b: 0 if b is None else min(len(b), cfg.max_file_size))
-            ).astype("Int64").where(~rejected, pd.NA)
-            out["text"] = text.where(~rejected, None)
+            ).astype("Int64").where(valid, pd.NA)
+            out["text"] = text.where(valid, None)
             out["reject"] = reject
             yield out[DECODE_COLS]
 

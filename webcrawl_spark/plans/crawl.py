@@ -211,13 +211,23 @@ class SparkCrawler:
             F.lit(0).cast("int").alias("first_depth"),
             F.lit(0).cast("int").alias("first_round"),
         )
-        self.state.write_table("frontier", 0, frontier)
-        self.state.write_table("seen", 0, seen_delta)
+        # the three seed commits are independent — run them concurrently
+        # (the sidecar builds from the in-memory delta, not the written
+        # files; same rows either way)
+        from .round import _Job
+
+        seen_delta = seen_delta.localCheckpoint(eager=True)
+        jobs = [
+            _Job(lambda: self.state.write_table("frontier", 0, frontier)),
+            _Job(lambda: self.state.write_table("seen", 0, seen_delta)),
+        ]
         if self.cfg.bloom_enabled:
-            B.build_sidecar(
-                self.state.read_table("seen", 0, schemas.SEEN),
-                None, B.sidecar_dir(self.state.root, 0), self.cfg.bloom_bits,
-            )
+            jobs.append(_Job(lambda: B.build_sidecar(
+                seen_delta, None, B.sidecar_dir(self.state.root, 0),
+                self.cfg.bloom_bits,
+            )))
+        for j in jobs:
+            j.wait()
         m = Manifest(
             next_round=0, next_seq=seq, next_fetch_seq=0, frontier_rows=len(rows),
             done=(len(rows) == 0),
@@ -238,15 +248,33 @@ class SparkCrawler:
             m = self._init_seeds()
         self._bloom_dir = self._ensure_sidecar(m) if self.cfg.bloom_enabled else None
         rounds_done = 0
+        # carry = the previous round's in-flight state: its background
+        # commits (still running — they overlap the next round's compute),
+        # its uncommitted manifest, and the in-memory frontier/seen views
+        # the next round consumes instead of reading the writes back.
+        # Commits therefore lag compute by one round; _drain settles the
+        # tail before returning, so the on-disk state is current whenever
+        # run() is not executing (resume, accessors, enqueue/requeue APIs).
+        carry = None
         while (
             not m.done
             and m.frontier_rows > 0
             and m.next_round < self.cfg.max_rounds
             and (max_rounds is None or rounds_done < max_rounds)
         ):
-            m = self._run_one(m)
+            m, carry = self._run_one(m, carry)
             rounds_done += 1
+        if carry is not None:
+            self._drain(carry)
         return m
+
+    def _drain(self, carry) -> None:
+        """Wait for a round's background commits, then make it visible."""
+        for j in carry["stats"].jobs:
+            j.wait()
+        self.state.commit(carry["manifest"])
+        if self._bloom_dir is not None:
+            B.gc_sidecars(self.state.root, carry["manifest"].next_round)
 
     def _ensure_sidecar(self, m: Manifest) -> str:
         """Path to the resume round's complete sidecar dir; if missing or
@@ -260,7 +288,7 @@ class SparkCrawler:
             )
         return d
 
-    def _run_one(self, m: Manifest) -> Manifest:
+    def _run_one(self, m: Manifest, carry):
         import os as _os
         import time as _time
 
@@ -277,27 +305,47 @@ class SparkCrawler:
         st = self.state
         self.ctx.bloom_dir = self._bloom_dir
         bloom_cb = None
+        bloom_wait = None
         if self._bloom_dir is not None:
             # executor-side delta update: the round's seen delta (served from
             # the round's acc checkpoint, host_hash attached) ORs into
             # per-partition bitset files; untouched partitions carry forward
             # as hard links. The driver moves file metadata only — never keys.
-            # Passed as a callback so run_round overlaps it with the frontier
-            # and seen-delta commits.
+            # Passed as a callback so run_round overlaps it with the next
+            # round's compute (the next round waits on it only right before
+            # its check stage fires).
             prev_dir = self._bloom_dir
             nd = B.sidecar_dir(st.root, k + 1)
 
             def bloom_cb(keys_df):
                 B.build_sidecar(keys_df, prev_dir, nd, self.cfg.bloom_bits)
 
+            if carry is not None and carry["stats"].bloom_job is not None:
+                bloom_wait = carry["stats"].bloom_job.wait
+
+        if carry is None:
+            # first round of this run(): state comes from the committed tables
+            frontier = st.read_frontier(k)
+            seen = st.read_seen(k)
+        else:
+            # chained from the previous round's checkpoints — the background
+            # writes of the same rows are still in flight and are NOT read
+            frontier = carry["stats"].next_frontier
+            seen = carry["seen"]
+        pq = (
+            seen.groupBy("host", "path").agg(F.count(F.lit(1)).alias("n"))
+            if self.cfg.max_query_strings_per_file is not None
+            else None
+        )
+
         stats = run_round(
             self.spark,
             self.ctx,
             st,
-            st.read_frontier(k),
+            frontier,
             self.eff_pages,
-            st.read_seen(k),
-            st.read_pq(k) if self.cfg.max_query_strings_per_file is not None else None,
+            seen,
+            pq,
             k,
             m.next_seq,
             m.next_fetch_seq,
@@ -307,10 +355,16 @@ class SparkCrawler:
             # only overstate (force-enqueues reuse seen keys)
             seen_rows=m.seen_rows if m.seen_rows is not None else m.next_seq,
             bloom_update=bloom_cb,
+            bloom_wait=bloom_wait,
         )
         if bloom_cb is not None:
             self._bloom_dir = nd
         _mk("run_round_total")
+        # the PREVIOUS round's background commits have now fully overlapped
+        # this round's compute — settle them and make that round visible
+        if carry is not None:
+            self._drain(carry)
+            _mk("prev_round_commit")
         nm = Manifest(
             next_round=k + 1,
             next_seq=stats.next_seq,
@@ -322,10 +376,11 @@ class SparkCrawler:
                 None if m.seen_rows is None else m.seen_rows + stats.n_new
             ),
         )
-        st.commit(nm)
-        if self._bloom_dir is not None:
-            B.gc_sidecars(st.root, k + 1)
-        return nm
+        return nm, {
+            "stats": stats,
+            "manifest": nm,
+            "seen": seen.unionByName(stats.seen_delta),
+        }
 
     # ---------------- result accessors ----------------
     def _m(self) -> Manifest:

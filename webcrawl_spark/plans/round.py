@@ -98,6 +98,23 @@ class RoundStats:
                                   # seen delta, backed by the acc checkpoint —
                                   # the Bloom sidecar update reads this instead
                                   # of re-scanning the written delta
+    jobs: list = field(default_factory=list)  # in-flight background commits
+                                  # (seen delta, frontier, Bloom sidecar);
+                                  # the caller waits for them BEFORE
+                                  # committing this round's manifest, but
+                                  # AFTER the next round's compute — the
+                                  # writes overlap it
+    next_frontier: DataFrame = None  # checkpointed frontier entering the
+                                     # next round (same rows the background
+                                     # frontier write persists)
+    seen_delta: DataFrame = None     # checkpoint-backed seen rows added this
+                                     # round (same rows the seen write
+                                     # persists) — the next round's anti-join
+                                     # unions this instead of re-reading
+                                     # parquet
+    bloom_job: object = None         # the Bloom-sidecar member of ``jobs``:
+                                     # the next round waits on it before any
+                                     # action triggers its check stage
 
 
 def _budget_col(ctx: RoundContext):
@@ -162,6 +179,7 @@ def run_round(
     frontier_rows: int,
     seen_rows: int = None,
     bloom_update=None,
+    bloom_wait=None,
 ) -> RoundStats:
     cfg = ctx.cfg
     P = cfg.num_partitions
@@ -212,21 +230,48 @@ def run_round(
             reliable=cfg.reliable_checkpoints,
         )
 
-    # ---------------- 2. FETCH: ONE pages scan, result checkpointed ----
-    # Bounded by the politeness budget, not the corpus: joined holds at most
-    # (hosts-with-work × per-host budget) rows of html. ``pages`` here is the
-    # redirect-resolved effective view (operators/redirect.py): (url, html,
-    # final_url, exceeded, final_present) — html is the chain-terminal row's.
+    # ---------------- 2+3. FETCH + DECODE: ONE pages scan, ONE cut ----
+    # Bounded by the politeness budget, not the corpus: the join holds at
+    # most (hosts-with-work × per-host budget) rows of html. ``pages`` here
+    # is the redirect-resolved effective view (operators/redirect.py):
+    # (url, html, final_url, exceeded, final_present) — html is the chain-
+    # terminal row's. The decode mapInPandas sees EVERY joined row (error
+    # rows pass through with NULL decode columns, the routing flags computed
+    # JVM-side below ride along), so the fetch join, charset decode, and
+    # error routing all share a SINGLE checkpoint — and since html is
+    # dropped inside the stage, the materialized cut is lighter than the
+    # raw join it replaces.
+    from ..kernels.errors import FATAL_CODES
+
     pg = pages.withColumn("__present", F.lit(True))
-    # repartition by url BEFORE the checkpoint: the join inherits the pages
-    # table's layout (possibly a handful of files), and everything downstream
-    # — decode, the fetch_log files, and therefore parse — would inherit that
-    # serialization. The shuffle moves one round's html only (budget-bounded).
-    joined = cut(
-        sel.join(pg, "url", "left").repartition(P, "url"),
-        cfg.reliable_checkpoints,
+    present0 = F.col("__present").isNotNull()
+    status0 = F.coalesce(F.col("http_status"), F.lit(200))
+    ok0 = (
+        present0
+        & ~F.coalesce(F.col("exceeded"), F.lit(False))
+        & F.coalesce(F.col("final_present"), F.lit(False))
+        & (status0 == 200)
+        & F.col("html").isNotNull()
     )
-    _mark("select+fetch_ckpt")
+    # repartition by url BEFORE the cut: the join inherits the pages table's
+    # layout (possibly a handful of files), and everything downstream — the
+    # fetch_log files and therefore parse — would inherit that
+    # serialization. The shuffle moves one round's html only (budget-bounded).
+    dec = (
+        sel.join(pg, "url", "left")
+        .repartition(P, "url")
+        .select(
+            *FRONTIER_COLS, "fetch_seq", "html", "final_url", "server_mime",
+            status0.cast("int").alias("http_status"),
+            present0.alias("present"),
+            F.coalesce(F.col("exceeded"), F.lit(False)).alias("exceeded"),
+            F.coalesce(F.col("final_present"), F.lit(False)).alias("final_present"),
+            F.coalesce(ok0, F.lit(False)).alias("ok"),
+        )
+        .mapInPandas(make_decode_stage(cfg, ctx.base_uris_bc), DECODE_SCHEMA)
+    )
+    dec = cut(dec, cfg.reliable_checkpoints)
+    _mark("fetch_decode_ckpt")
 
     # routing (fatal taxonomy; IsFatalError Crawler.cs:2121-2164 + redirect
     # outcomes Crawler.cs:635-647, 1585-1597):
@@ -239,44 +284,26 @@ def run_round(
     #                                          (decided in DECODE, as the
     #                                          reference checks ResponseUri
     #                                          only after the response)
-    from ..kernels.errors import FATAL_CODES
-
-    present = F.col("__present").isNotNull()
-    status_c = F.coalesce(F.col("http_status"), F.lit(200))
+    # ``ok`` false + reachable + non-fatal status ⟺ the old
+    # "status 200 with NULL html, or retryable status" condition — html
+    # itself is gone from the checkpoint, the flag stands in for it.
+    present = F.col("present")
+    status_c = F.col("http_status")
     c_exceeded = present & F.col("exceeded")
     c_dead = present & ~F.col("exceeded") & ~F.col("final_present")
     reachable = present & ~F.col("exceeded") & F.col("final_present")
     c_fatal_status = (
         reachable & (status_c != 200) & status_c.isin(list(FATAL_CODES))
     )
-    failed = (
-        joined.filter(
-            reachable
-            & (
-                ((status_c == 200) & F.col("html").isNull())
-                | ((status_c != 200) & ~status_c.isin(list(FATAL_CODES)))
-            )
+    retry = (
+        dec.filter(
+            ~F.col("ok") & reachable & ~status_c.isin(list(FATAL_CODES))
         )
         .withColumn("__nf", (F.col("failures") + 1).cast("int"))
+        .filter(F.col("__nf") <= cfg.max_retries)
     )
-    retry = failed.filter(F.col("__nf") <= cfg.max_retries)
-    good = joined.filter(reachable & (status_c == 200) & F.col("html").isNotNull())
 
-    # ---------------- 3. DECODE (checkpointed once) --------------------
-    # the decode output feeds BOTH the fetch_log commit and the parse stage;
-    # checkpointing it runs the charset/filter work exactly once with no
-    # read-back of the written fetch_log (VERDICT r1 perf item).
-    decoded = good.select(
-        "url", "url_key", "host", "path", "query", "depth", "link_type",
-        "is_external", "priority", "seq", "failures", "fetch_seq", "html",
-        "final_url", "server_mime",
-    ).mapInPandas(
-        make_decode_stage(cfg, ctx.base_uris_bc), DECODE_SCHEMA
-    )
-    decoded = cut(decoded, cfg.reliable_checkpoints)
-    _mark("decode_ckpt")
-
-    ok_rows = decoded.filter(F.col("reject").isNull()).select(
+    ok_rows = dec.filter(F.col("ok") & F.col("reject").isNull()).select(
         "url", "url_key", "host",
         F.lit(rnd).cast("int").alias("round"),
         "fetch_seq", "depth", "link_type",
@@ -290,21 +317,16 @@ def run_round(
     )
 
     # ALL error classes fed by the fetch join collapse into ONE branch with
-    # CASE routing (a single scan of the joined checkpoint — a 6-way union
-    # here re-read it per branch); only the decode-time scope reject needs
-    # the decoded frame. failures is failures+1 for every joined-side error.
+    # CASE routing (a single scan of the shared checkpoint — a 6-way union
+    # here re-read it per branch). failures is failures+1 for every
+    # joined-side error.
     nf = (F.col("failures") + 1).cast("int")
     retryable_cond = (
         reachable
-        & (
-            ((status_c == 200) & F.col("html").isNull())
-            | ((status_c != 200) & ~status_c.isin(list(FATAL_CODES)))
-        )
+        & ~status_c.isin(list(FATAL_CODES))
         & (nf <= cfg.max_retries)
     )
-    err_j = joined.filter(
-        ~(reachable & (status_c == 200) & F.col("html").isNotNull())
-    ).select(
+    err_j = dec.filter(~F.col("ok")).select(
         "url", "url_key", "host",
         F.lit(rnd).cast("int").alias("round"),
         "fetch_seq", "depth", "link_type",
@@ -324,7 +346,9 @@ def run_round(
         nf.alias("failures"),
         (~retryable_cond).alias("fatal"),
     )
-    scope_reject_rows = decoded.filter(F.col("reject").isNotNull()).select(
+    scope_reject_rows = dec.filter(
+        F.col("ok") & F.col("reject").isNotNull()
+    ).select(
         "url", "url_key", "host",
         F.lit(rnd).cast("int").alias("round"),
         "fetch_seq", "depth", "link_type",
@@ -358,7 +382,7 @@ def run_round(
 
     # ---------------- 4. PARSE → candidates --------------------------
     cand = (
-        decoded.filter(
+        dec.filter(
             F.col("text").isNotNull() & F.col("rtype").isin("html", "css")
         )
         # links resolve against the redirect-terminal url (the reference
@@ -386,10 +410,17 @@ def run_round(
     small_acc = cand_count <= cfg.small_round_threshold
     _mark("parse_ckpt")
 
-    fl_job.wait()
-    _mark("fetch_log_join")
-    fvals = obs_f.get
-    n_selected, n_good, n_retry = fvals["n_sel"], fvals["n_good"], fvals["n_retry"]
+    # the fetch_log write has been overlapping the parse stage; its
+    # Observation (needed for the carried anti-join's broadcast gate and the
+    # counters) is read at the top of ENQUEUE, by which point the write has
+    # typically drained.
+    def _fl_done() -> dict:
+        fl_job.wait()
+        return obs_f.get
+
+    # ---------------- 5. ENQUEUE ----------------
+    v = _fl_done()
+    n_selected, n_good, n_retry = v["n_sel"], v["n_good"], v["n_retry"]
     next_fetch_seq += n_selected
     counters += [
         (rnd, "select", "selected", n_selected),
@@ -397,8 +428,9 @@ def run_round(
         (rnd, "fetch", "retries", n_retry),
         (rnd, "fetch", "errors", n_selected - n_good - n_retry),
     ]
+    n_carried = frontier_rows - n_selected + n_retry
+    _mark("fetch_log_join")
 
-    # ---------------- 5. ENQUEUE ----------------
     # 5a. min-depth merge into carried entries (still-queued rediscoveries,
     #     Crawler.cs:2303-2307). Carried keys ⊆ seen, so joining all
     #     candidate minima is exact.
@@ -408,7 +440,7 @@ def run_round(
     # selected-row count (known from the fetch Observation): with
     # max_connections unset, hosts-with-work × per-host budget can exceed
     # driver memory, and Catalyst must pick the join then.
-    sel_seqs = joined.select("seq")
+    sel_seqs = dec.select("seq")
     if n_selected <= 5_000_000:
         sel_seqs = F.broadcast(sel_seqs)
     carried = frontier.join(
@@ -419,6 +451,14 @@ def run_round(
         carried.join(cand_mins, ["host", "url_key"], "left")
         .withColumn("depth", F.least("depth", F.coalesce("__cmin", "depth")))
         .drop("__cmin")
+        .select(*FRONTIER_COLS)
+    )
+    # the carried cut is data-independent of the accept pipeline (5b-5f)
+    # below — materialize it CONCURRENTLY with the acc checkpoint; the next
+    # round's frontier is then a zero-cost union of the two cuts
+    carried_slot: dict = {}
+    carried_job = _Job(
+        lambda: carried_slot.update(df=cut(carried, cfg.reliable_checkpoints))
     )
 
     # 5b. frontier dedup: left-anti join vs the persistent seen set
@@ -438,6 +478,11 @@ def run_round(
     if use_bloom:
         from ..operators import bloom as B
 
+        if bloom_wait is not None:
+            # the sidecar for THIS round was built as a background job at
+            # the end of the previous round — it must be on disk before any
+            # action triggers the check stage below
+            bloom_wait()
         flagged = (
             cand.withColumn("__hh", host_hash_col(P))
             .repartition(P, "__hh")
@@ -515,7 +560,6 @@ def run_round(
         )
 
     # 5e. global frontier cap (MaxQueuedLinks, Crawler.cs:2310-2315)
-    n_carried = frontier_rows - n_selected + n_retry
     if cfg.max_queued_links is not None:
         slots = max(0, cfg.max_queued_links - n_carried)
         acc = assign_global_seq(
@@ -532,27 +576,26 @@ def run_round(
             acc, ["pos_f", "pos_o"], start=next_seq, out_col="seq",
             num_partitions=P, reliable=cfg.reliable_checkpoints,
         )
-    # acc feeds three consumers (seen delta, new frontier entries, the Bloom
-    # sidecar update) — checkpoint once so the 5a-5f window/join pipeline
-    # runs exactly once per round instead of once per consumer
+    # acc feeds four consumers (seen delta, new frontier entries, the Bloom
+    # sidecar update, the next-frontier cut) — checkpoint once so the 5b-5f
+    # window/join pipeline runs exactly once per round instead of once per
+    # consumer. n_new rides the cut as an Observation (no standalone scan).
+    obs_n = Observation(f"acc_r{rnd}")
+    acc = acc.observe(obs_n, F.count(F.lit(1)).alias("n"))
     acc = cut(acc, cfg.reliable_checkpoints)
+    n_new = acc.count() if cfg.reliable_checkpoints else obs_n.get["n"]
     if bloom_flagged is not None:
         bloom_flagged.unpersist()
     seen.unpersist()
     _mark("acc_ckpt")
 
-    # the three remaining commits all read only checkpointed inputs and
-    # write independent directories — run them CONCURRENTLY (the per-round
-    # serial-action floor is what caps scaling efficiency at small rounds)
-    # seen delta write carries an Observation so n_new costs no extra job
-    obs = Observation(f"seen_r{rnd}")
     seen_delta = acc.select(
         "host",
         host_hash_col(P).alias("host_hash"),
         "url_key", "path", "query",
         F.col("first_depth").cast("int").alias("first_depth"),
         F.lit(rnd).cast("int").alias("first_round"),
-    ).observe(obs, F.count(F.lit(1)).alias("n"))
+    )
 
     new_entries = acc.select(
         "url", "url_key", "host",
@@ -571,19 +614,36 @@ def run_round(
         F.lit(None).cast("string").alias("post_data"),
     )
     seen_keys = acc.select("host", host_hash_col(P).alias("host_hash"), "url_key")
+
+    # the NEXT round's frontier: union of the two cuts above — (a) the next
+    # round consumes in-memory materializations instead of reading the
+    # written parquet back, and (b) the anti-join/union lineage never chains
+    # across rounds (every input is itself a checkpoint from this round)
+    carried_job.wait()
+    next_frontier = carried_slot["df"].unionByName(new_entries)
+    _mark("carried_join")
+
+    # the remaining commits (seen delta, frontier snapshot, Bloom sidecar)
+    # all read only checkpointed inputs and write independent directories —
+    # they launch here and OVERLAP the next round's compute; the caller
+    # waits for them before committing this round's manifest (the per-round
+    # serial-action floor is what caps scaling efficiency at small rounds).
     jobs = [
         _Job(lambda: state.write_table("seen", rnd + 1, seen_delta)),
-        _Job(lambda: state.write_table(
-            "frontier", rnd + 1,
-            carried.select(*FRONTIER_COLS).unionByName(new_entries),
-        )),
+        _Job(lambda: state.write_table("frontier", rnd + 1, next_frontier)),
     ]
+    bloom_job = None
     if bloom_update is not None:
-        jobs.append(_Job(lambda: bloom_update(seen_keys)))
-    for j in jobs:
-        j.wait()
-    _mark("commit_writes")
-    n_new = obs.get["n"]
+        # the previous round's sidecar build (this build's hard-link source)
+        # may still be in flight when the check stage never fired this round
+        # (below bloom_min_seen) — chain on it inside the background job
+        def _bloom_run():
+            if bloom_wait is not None:
+                bloom_wait()
+            bloom_update(seen_keys)
+
+        bloom_job = _Job(_bloom_run)
+        jobs.append(bloom_job)
     next_seq += n_new
     counters.append((rnd, "enqueue", "new_links", n_new))
     frontier_rows_next = n_carried + n_new
@@ -596,4 +656,8 @@ def run_round(
         counters=counters,
         n_new=n_new,
         seen_keys=seen_keys,
+        jobs=jobs,
+        next_frontier=next_frontier,
+        seen_delta=seen_delta,
+        bloom_job=bloom_job,
     )
