@@ -38,14 +38,15 @@ MULT = int(os.environ.get("BENCH_MULT", "8"))
 
 BENCH_QUERIES = [
     "crawl_frontier_round1",
-    "url_canonicalize", "link_extract", "mime_infer", "robots_filter",
+    "url_canonicalize", "link_extract", "mime_infer", "server_mime_retype",
+    "robots_filter",
     "politeness_topk", "seen_antijoin", "min_depth_merge",
     "global_budget_limit", "query_string_cap", "retry_union",
     "pricing_summary", "join_agg_revenue", "window_running_sum",
     "sessionize", "event_tumbling_counts",
     "dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs", "dedup_simhash", "simhash_hamming",
     "ngram_jaccard", "lang_id", "quality_score", "token_count",
-    "fingerprint", "cosine_topk", "ann_ivf_topk", "embed_neardup",
+    "fingerprint", "corpus_clean_pipeline", "cosine_topk", "ann_ivf_topk", "embed_neardup",
     "embed_neardup_ann", "multimodal_meta", "redirect_resolve",
     "fatal_error_routing", "ngram_jaccard_lsh",
 ]

@@ -27,9 +27,3 @@ FATAL_CODES = FATAL_HTTP | FATAL_FTP
 def is_fatal_status(code: int) -> bool:
     """True when the HTTP/FTP status code is in the reference's fatal table."""
     return code in FATAL_CODES
-
-
-def fatal_codes_sql_list() -> str:
-    """The fatal-code set as a SQL IN-list literal (engine and oracle share
-    one source of truth)."""
-    return ", ".join(str(c) for c in sorted(FATAL_CODES))

@@ -224,6 +224,74 @@ def _mime_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+_RETYPE_EXTS = ["html", "css", "", "png", "xyz", "js"]
+_RETYPE_MIMES = [
+    None,                          # no header → extension guess stands
+    "text/css; charset=utf-8",     # parameters stripped, re-type to css
+    "application/octet-stream",    # binary — suppresses parsing
+    "TEXT/HTML",                   # case-insensitive
+    "application/weird",           # unmapped non-empty → binary
+]
+_RETYPE_SCHEMA = (
+    "doc_id long, path string, server_mime string, mime string, rtype string"
+)
+
+
+def _retype_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The decode stage's effective-type decision, kernel-for-kernel
+    (functions/crawl_udfs.py decode: extension guess → unknown→html adapt →
+    server Content-Type second chance; GetMimeType Crawler.cs:2100-2119)."""
+    from .kernels import mime as M
+
+    for pdf in batches:
+        rtype = M.guess_types_batch(pdf["path"])
+        rtype = rtype.where(rtype != M.UNKNOWN, M.HTML)
+        mime = rtype.map(M.mime_of_type)
+        srv = M.resource_types_of_mime_batch(pdf["server_mime"])
+        use = srv != M.UNKNOWN
+        rtype = srv.where(use, rtype)
+        base = (
+            pdf["server_mime"].fillna("").astype(str)
+            .str.split(";").str[0].str.strip().str.lower()
+        )
+        mime = base.where(use, mime)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "path": pdf["path"],
+                "server_mime": pdf["server_mime"],
+                "mime": mime,
+                "rtype": rtype,
+            }
+        )
+
+
+def q_server_mime_retype(spark, sf_dir):
+    """Server Content-Type second-chance re-type (round-3 §2 op 8 extension;
+    GetMimeType prefers the response header over the extension guess,
+    Crawler.cs:2100-2119). Covers: no header, parameterized header,
+    octet-stream, case-insensitivity, unmapped mime, extension-less path."""
+    exts = ", ".join(f"'{e}'" for e in _RETYPE_EXTS)
+    mimes = ", ".join(
+        "CAST(NULL AS STRING)" if m is None else f"'{m}'" for m in _RETYPE_MIMES
+    )
+    path = (
+        f"concat('/f', cast(doc_id as string), "
+        f"if(element_at(array({exts}), cast(doc_id % 6 as int) + 1) = '', '', "
+        f"concat('.', element_at(array({exts}), cast(doc_id % 6 as int) + 1))))"
+    )
+    srv = f"element_at(array({mimes}), cast(doc_id % 5 as int) + 1)"
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(path).alias("path"),
+            F.expr(srv).alias("server_mime"),
+        )
+        .mapInPandas(_retype_stage, _RETYPE_SCHEMA)
+    )
+
+
 def q_mime_infer(spark, sf_dir):
     """Extension → MIME → resource-type tables (§2 op 8)."""
     exts = ", ".join(f"'{e}'" for e in _MIME_EXTS)
@@ -489,6 +557,34 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_corpus_clean_pipeline(spark, sf_dir):
+    """The training-data operators COMPOSED as one declarative cleaning job
+    (the 100-TB use case, not an operator demo): language-ID gate →
+    quality-score gate → fingerprint dedup (lowest id survives) → BPE-ish
+    token accounting, over the duplicate-injected corpus. One logical plan,
+    no driver round-trips between stages; every shuffle keys on a uniform
+    hash (id / md5 fingerprint), so the composition scales exactly like its
+    parts. Dedup runs AFTER the gates (a rejected duplicate must not shadow
+    a surviving one)."""
+    docs = _aug_docs(spark, sf_dir)
+    enriched = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            TS.fingerprint("text").alias("fp"),
+            TS.bpe_token_count("text").cast("long").alias("bpe_tokens"),
+        )
+        .join(TS.quality_stats(docs).select("id", "score"), "id")
+        .join(TS.lang_id(docs), "id")
+    )
+    survivors = enriched.filter(
+        (F.col("pred_lang") == "en") & (F.col("score") >= 40)
+    )
+    keepers = survivors.groupBy("fp").agg(F.min("id").alias("id"))
+    return survivors.join(keepers, ["fp", "id"]).select(
+        "id", "fp", F.col("score").cast("long").alias("score"), "bpe_tokens"
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     return SIM.brute_force_topk(_t(spark, sf_dir, "embeddings"), n_queries=8, k=5)
 
@@ -578,6 +674,37 @@ SELECT doc_id,
        WHEN doc_id % 12 = 2 THEN 'javascript'
        ELSE 'binary' END AS rtype
 FROM (SELECT doc_id, ([{ext_list}])[CAST(doc_id % 12 AS INT) + 1] AS ext FROM documents)
+"""
+
+    retype_exts = ", ".join(f"'{e}'" for e in _RETYPE_EXTS)
+    retype_mimes = ", ".join(
+        "NULL" if m is None else f"'{m}'" for m in _RETYPE_MIMES
+    )
+    sql["server_mime_retype"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    ([{retype_exts}])[CAST(doc_id % 6 AS INT) + 1] AS ext,
+    ([{retype_mimes}])[CAST(doc_id % 5 AS INT) + 1] AS server_mime
+  FROM documents)
+SELECT doc_id,
+  '/f' || CAST(doc_id AS STRING)
+       || CASE WHEN ext = '' THEN '' ELSE '.' || ext END AS path,
+  server_mime,
+  CASE WHEN server_mime IS NOT NULL
+         THEN lower(trim(string_split(server_mime, ';')[1]))
+       WHEN ext = 'css' THEN 'text/css'
+       WHEN ext = 'png' THEN 'application/octet-stream'
+       WHEN ext = 'js'  THEN 'text/javascript'
+       ELSE 'text/html' END AS mime,
+  CASE WHEN server_mime IS NULL THEN
+         CASE WHEN ext = 'css' THEN 'css'
+              WHEN ext = 'png' THEN 'binary'
+              WHEN ext = 'js'  THEN 'javascript'
+              ELSE 'html' END
+       WHEN doc_id % 5 = 1 THEN 'css'
+       WHEN doc_id % 5 = 3 THEN 'html'
+       ELSE 'binary' END AS rtype
+FROM base
 """
 
     sql["robots_filter"] = f"""
@@ -803,6 +930,36 @@ SELECT doc_id AS id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS
 FROM documents
 """
 
+    sql["corpus_clean_pipeline"] = f"""
+WITH aug AS ({_AUG_DOCS_SQL}),
+toks AS (
+  SELECT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM aug
+),
+scored AS ({lang_cases}),
+best AS (
+  SELECT id, lang FROM (
+    SELECT id, lang,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY hits DESC, lrank DESC) AS rk
+    FROM scored) WHERE rk = 1
+),
+enriched AS (
+  SELECT a.doc_id AS id,
+    md5(regexp_replace(lower(trim(a.text)), '\\s+', ' ', 'g')) AS fp,
+    CAST(least(len(string_split_regex(trim(a.text), '\\s+')), 256)
+      - greatest(len(regexp_extract_all(a.text, '[^A-Za-z0-9\\s]')) * 4
+                 - len(string_split_regex(trim(a.text), '\\s+')), 0) AS BIGINT) AS score,
+    CAST(len(regexp_extract_all(a.text, '{TS.TOKEN_RE}')) AS BIGINT) AS bpe_tokens,
+    COALESCE(b.lang, 'unknown') AS pred_lang
+  FROM aug a LEFT JOIN best b ON b.id = a.doc_id
+),
+survivors AS (SELECT * FROM enriched WHERE pred_lang = 'en' AND score >= 40)
+SELECT s.id, s.fp, s.score, s.bpe_tokens
+FROM survivors s
+JOIN (SELECT fp, MIN(id) AS id FROM survivors GROUP BY fp) k
+  ON s.fp = k.fp AND s.id = k.id
+"""
+
     sql["cosine_topk"] = f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
 s AS (
@@ -921,7 +1078,12 @@ SELECT s2.url, s2.cur AS final_url, CAST(s2.hops AS BIGINT) AS hops,
 FROM s2 LEFT JOIN edges e ON s2.cur = e.url
 """
 
-    from .kernels.errors import fatal_codes_sql_list
+    # the oracle's fatal-code table is transcribed INDEPENDENTLY from the
+    # reference (IsFatalError, Crawler.cs:2137-2156: HTTP 300/301/302/303/
+    # 307/401/402/404/406/407/410 + FTP 332/530/532/534) rather than
+    # formatted from the engine's kernels.errors.FATAL_CODES constant, so a
+    # transcription error in either side shows up as a hash mismatch.
+    _oracle_fatal = "300, 301, 302, 303, 307, 332, 401, 402, 404, 406, 407, 410, 530, 532, 534"
 
     _codes = "[" + ", ".join(str(c) for c in _ERR_CODES) + "]"
     sql["fatal_error_routing"] = f"""
@@ -931,9 +1093,9 @@ WITH assigned AS (
   FROM documents WHERE doc_id < 1000
 )
 SELECT id, CAST(code AS BIGINT) AS code,
-       (code <> 200 AND code IN ({fatal_codes_sql_list()})) AS fatal,
+       (code <> 200 AND code IN ({_oracle_fatal})) AS fatal,
        CASE WHEN code = 200 THEN 'ok'
-            WHEN code IN ({fatal_codes_sql_list()}) THEN 'fatal'
+            WHEN code IN ({_oracle_fatal}) THEN 'fatal'
             ELSE 'retry' END AS action
 FROM assigned
 """
@@ -1031,6 +1193,7 @@ QUERIES: dict[str, Callable] = {
     "url_canonicalize": q_url_canonicalize,
     "link_extract": q_link_extract,
     "mime_infer": q_mime_infer,
+    "server_mime_retype": q_server_mime_retype,
     "robots_filter": q_robots_filter,
     "politeness_topk": q_politeness_topk,
     "seen_antijoin": q_seen_antijoin,
@@ -1053,6 +1216,7 @@ QUERIES: dict[str, Callable] = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
+    "corpus_clean_pipeline": q_corpus_clean_pipeline,
     "cosine_topk": q_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embed_neardup": q_embed_neardup,
