@@ -64,3 +64,47 @@ def test_minhash_array_matches_standalone(spark):
     ).toPandas()
     for j in range(4):
         assert list(arr["mh"].map(lambda a: a[j])) == list(ref[f"m{j}"])
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(
+        pd.DataFrame({"a": [e[0] for e in edges], "b": [e[1] for e in edges]}),
+        schema="a long, b long",
+    )
+
+
+def test_connected_components_chain_and_islands(spark):
+    # one 5-node chain (worst case for min-propagation: diameter 4), one
+    # triangle, one isolated pair — labels must be the component minimum.
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)]
+    cc = TD.connected_components(_pairs(spark, edges)).toPandas()
+    got = dict(zip(cc["id"], cc["cc"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_reversed_and_duplicate_edges(spark):
+    # direction and multiplicity must not matter (pairs arrive a<b from LSH,
+    # but the operator cannot rely on it)
+    edges = [(5, 2), (2, 5), (2, 9), (9, 5), (9, 5)]
+    cc = TD.connected_components(_pairs(spark, edges)).toPandas()
+    assert dict(zip(cc["id"], cc["cc"])) == {2: 2, 5: 2, 9: 2}
+
+
+def test_dedup_clusters_singletons_and_survivors(spark):
+    words = ["zebra quartz", "maple violin", "comet arbor", "fjord sizzle",
+             "lagoon trellis", "onyx parable", "crag whistle", "dune mosaic"]
+    texts = [f"{w} {i} " + " ".join(f"{w.split()[0]}{j}" for j in range(6))
+             for i, w in enumerate(words)]
+    texts += [texts[3], texts[3]]  # ids 8, 9 duplicate id 3
+    out = TD.dedup_clusters(_docs(spark, texts)).toPandas()
+    by_id = out.set_index("id")
+    # the dup group clusters on its min id; everyone else is a singleton
+    assert by_id.loc[8, "cluster_id"] == 3 and by_id.loc[9, "cluster_id"] == 3
+    assert bool(by_id.loc[3, "is_canonical"])
+    assert not bool(by_id.loc[8, "is_canonical"])
+    singles = [i for i in range(8) if i != 3]
+    assert (by_id.loc[singles, "cluster_id"] == singles).all()
+    # exactly one canonical doc per cluster
+    canon = out[out["is_canonical"]]
+    assert sorted(canon["cluster_id"]) == sorted(out["cluster_id"].unique())

@@ -208,6 +208,85 @@ def lsh_bucket_stats(
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 30,
+) -> DataFrame:
+    """(id, cc) — connected components of the undirected candidate-pair
+    graph; ``cc`` = the minimum node id in the component. This is the step
+    that turns LSH candidate PAIRS into dedup CLUSTERS (pairs alone cannot
+    say which docs to drop: near-dup relations chain, a~b~c).
+
+    Min-label propagation with pointer jumping: each iteration (1) pulls
+    the minimum label across graph neighbors, (2) compresses label chains
+    one hop (cc := label[cc]). Labels decrease monotonically and the hop
+    compression halves chain lengths, so convergence takes O(log d)
+    iterations for component diameter d (LSH dup clusters are near-cliques,
+    so 2-3 in practice). Each iteration is two uniform-key shuffles
+    (node-id keys — no skew) plus one sum-aggregate action for the
+    fixpoint test; labels are localCheckpointed per iteration to keep the
+    lineage flat. No driver-side graph state: the driver holds one scalar
+    per iteration.
+    """
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    lab = sym.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("cc")
+    ).localCheckpoint()
+    # labels only ever decrease (every update is a least()), so the label
+    # sum strictly decreases until the fixpoint: an unchanged sum IS
+    # convergence — no per-row change join needed.
+    prev_sum = lab.agg(F.sum("cc")).first()[0]
+    for _ in range(max_iter):
+        nmin = (
+            sym.join(
+                lab.select(F.col("id").alias("v"), F.col("cc").alias("vcc")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("vcc").alias("ncc"))
+            .select(F.col("u").alias("id"), "ncc")
+        )
+        pulled = lab.join(nmin, "id", "left").select(
+            "id", F.least("cc", F.coalesce("ncc", "cc")).alias("cc")
+        )
+        parent = pulled.select(F.col("id").alias("p_id"), F.col("cc").alias("p_cc"))
+        lab = (
+            pulled.join(parent, pulled["cc"] == parent["p_id"], "left")
+            .select("id", F.least("cc", F.coalesce("p_cc", "cc")).alias("cc"))
+            .localCheckpoint()
+        )
+        cur_sum = lab.agg(F.sum("cc")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return lab
+
+
+def dedup_clusters(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bands: int = 4, rows_per_band: int = 2, k: int = 5,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """(id, cluster_id, is_canonical) — every document assigned to its
+    MinHash-LSH near-duplicate cluster; the cluster's minimum id is the
+    canonical survivor (filter ``is_canonical`` to materialize the deduped
+    corpus). Docs in no candidate pair are their own singleton cluster via
+    the left join — the corpus-sized side is never shuffled through the
+    component iteration, only the (much smaller) pair-graph node set is."""
+    pairs = lsh_candidate_pairs(
+        docs, text_col, id_col, bands, rows_per_band, k, max_bucket_size
+    )
+    cc = connected_components(pairs)
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(cc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("cc", F.col("id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """(id, simhash) — 32-bit SimHash over whitespace tokens.

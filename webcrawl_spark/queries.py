@@ -501,6 +501,19 @@ def q_dedup_lsh_pairs(spark, sf_dir):
     return TD.lsh_candidate_pairs(_aug_docs(spark, sf_dir), bands=4, rows_per_band=2, k=5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """LSH pairs → connected components → cluster assignment (the step that
+    turns candidate pairs into an actual deduped corpus; near-dup relations
+    chain, so a pair list alone cannot pick survivors). Iterative min-label
+    propagation with pointer jumping — O(log d) rounds of uniform-key
+    shuffles; the full corpus joins the (small) component labels once at
+    the end. DuckDB oracle replays it as a recursive-CTE transitive
+    closure."""
+    return TD.dedup_clusters(
+        _aug_docs(spark, sf_dir), bands=4, rows_per_band=2, k=5
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return TD.simhash(docs)
@@ -827,6 +840,34 @@ buckets AS (
 )
 SELECT DISTINCT l.id AS a, r.id AS b
 FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.id < r.id
+"""
+
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE aug AS ({_AUG_DOCS_SQL}),
+sigs AS (
+  SELECT doc_id AS id, {mh_cols}
+  FROM aug
+),
+buckets_all AS ({band_selects}),
+buckets AS (
+  SELECT id, bucket FROM buckets_all
+  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY id) <= 1000
+),
+pairs AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.id < r.id
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+reach(id, root) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.id
+),
+labels AS (SELECT id, MIN(root) AS cc FROM reach GROUP BY id)
+SELECT a.doc_id AS id,
+       COALESCE(l.cc, a.doc_id) AS cluster_id,
+       a.doc_id = COALESCE(l.cc, a.doc_id) AS is_canonical
+FROM aug a LEFT JOIN labels l ON l.id = a.doc_id
 """
 
     sql["ngram_jaccard_lsh"] = f"""
@@ -1209,6 +1250,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "simhash_hamming": q_simhash_hamming,
     "ngram_jaccard": q_ngram_jaccard,
