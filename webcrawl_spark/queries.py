@@ -564,6 +564,35 @@ def q_token_count(spark, sf_dir):
     )
 
 
+def q_corpus_split_stats(spark, sf_dir):
+    """Deterministic train/val/test corpus split (90/5/5) by content-free
+    id hash — the standard leakage-safe split for training data at scale:
+    assignment depends only on the stable doc id (reshuffling or growing
+    the corpus never moves a doc between splits), is uniform by md5, and
+    is reproducible in any engine. Aggregates per-split doc and token
+    budgets; one map-side-combined groupBy on a 3-value key."""
+    bucket = (
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.expr(
+                f"CASE WHEN {bucket} < 90 THEN 'train' "
+                f"WHEN {bucket} < 95 THEN 'val' ELSE 'test' END"
+            ).alias("split"),
+            TS.ws_token_count("text").cast("long").alias("ws"),
+            TS.bpe_token_count("text").cast("long").alias("bpe"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+        )
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), TS.fingerprint("text").alias("fp")
@@ -966,6 +995,19 @@ SELECT doc_id AS id,
 FROM documents
 """
 
+    sql["corpus_split_stats"] = f"""
+WITH b AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT) % 100 AS bucket,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws,
+    CAST(len(regexp_extract_all(text, '{TS.TOKEN_RE}')) AS BIGINT) AS bpe
+  FROM documents)
+SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+  COUNT(*) AS n_docs,
+  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens
+FROM b GROUP BY 1
+"""
+
     sql["fingerprint"] = """
 SELECT doc_id AS id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents
@@ -1257,6 +1299,7 @@ QUERIES: dict[str, Callable] = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
+    "corpus_split_stats": q_corpus_split_stats,
     "fingerprint": q_fingerprint,
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
     "cosine_topk": q_cosine_topk,
