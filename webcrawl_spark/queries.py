@@ -649,6 +649,31 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@5 of the IVF ANN against the brute-force exact ground truth —
+    the measurement that justifies trading exactness for the bucketed scale
+    path ("measure, don't guess"). Both sides are existing battery queries;
+    the join keys on (query, neighbor), so the check costs O(queries · k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bf = SIM.brute_force_topk(emb, n_queries=8, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    emb2, ranked = _shared_quantizer(spark, sf_dir)
+    ivf = (
+        SIM.kmeans_ivf_topk(
+            emb2, n_queries=8, k=5, k_clusters=4, iters=2, probes=2, ranked=ranked,
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("hits"))
+        .withColumn("recall_at_5", F.round(F.col("hits") / 5.0, 4))
+    )
+
+
 def q_embed_neardup(spark, sf_dir):
     return SIM.neardup_pairs(_t(spark, sf_dir, "embeddings"), n=200, threshold=0.3)
 
@@ -1118,6 +1143,42 @@ JOIN embeddings eb ON eb.vec_id = y.id
 WHERE {_duck_cos64('ea.embedding', 'eb.embedding')} > 0.3
 """
 
+    sql["ann_recall"] = f"""
+WITH {_kmeans_ctes},
+corpus_bucket AS (SELECT id AS neighbor_id, cid FROM ranked WHERE rn = 1),
+probe AS (SELECT id AS query_id, cid FROM ranked WHERE id < 8 AND rn <= 2),
+s AS (
+  SELECT p.query_id, b.neighbor_id,
+         {_duck_cos64('q.embedding', 'e.embedding')} AS cos
+  FROM probe p
+  JOIN corpus_bucket b ON b.cid = p.cid AND b.neighbor_id <> p.query_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings e ON e.vec_id = b.neighbor_id
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+    FROM s) WHERE rk <= 5
+),
+e2 AS (SELECT vec_id, embedding FROM embeddings),
+bs AS (
+  SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+         {_duck_cos64('q.embedding', 'e2.embedding')} AS cos
+  FROM (SELECT * FROM e2 WHERE vec_id < 8) q CROSS JOIN e2
+  WHERE e2.vec_id <> q.vec_id
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+    FROM bs) WHERE rk <= 5
+)
+SELECT b.query_id, COUNT(i.neighbor_id) AS hits,
+       ROUND(COUNT(i.neighbor_id) / 5.0, 4) AS recall_at_5
+FROM bf b LEFT JOIN ivf i
+  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
+
     sql["embed_neardup"] = f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
 SELECT a.vec_id AS a, b.vec_id AS b,
@@ -1304,6 +1365,7 @@ QUERIES: dict[str, Callable] = {
     "corpus_clean_pipeline": q_corpus_clean_pipeline,
     "cosine_topk": q_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_recall": q_ann_recall,
     "embed_neardup": q_embed_neardup,
     "multimodal_meta": q_multimodal_meta,
     "redirect_resolve": q_redirect_resolve,
