@@ -674,6 +674,29 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_neardup_recall(spark, sf_dir):
+    """Recall of the bucketed (k-means) embedding near-dup path against the
+    exact all-pairs baseline on the id<200 subset where the baseline is
+    affordable — quantifies the cross-bucket-miss trade the scale path
+    accepts, instead of merely documenting it. One row: exact pair count,
+    found pair count, recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = SIM.neardup_pairs(emb, n=200, threshold=0.3).select("a", "b")
+    emb2, ranked = _shared_quantizer(spark, sf_dir)
+    ann = (
+        SIM.neardup_pairs_bucketed(emb2, threshold=0.3, k_clusters=4, iters=2,
+                                   ranked=ranked)
+        .filter((F.col("a") < 200) & (F.col("b") < 200))
+        .select("a", "b")
+        .withColumn("hit", F.lit(1))
+    )
+    return exact.join(ann, ["a", "b"], "left").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit").alias("n_found"),
+        F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall"),
+    )
+
+
 def q_embed_neardup(spark, sf_dir):
     return SIM.neardup_pairs(_t(spark, sf_dir, "embeddings"), n=200, threshold=0.3)
 
@@ -1179,6 +1202,28 @@ FROM bf b LEFT JOIN ivf i
 GROUP BY b.query_id
 """
 
+    sql["neardup_recall"] = f"""
+WITH {_kmeans_ctes},
+bucket AS (SELECT id, cid FROM ranked WHERE rn = 1),
+ann AS (
+  SELECT x.id AS a, y.id AS b
+  FROM bucket x JOIN bucket y ON x.cid = y.cid AND x.id < y.id
+  JOIN embeddings ea ON ea.vec_id = x.id
+  JOIN embeddings eb ON eb.vec_id = y.id
+  WHERE x.id < 200 AND y.id < 200
+    AND {_duck_cos64('ea.embedding', 'eb.embedding')} > 0.3
+),
+e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+exact AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_duck_cos64('a.embedding', 'b.embedding')} > 0.3
+)
+SELECT COUNT(*) AS n_exact, COUNT(x.a) AS n_found,
+       ROUND(COUNT(x.a) * 1.0 / COUNT(*), 4) AS recall
+FROM exact t LEFT JOIN ann x ON x.a = t.a AND x.b = t.b
+"""
+
     sql["embed_neardup"] = f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
 SELECT a.vec_id AS a, b.vec_id AS b,
@@ -1366,6 +1411,7 @@ QUERIES: dict[str, Callable] = {
     "cosine_topk": q_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_recall": q_ann_recall,
+    "neardup_recall": q_neardup_recall,
     "embed_neardup": q_embed_neardup,
     "multimodal_meta": q_multimodal_meta,
     "redirect_resolve": q_redirect_resolve,
