@@ -266,7 +266,7 @@ def neardup_pairs_bucketed(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.3, k_clusters: int = 4, iters: int = 2,
     scale: int = 1000, round_to: int = 4, salt: int = 16,
-    ranked: DataFrame | None = None,
+    ranked: DataFrame | None = None, probes: int = 1,
 ) -> DataFrame:
     """(a, b, cos) near-duplicate pairs among SAME-k-means-bucket vectors.
 
@@ -282,9 +282,41 @@ def neardup_pairs_bucketed(
     rows shuffled on the replicated side buys salt x the parallelism for
     the per-pair scoring, which dominates. Each pair still arises exactly
     once (a given ``a`` carries one salt value). ``ranked`` accepts a
-    prefit quantizer (:func:`kmeans_ranked_cached`)."""
+    prefit quantizer (:func:`kmeans_ranked_cached`).
+
+    ``probes`` > 1 assigns each vector to its ``probes`` nearest clusters
+    (the near-dup analog of IVF multi-probe): a pair is found when ANY of
+    its bucket assignments overlap, recovering cross-bucket near-dups at
+    ~probes² the candidate volume. Multi-assignment can surface the same
+    pair through two shared buckets, so candidates are deduplicated on
+    (a, b) — id-only rows, a uniform-key shuffle — BEFORE the vectors are
+    joined in for scoring; the expensive per-pair fold still runs once per
+    pair."""
     if ranked is None:
         ranked = kmeans_ranked(emb, id_col, vec_col, k_clusters, iters, scale)
+    if probes > 1:
+        buckets = ranked.filter(F.col("__rn") <= probes).select("id", "cid")
+        ids_a = buckets.select(F.col("id").alias("a"), "cid")
+        ids_b = buckets.select(F.col("id").alias("b"), "cid")
+        pairs = (
+            ids_a.join(ids_b, "cid")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        base = _prep_normed(emb, id_col, vec_col, "id", "v", "n")
+        va = base.select(F.col("id").alias("a"), F.col("v").alias("va"),
+                         F.col("n").alias("na"))
+        vb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"),
+                         F.col("n").alias("nb"))
+        return (
+            pairs.join(va, "a").join(vb, "b")
+            .withColumn(
+                "cos", F.expr(dot_sql("va", "vb")) / (F.col("na") * F.col("nb"))
+            )
+            .filter(F.col("cos") > threshold)
+            .select("a", "b", F.round("cos", round_to).alias("cos"))
+        )
     buckets = ranked.filter(F.col("__rn") == 1).select("id", "cid")
     base = _prep_normed(emb, id_col, vec_col, "id", "v", "n").join(buckets, "id")
     a = base.select(
