@@ -72,3 +72,30 @@ def test_filter_pushdown_reaches_parquet(spark):
     assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in p
     # column pruning: only the two referenced columns reach the scan
     assert "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string>" in p
+
+
+def test_connected_components_iteration_jvm_only(spark):
+    """Each CC iteration must stay JVM-side with uniform-key shuffles —
+    no Python stages, no cartesian products."""
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2, 5], "b": [2, 3, 6]}), schema="a long, b long"
+    )
+    cc = TD.connected_components(pairs, max_iter=2)
+    p = _plan(cc)
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_multiprobe_neardup_dedups_before_scoring(spark):
+    """probes=2 must deduplicate candidate id pairs BEFORE the vectors are
+    joined for scoring (the HashAggregate/distinct runs on id-only rows),
+    and stay JVM-only."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = SIM.neardup_pairs_bucketed(emb, probes=2)
+    p = _plan(df)
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the distinct aggregate appears below the vector joins: keys are (a, b)
+    assert "HashAggregate" in p
