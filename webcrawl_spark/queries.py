@@ -148,6 +148,56 @@ def q_crawl_bfs_trace(spark, sf_dir):
     )
 
 
+def q_link_pagerank(spark, sf_dir):
+    """Integer PageRank over the synthetic link graph (3 iterations,
+    damping 0.85) — the classic crawl-priority signal: rank feeds the
+    frontier's priority ordering at scale (prioritize important hosts
+    first). All-integer arithmetic (r0 = 10^6 per node, truncating
+    division) makes every engine compute bit-identical ranks — no float
+    fold ordering to pin. Each iteration is one uniform-key shuffle
+    (groupBy dst) plus a left join back to the node set; out-degrees come
+    from the generator closed-form (2 + d % 4), so no degree groupBy is
+    needed. Every node has out-degree ≥ 2 — no dangling mass."""
+    from .sources.synth_web import LINK_MULT, LINK_STEP
+
+    n = 300
+    docs = _t(spark, sf_dir, "documents").filter(f"doc_id < {n}").select("doc_id")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, 1 + cast(doc_id % 4 as int)), "
+                f"k -> (doc_id * {LINK_MULT} + {LINK_STEP} * k + 1) % {n})"
+            )
+        ).alias("dst"),
+    )
+    ranks = docs.select(
+        F.col("doc_id").alias("id"), F.lit(1000000).cast("long").alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("id").alias("src"), F.col("r").alias("rs")),
+                "src",
+            )
+            .select("dst", F.expr("rs div (2 + src % 4)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            docs.select(F.col("doc_id").alias("id"))
+            .join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(150000)
+                    + F.expr("(85 * coalesce(contrib, 0)) div 100")
+                ).cast("long").alias("r"),
+            )
+        )
+    return ranks.select(F.col("id").alias("doc_id"), F.col("r").alias("pagerank"))
+
+
 _CANON_SCHEMA = "doc_id long, url string, host string, url_key string"
 
 
@@ -748,6 +798,23 @@ WITH {SW.edges_sql(300)}
 SELECT {SW.url_sql('dst')} AS url, CAST(1 AS BIGINT) AS depth
 FROM (SELECT DISTINCT dst FROM edges WHERE src < 4
       AND dst NOT IN (SELECT doc_id FROM docs WHERE doc_id < 4))
+"""
+
+    _pr_iter = """
+c{i} AS (
+  SELECT e.dst AS id, CAST(SUM(r{p}.r // (2 + e.src % 4)) AS BIGINT) AS contrib
+  FROM edges e JOIN r{p} ON r{p}.id = e.src GROUP BY e.dst),
+r{i} AS (
+  SELECT d.doc_id AS id,
+         CAST(150000 + (85 * COALESCE(c{i}.contrib, 0)) // 100 AS BIGINT) AS r
+  FROM docs d LEFT JOIN c{i} ON c{i}.id = d.doc_id)"""
+    sql["link_pagerank"] = f"""
+WITH {SW.edges_sql(300)},
+r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r FROM docs),
+{_pr_iter.format(i=1, p=0)},
+{_pr_iter.format(i=2, p=1)},
+{_pr_iter.format(i=3, p=2)}
+SELECT id AS doc_id, r AS pagerank FROM r3
 """
 
     sql["url_canonicalize"] = f"""
@@ -1401,6 +1468,7 @@ QUERIES: dict[str, Callable] = {
     "crawl_reach_seen": q_crawl_reach_seen,
     "crawl_frontier_round1": q_crawl_frontier_round1,
     "crawl_bfs_trace": q_crawl_bfs_trace,
+    "link_pagerank": q_link_pagerank,
     "url_canonicalize": q_url_canonicalize,
     "link_extract": q_link_extract,
     "mime_infer": q_mime_infer,
