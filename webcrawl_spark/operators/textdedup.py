@@ -208,6 +208,36 @@ def lsh_bucket_stats(
     )
 
 
+def lsh_star_edges(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bands: int = 4, rows_per_band: int = 2, k: int = 5,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """(a, b) star edges per LSH bucket: every member connects to the
+    bucket's MINIMUM id. For CLUSTERING this is connectivity-equivalent to
+    the full bucket self-join (any two members of a bucket are linked
+    through its min), at Σ bucket-size edges instead of Σ bucket-size² —
+    the boilerplate mega-bucket that forces :func:`lsh_candidate_pairs` to
+    cap and truncate costs a star here, so no cap is needed and no member
+    is dropped. Use the pair form when per-pair similarity must be scored;
+    use this when only the partition into clusters matters."""
+    buckets = lsh_buckets(docs, text_col, id_col, bands, rows_per_band, k)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("bucket").orderBy("id")
+        buckets = (
+            buckets.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
+    mins = buckets.groupBy("bucket").agg(F.min("id").alias("a"))
+    return (
+        buckets.join(mins, "bucket")
+        .filter(F.col("id") != F.col("a"))
+        .select("a", F.col("id").alias("b"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 30,
 ) -> DataFrame:
@@ -222,20 +252,31 @@ def connected_components(
     compression halves chain lengths, so convergence takes O(log d)
     iterations for component diameter d (LSH dup clusters are near-cliques,
     so 2-3 in practice). Each iteration is two uniform-key shuffles
-    (node-id keys — no skew) plus one sum-aggregate action for the
-    fixpoint test; labels are localCheckpointed per iteration to keep the
-    lineage flat. No driver-side graph state: the driver holds one scalar
-    per iteration.
+    (node-id keys — no skew) and exactly ONE action: the fixpoint sum
+    rides the label checkpoint job as an Observation. Labels are
+    localCheckpointed per iteration to keep the lineage flat; no
+    driver-side graph state — the driver holds one scalar per iteration.
     """
+    from pyspark.sql import Observation
     edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    lab = sym.select(F.col("u").alias("id")).distinct().select(
-        "id", F.col("id").alias("cc")
+    # materialize the (small) edge table ONCE — the iterations below must
+    # re-read it, never re-derive the upstream candidate pipeline (LSH
+    # banding etc.) per iteration
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
     # labels only ever decrease (every update is a least()), so the label
     # sum strictly decreases until the fixpoint: an unchanged sum IS
-    # convergence — no per-row change join needed.
-    prev_sum = lab.agg(F.sum("cc")).first()[0]
+    # convergence — no per-row change join needed. The sum is read from an
+    # Observation on the checkpoint job, costing zero extra actions.
+    obs0 = Observation()
+    lab = (
+        sym.select(F.col("u").alias("id")).distinct()
+        .select("id", F.col("id").alias("cc"))
+        .observe(obs0, F.sum("cc").alias("s"))
+        .localCheckpoint()
+    )
+    prev_sum = obs0.get["s"]
     for _ in range(max_iter):
         nmin = (
             sym.join(
@@ -249,12 +290,14 @@ def connected_components(
             "id", F.least("cc", F.coalesce("ncc", "cc")).alias("cc")
         )
         parent = pulled.select(F.col("id").alias("p_id"), F.col("cc").alias("p_cc"))
+        obs = Observation()
         lab = (
             pulled.join(parent, pulled["cc"] == parent["p_id"], "left")
             .select("id", F.least("cc", F.coalesce("p_cc", "cc")).alias("cc"))
+            .observe(obs, F.sum("cc").alias("s"))
             .localCheckpoint()
         )
-        cur_sum = lab.agg(F.sum("cc")).first()[0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -271,11 +314,18 @@ def dedup_clusters(
     canonical survivor (filter ``is_canonical`` to materialize the deduped
     corpus). Docs in no candidate pair are their own singleton cluster via
     the left join — the corpus-sized side is never shuffled through the
-    component iteration, only the (much smaller) pair-graph node set is."""
-    pairs = lsh_candidate_pairs(
+    component iteration, only the (much smaller) pair-graph node set is.
+
+    The component graph is built from :func:`lsh_star_edges` (member →
+    bucket-min), which partitions identically to the full candidate-pair
+    graph at Σ bucket-size instead of Σ bucket-size² edges — near-clique
+    dup groups cost linear edges. The cap is threaded through so the
+    result matches a pair-graph replay (an over-cap bucket keeps its
+    lowest ids, exactly as :func:`lsh_candidate_pairs` reports)."""
+    star = lsh_star_edges(
         docs, text_col, id_col, bands, rows_per_band, k, max_bucket_size
     )
-    cc = connected_components(pairs)
+    cc = connected_components(star)
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(cc, "id", "left")
