@@ -134,3 +134,27 @@ def test_streaming_frontier_carryover(spark, tmp_path):
             emit, state[host] = pend[:2], pend[2:]
             want.update((host, u) for _p, _s, u in emit)
     assert {(h, u) for h, u, _p, _s in got} == want
+
+
+def test_stream_dedup_equals_batch(spark):
+    """Streaming first-arrival dedup keeps exactly one row per distinct
+    content digest — same digest set and count as the batch distinct."""
+    q = SE.stream_dedup_docs(spark, SF, "dedup_t")
+    _drain(q)
+    got = spark.sql("select * from dedup_t").toPandas()
+    want = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.md5(F.col("text")).alias("digest"))
+        .distinct()
+        .toPandas()
+    )
+    assert len(got) == len(want) > 0
+    assert set(got["digest"]) == set(want["digest"])
+    # every surviving row is a genuine member of its digest group
+    full = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.md5(F.col("text")).alias("digest"))
+        .toPandas()
+    )
+    valid = set(map(tuple, full[["doc_id", "digest"]].itertuples(index=False)))
+    assert set(map(tuple, got[["doc_id", "digest"]].itertuples(index=False))) <= valid

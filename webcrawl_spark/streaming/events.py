@@ -26,20 +26,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table (bounded: drains once).
+def table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-source stream over a testdata table (bounded: drains once).
 
     The file source requires a DIRECTORY; the single-file testdata table is
     staged into a temp dir via symlink."""
     import os
     import tempfile
 
-    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    src = os.path.abspath(f"{sf_dir}/{table}.parquet")
     stage = os.path.join(
-        tempfile.gettempdir(), "wc_stream_events_" + src.replace("/", "_")
+        tempfile.gettempdir(), f"wc_stream_{table}_" + src.replace("/", "_")
     )
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
+    link = os.path.join(stage, f"{table}.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
     schema = spark.read.parquet(src).schema
@@ -47,6 +47,30 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
+    )
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table_stream(spark, sf_dir, "events")
+
+
+def stream_dedup_docs(spark: SparkSession, sf_dir: str, query_name: str) -> "StreamingQuery":
+    """Streaming exact dedup: first arrival per content digest survives
+    (``dropDuplicates`` state = one md5 key per unique document) — the
+    streaming form of the batch keeper selection, for dedup-at-ingest
+    pipelines where documents arrive continuously. At 100 TB the digest
+    state shards uniformly across the cluster (md5 keys); a bounded-state
+    variant would swap in ``dropDuplicatesWithinWatermark`` when dups are
+    known to arrive within a time horizon."""
+    docs = table_stream(spark, sf_dir, "documents")
+    deduped = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("digest")
+    ).dropDuplicates(["digest"])
+    return (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .start()
     )
 
 
