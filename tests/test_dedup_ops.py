@@ -108,3 +108,33 @@ def test_dedup_clusters_singletons_and_survivors(spark):
     # exactly one canonical doc per cluster
     canon = out[out["is_canonical"]]
     assert sorted(canon["cluster_id"]) == sorted(out["cluster_id"].unique())
+
+
+def test_connected_components_matches_union_find(spark):
+    """Independent check: the distributed min-label algorithm must agree
+    with a from-scratch union-find on a messy fixed graph (two chains, a
+    clique, cross-links, duplicates, reversed edges)."""
+    edges = [(3, 1), (1, 7), (7, 3), (12, 9), (9, 14), (20, 25), (25, 22),
+             (22, 20), (30, 31), (31, 32), (32, 33), (33, 34), (34, 30),
+             (40, 41), (41, 40), (50, 9)]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    got = TD.connected_components(_pairs(spark, edges)).toPandas()
+    assert dict(zip(got["id"], got["cc"])) == want

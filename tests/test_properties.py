@@ -84,3 +84,41 @@ def test_guess_types_batch_matches_scalar(paths):
     batch = guess_types_batch(pd.Series(paths, dtype="object"))
     for p, got in zip(paths, batch):
         assert got == guess_resource_type_from_path(p)
+
+
+def test_integer_pagerank_hand_computed():
+    """Independent expectation for the link_pagerank arithmetic: replay the
+    exact integer recurrence in plain Python on the same generator formula
+    (n=300, 3 iterations, damping 85//100, truncating division) and pin a
+    few node values. This is NOT derived from the Spark or DuckDB code —
+    it is the spec, hand-written."""
+    n = 300
+    edges = {}
+    for d in range(n):
+        outs = [(d * 31 + 7 * k + 1) % n for k in range(2 + d % 4)]
+        edges[d] = outs
+    r = {d: 1_000_000 for d in range(n)}
+    for _ in range(3):
+        contrib = {d: 0 for d in range(n)}
+        for src, outs in edges.items():
+            share = r[src] // len(outs)
+            for dst in outs:
+                contrib[dst] += share
+        r = {d: 150_000 + (85 * contrib[d]) // 100 for d in range(n)}
+    # structural sanity: every node got SOME in-mass at this n (the
+    # generator formula is near-uniform), and totals are conserved-ish
+    assert min(r.values()) > 150_000
+    assert 0.9 < sum(r.values()) / (n * 1_000_000) < 1.1
+
+    from webcrawl_spark.queries import ORACLE_SQL
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    got = dict(
+        con.execute(ORACLE_SQL["link_pagerank"]).fetchall()
+    )
+    assert got == r
