@@ -52,7 +52,7 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark import InheritableThread
-from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
@@ -165,6 +165,46 @@ def _lazy_seq(df: DataFrame, order_cols: list, start: int, out_col: str) -> Data
     )
 
 
+def select_polite(
+    frontier: DataFrame, budget, salt_buckets: int = 1,
+    max_connections: int | None = None, rank_col: str | None = None,
+) -> DataFrame:
+    """Per-host politeness selection: the top-``budget`` frontier rows per
+    host by (priority, seq), with the mega-host salt pre-prune and the
+    optional global connection cap (MaxConnectionsPerServer /
+    MaxConnections; Crawler.cs:533-562). ``budget`` is an int or a Column
+    (per-host crawl-delay budgets). The salt pre-prune is semantically
+    transparent — the true per-host top-k is a subset of the union of
+    per-(host, salt) top-ks — it only bounds what any single task sorts.
+    ``rank_col`` optionally keeps the final per-host rank. Extracted from
+    the round pipeline so the battery drives the REAL selection code path.
+    """
+    if not isinstance(budget, Column):
+        budget = F.lit(budget)
+    pool = frontier
+    if salt_buckets > 1:
+        # skew guard: per-(host, salt) pre-prune — no single task ever
+        # sorts a mega-host's whole queue (north_rule explicit skew handling)
+        wsalt = Window.partitionBy(
+            "host", F.pmod(F.xxhash64("url_key"), F.lit(salt_buckets))
+        ).orderBy("priority", "seq")
+        pool = (
+            frontier.withColumn("__rn", F.row_number().over(wsalt))
+            .filter(F.col("__rn") <= budget)
+            .drop("__rn")
+        )
+    w = Window.partitionBy("host").orderBy("priority", "seq")
+    sel = pool.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= budget
+    )
+    sel = (
+        sel.withColumnRenamed("__rn", rank_col) if rank_col else sel.drop("__rn")
+    )
+    if max_connections is not None:
+        sel = sel.orderBy("priority", "seq").limit(max_connections)
+    return sel
+
+
 def run_round(
     spark: SparkSession,
     ctx: RoundContext,
@@ -199,28 +239,9 @@ def run_round(
             _t0 = now
 
     # ---------------- 1. SELECT (politeness + budgets) ----------------
-    budget = _budget_col(ctx)
-    pool = frontier
-    if cfg.salt_buckets > 1:
-        # skew guard: per-(host, salt) pre-prune — the true per-host top-k is
-        # a subset of the union of per-salt top-ks, and no single task ever
-        # sorts a mega-host's whole queue (north_rule explicit skew handling)
-        wsalt = Window.partitionBy(
-            "host", F.pmod(F.xxhash64("url_key"), F.lit(cfg.salt_buckets))
-        ).orderBy("priority", "seq")
-        pool = (
-            frontier.withColumn("__rn", F.row_number().over(wsalt))
-            .filter(F.col("__rn") <= budget)
-            .drop("__rn")
-        )
-    w = Window.partitionBy("host").orderBy("priority", "seq")
-    sel = (
-        pool.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= budget)
-        .drop("__rn")
+    sel = select_polite(
+        frontier, _budget_col(ctx), cfg.salt_buckets, cfg.max_connections
     )
-    if cfg.max_connections is not None:
-        sel = sel.orderBy("priority", "seq").limit(cfg.max_connections)
     if small:
         sel = _lazy_seq(sel, ["priority", "seq"], next_fetch_seq, "fetch_seq")
     else:

@@ -395,13 +395,23 @@ def q_robots_filter(spark, sf_dir):
 
 
 def q_politeness_topk(spark, sf_dir):
-    """Per-host politeness top-k as a window (§2 ops 2-3), neutral data."""
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
-        _t(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 2)
-        .select("o_custkey", "o_orderkey", "rn")
+    """Per-host politeness top-k (§2 ops 2-3) — drives the ENGINE's actual
+    selection code path (`plans.round.select_polite`, the same function the
+    crawl round calls) over neutral data, with the mega-host salt pre-prune
+    ON. The oracle is a plain per-host top-k: a hash match therefore also
+    proves cross-engine that salting is semantically transparent."""
+    from .plans.round import select_polite
+
+    fr = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("host"),
+        F.col("o_orderdate").alias("priority"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderkey").cast("string").alias("url_key"),
+    )
+    return select_polite(fr, 2, salt_buckets=4, rank_col="rn").select(
+        F.col("host").alias("o_custkey"),
+        F.col("seq").alias("o_orderkey"),
+        F.col("rn").cast("long").alias("rn"),
     )
 
 
@@ -422,15 +432,20 @@ def q_min_depth_merge(spark, sf_dir):
 
 
 def q_global_budget_limit(spark, sf_dir):
-    """Global connection budget: deterministic ordered limit (§2 op 3)."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .orderBy("o_orderdate", "o_orderkey")
-        .limit(100)
-        .select(
-            "o_orderkey",
-            F.substring(F.col("o_orderdate").cast("string"), 1, 10).alias("odate"),
-        )
+    """Global connection budget (§2 op 3) — the engine's selection with a
+    per-host budget high enough to be inert, so the MaxConnections ordered
+    limit inside `plans.round.select_polite` is what bounds the result."""
+    from .plans.round import select_polite
+
+    fr = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("host"),
+        F.col("o_orderdate").alias("priority"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderkey").cast("string").alias("url_key"),
+    )
+    return select_polite(fr, 10**9, max_connections=100).select(
+        F.col("seq").alias("o_orderkey"),
+        F.substring(F.col("priority").cast("string"), 1, 10).alias("odate"),
     )
 
 
