@@ -148,6 +148,27 @@ def test_mime_retype_golden(spark, tmp_path):
     assert meta.loc["http://mt.test/goto", "mime"] == "text/css"
 
 
+def test_truncate_golden(spark, tmp_path):
+    """MaxFileSize truncates the TRANSFER (CopyStream, Crawler.cs:1743-1771)
+    — not just the bytes metric: the oversized page's extracted text is the
+    truncated body's, the pre-cut link is discovered, the anchor straddling
+    the cut and everything past it are not."""
+    fx = gen.truncate_fixture()
+    crawler = run_and_check(spark, fx, tmp_path)
+    fetched = crawler.fetched().toPandas()
+    urls = set(fetched["url"])
+    assert "http://trunc.test/early.html" in urls        # before the cut
+    assert "http://trunc.test/half.html" not in urls     # anchor cut in half
+    assert "http://trunc.test/lost.html" not in urls     # after the cut
+    assert "http://trunc.test/ok.html" in urls           # under-cap page intact
+    meta = fetched.set_index("url")
+    cap = fx.config.max_file_size
+    assert meta.loc["http://trunc.test/big.html", "bytes"] == cap
+    big_text = meta.loc["http://trunc.test/big.html", "extracted_text"]
+    assert len(big_text.encode("utf-8")) == cap          # text IS the cut body
+    assert big_text.endswith('<a href="/ha')
+
+
 def test_bloom_forced_golden(spark, tmp_path):
     """Force the Bloom check stage on from round 0 (bloom_min_seen=0) —
     byte-identical to the oracle; and again with a saturated 8-bit filter

@@ -99,3 +99,8 @@ def test_multiprobe_neardup_dedups_before_scoring(spark):
     assert "CartesianProduct" not in p
     # the distinct aggregate appears below the vector joins: keys are (a, b)
     assert "HashAggregate" in p
+    # the candidate self-join is SALTED: its key (cid) has only k_clusters
+    # distinct values, so the exchange must partition on (cid, __salt) —
+    # without it a hot bucket is a one-task straggler emitting Σ bucket²
+    # id pairs
+    assert "__salt" in p

@@ -158,3 +158,25 @@ def test_stream_dedup_equals_batch(spark):
     )
     valid = set(map(tuple, full[["doc_id", "digest"]].itertuples(index=False)))
     assert set(map(tuple, got[["doc_id", "digest"]].itertuples(index=False))) <= valid
+
+
+def test_stream_dedup_null_text_passthrough(spark, tmp_path):
+    """NULL-text rows are not duplicates of each other: dropDuplicates
+    treats NULL keys as equal, so the dedup key falls back to the doc_id —
+    every content-less row survives ingest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # single parquet FILE — the shape table_stream's symlink staging expects
+    pq.write_table(
+        pa.table(
+            {"doc_id": [1, 2, 3, 4], "text": ["same", "same", None, None]}
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    q = SE.stream_dedup_docs(spark, str(tmp_path), "dedup_null_t")
+    _drain(q)
+    got = spark.sql("select * from dedup_null_t").toPandas()
+    # one survivor for the duplicated content + BOTH null-text rows
+    assert len(got) == 3
+    assert {3, 4} <= set(got["doc_id"])

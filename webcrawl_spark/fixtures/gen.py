@@ -713,6 +713,55 @@ def mime_retype_fixture() -> Fixture:
     )
 
 
+def truncate_fixture() -> Fixture:
+    """MaxFileSize truncates the transfer (CopyStream, Crawler.cs:1743-1771):
+    an oversized page's decoded text and discovered links reflect the
+    truncated body, not the full one.
+
+    /big.html exceeds the cap; the cap lands MID-ANCHOR — a link before the
+    cut is discovered, the straddling link is cut in half (never a complete
+    tag → never discovered), and a link entirely past the cut is lost.
+    /small.html is under the cap and unaffected."""
+    rng = random.Random(SEED + 23)
+    host = "http://trunc.test"
+    head = "<html><head><title>big</title></head><body>"
+    early = '<a href="/early.html">e</a>'
+    # pad pushes the cap well past every under-cap page in the fixture
+    # (index included) so ONLY /big.html is affected by the truncation
+    pad = "<p>" + "x" * 256 + "</p>"
+    half = '<a href="/half.html">h</a>'
+    late = '<a href="/lost.html">l</a>'
+    big = (head + early + pad + half + late + "</body></html>").encode("utf-8")
+    # cut mid-href of the straddling anchor: ...<a href="/ha|lf.html">...
+    cap = len(head) + len(early) + len(pad) + len('<a href="/ha')
+    assert cap < len(big)
+    rows = [
+        (
+            f"{host}/index.html",
+            render_html(
+                [("/big.html", "link"), ("/small.html", "link")],
+                rng=rng, title="idx",
+            ),
+        ),
+        (f"{host}/big.html", big),
+        (f"{host}/small.html",
+         render_html([("/ok.html", "link")], rng=rng, title="s")),
+        (f"{host}/early.html", render_html([], rng=rng, title="e")),
+        (f"{host}/half.html", render_html([], rng=rng, title="h")),
+        (f"{host}/lost.html", render_html([], rng=rng, title="l")),
+        (f"{host}/ok.html", render_html([], rng=rng, title="o")),
+    ]
+    return Fixture(
+        "truncate",
+        _mk_pages(rows),
+        [f"{host}/index.html"],
+        CrawlConfig(
+            max_connections=None, max_connections_per_server=10,
+            max_file_size=cap,
+        ),
+    )
+
+
 def post_fixture() -> Fixture:
     """User POST resources (EnqueueUri(uri, postData), Crawler.cs:1081-1101):
 
@@ -768,6 +817,7 @@ ALL_TOPOLOGIES = {
     "http_errors": http_errors_fixture,
     "mime_overrides": mime_override_fixture,
     "mime_retype": mime_retype_fixture,
+    "truncate": truncate_fixture,
 }
 
 

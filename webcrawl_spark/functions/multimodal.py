@@ -73,3 +73,171 @@ def extract_image_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).cast("long").alias("id"), F.col(blob_col).alias("blob")
     ).mapInPandas(image_meta_stage, IMAGE_META_SCHEMA)
+
+
+# --------------------------------------------------------------------- audio
+
+AUDIO_META_SCHEMA = (
+    "id long, n_bytes int, duration_ms long, sample_rate int, channels int, "
+    "digest string"
+)
+
+_SAMPLE_RATES = (8000, 16000, 22050, 44100, 48000)
+
+
+def decode_audio_wav(blob: bytes) -> tuple[int, int, int] | None:
+    """REAL decode for the one container the stdlib handles: RIFF/WAVE.
+    Returns (duration_ms, sample_rate, channels), or None if the blob is
+    not a parseable WAV. Duration is exact integer math
+    (frames * 1000 // rate) so any engine replaying it agrees."""
+    import io
+    import wave
+
+    if not blob.startswith(b"RIFF"):
+        return None
+    try:
+        with wave.open(io.BytesIO(blob)) as w:
+            rate = w.getframerate()
+            if rate <= 0:
+                return None
+            return (w.getnframes() * 1000 // rate, rate, w.getnchannels())
+    except Exception:
+        return None
+
+
+def _fake_audio(digest_hex: str) -> tuple[int, int, int]:
+    """Deterministic digest-derived stand-in for decoded audio properties
+    (non-WAV codecs need external libraries this container lacks)."""
+    return (
+        int(digest_hex[8:12], 16) % 600000 + 1000,
+        _SAMPLE_RATES[int(digest_hex[12:14], 16) % len(_SAMPLE_RATES)],
+        int(digest_hex[14:16], 16) % 2 + 1,
+    )
+
+
+def audio_meta_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(id, blob) → (id, n_bytes, duration_ms, sample_rate, channels,
+    digest). WAV blobs are REALLY parsed (stdlib); anything else gets the
+    deterministic digest-derived fake."""
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        blobs = pdf["blob"].map(lambda b: bytes(b) if b is not None else b"")
+        digests = blobs.map(lambda b: hashlib.md5(b).hexdigest())
+        props = [
+            decode_audio_wav(b) or _fake_audio(d)
+            for b, d in zip(blobs, digests)
+        ]
+        yield pd.DataFrame(
+            {
+                "id": pdf["id"].astype("int64"),
+                "n_bytes": blobs.map(len).astype("int32"),
+                "duration_ms": pd.Series([p[0] for p in props], dtype="int64"),
+                "sample_rate": pd.Series([p[1] for p in props], dtype="int32"),
+                "channels": pd.Series([p[2] for p in props], dtype="int32"),
+                "digest": digests,
+            }
+        )
+
+
+def extract_audio_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(blob_col).alias("blob")
+    ).mapInPandas(audio_meta_stage, AUDIO_META_SCHEMA)
+
+
+# --------------------------------------------------------------------- video
+
+VIDEO_META_SCHEMA = (
+    "id long, n_bytes int, duration_ms long, width int, height int, "
+    "fps_x100 int, n_frames long, digest string"
+)
+
+_FPS_X100 = (2397, 2400, 2500, 3000, 6000)
+
+
+def decode_video(blob: bytes):
+    """Real decode — gated on an importable decoder (none in-container)."""
+    try:
+        import av  # noqa: F401
+    except ImportError as e:  # pragma: no cover - no PyAV in this container
+        raise NotImplementedError(
+            "video decoding requires PyAV/ffmpeg; metadata stages use the "
+            "deterministic digest-derived fake instead"
+        ) from e
+    import io
+
+    return av.open(io.BytesIO(blob))
+
+
+def _fake_video(digest_hex: str) -> tuple[int, int, int, int, int]:
+    """(duration_ms, width, height, fps_x100, n_frames) — digest-derived;
+    n_frames = duration * fps in exact integer math."""
+    duration_ms = int(digest_hex[8:12], 16) % 600000 + 1000
+    w, h = _fake_dims(digest_hex)
+    fps = _FPS_X100[int(digest_hex[12:14], 16) % len(_FPS_X100)]
+    return (duration_ms, w, h, fps, duration_ms * fps // 100000)
+
+
+def video_meta_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(id, blob) → (id, n_bytes, duration_ms, width, height, fps_x100,
+    n_frames, digest) — same Arrow plumbing as the image stage."""
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        blobs = pdf["blob"].map(lambda b: bytes(b) if b is not None else b"")
+        digests = blobs.map(lambda b: hashlib.md5(b).hexdigest())
+        props = digests.map(_fake_video)
+        yield pd.DataFrame(
+            {
+                "id": pdf["id"].astype("int64"),
+                "n_bytes": blobs.map(len).astype("int32"),
+                "duration_ms": pd.Series([p[0] for p in props], dtype="int64"),
+                "width": pd.Series([p[1] for p in props], dtype="int32"),
+                "height": pd.Series([p[2] for p in props], dtype="int32"),
+                "fps_x100": pd.Series([p[3] for p in props], dtype="int32"),
+                "n_frames": pd.Series([p[4] for p in props], dtype="int64"),
+                "digest": digests,
+            }
+        )
+
+
+def extract_video_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(blob_col).alias("blob")
+    ).mapInPandas(video_meta_stage, VIDEO_META_SCHEMA)
+
+
+def sample_frame_indices(
+    df: DataFrame, every_ms: int = 1000,
+    id_col: str = "id", duration_col: str = "duration_ms",
+    fps_col: str = "fps_x100",
+) -> DataFrame:
+    """(id, frame_idx, ts_ms) — frame-sampling plan: which frame indices a
+    decode stage should extract, one row per sample instant. Pure JVM
+    ``sequence``/``explode`` — the expensive pixel work downstream receives
+    an exact work list and the planning never touches Python."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(
+            F.col(id_col).alias("id"), F.col(duration_col).alias("d"),
+            F.col(fps_col).alias("f"),
+        )
+        .select(
+            "id",
+            F.explode(
+                F.expr(f"sequence(0, greatest(cast((d - 1) / {every_ms} as int), 0))")
+            ).alias("k"),
+            "d", "f",
+        )
+        .select(
+            "id",
+            F.expr(f"cast(k * {every_ms} as bigint)").alias("ts_ms"),
+            F.expr(f"cast(k * {every_ms} * f div 100000 as bigint)").alias("frame_idx"),
+        )
+    )

@@ -199,6 +199,24 @@ def canonicalize(
 _ABS_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
 
 
+def is_absolute_href(
+    hrefs: pd.Series, decode_entities: pd.Series | bool = True
+) -> pd.Series:
+    """Syntax test: does the (entity-decoded, stripped) href carry its own
+    scheme? Matches the classification :func:`resolve_links` applies before
+    resolving — an absolute href that differs from its canonical form only
+    by normalization (entities, case, whitespace) is still absolute."""
+    h = hrefs.astype("object").fillna("").str.strip()
+    if isinstance(decode_entities, bool):
+        decode_mask = pd.Series(decode_entities, index=h.index)
+    else:
+        decode_mask = decode_entities.astype(bool)
+    ent = h.str.contains("&", regex=False) & decode_mask
+    if ent.any():
+        h = h.where(~ent, h[ent].map(html.unescape))
+    return h.str.contains(_ABS_RE)
+
+
 def resolve_links(hrefs: pd.Series, base_urls: pd.Series, decode_entities: pd.Series | bool = True) -> pd.Series:
     """GetAbsoluteLinkUrl (Crawler.cs:1773-1797), vectorized.
 

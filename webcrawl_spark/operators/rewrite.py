@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..kernels.links import scan_html_spans
-from ..kernels.urlnorm import canonicalize, resolve_links
+from ..kernels.urlnorm import canonicalize, is_absolute_href, resolve_links
 
 
 def local_paths(fetched: DataFrame) -> DataFrame:
@@ -73,14 +73,18 @@ def make_linkspan_stage():
                 if not found:
                     continue
                 hrefs = pd.Series([f[2] for f in found], dtype="object")
-                resolved = resolve_links(
-                    hrefs, pd.Series([url] * len(hrefs)),
-                    pd.Series([f[4] for f in found]),
-                )
+                dec = pd.Series([f[4] for f in found])
+                resolved = resolve_links(hrefs, pd.Series([url] * len(hrefs)), dec)
+                # relative = lacks its own scheme (syntax test, same
+                # classification resolve_links applies) — NOT raw != resolved,
+                # which would misclassify an absolute href differing from its
+                # resolution only by normalization (entities, case,
+                # whitespace) and mutate a link that must stay untouched
+                rel = ~is_absolute_href(hrefs, dec)
                 canon = canonicalize(resolved)
                 rows.extend(
-                    (url, f[0], f[1], c, r, f[2] != r)
-                    for f, r, c in zip(found, resolved, canon["url"])
+                    (url, f[0], f[1], c, r, bool(rl))
+                    for f, r, c, rl in zip(found, resolved, canon["url"], rel)
                     if c is not None
                 )
             if rows:

@@ -183,6 +183,7 @@ def kmeans_ranked(
 
 
 _KMEANS_CACHE: dict = {}
+_KMEANS_CACHE_MAX = 8
 
 
 def kmeans_ranked_cached(
@@ -194,7 +195,14 @@ def kmeans_ranked_cached(
     (eager lineage cut) and memoized per (Spark application, ``cache_key``,
     params) so ANN top-k and embedding near-dup share one fit instead of
     each re-running Lloyd from scratch. ``cache_key`` must identify the
-    input (e.g. its path); ``None`` disables caching."""
+    input (e.g. its path); ``None`` disables caching.
+
+    The cache is bounded (LRU-ish FIFO of ``_KMEANS_CACHE_MAX`` models):
+    localCheckpoint blocks pin executor storage for the application's
+    lifetime, so a long-lived session fitting quantizers over many inputs
+    must evict — the oldest entry is unpersisted before a new fit is
+    admitted. :func:`kmeans_cache_clear` is the explicit invalidation
+    hook."""
     if cache_key is None:
         return kmeans_ranked(emb, id_col, vec_col, k_clusters, iters, scale)
     full_key = (
@@ -202,10 +210,26 @@ def kmeans_ranked_cached(
         cache_key, id_col, vec_col, k_clusters, iters, scale,
     )
     if full_key not in _KMEANS_CACHE:
+        while len(_KMEANS_CACHE) >= _KMEANS_CACHE_MAX:
+            old = _KMEANS_CACHE.pop(next(iter(_KMEANS_CACHE)))  # oldest first
+            try:
+                old.unpersist()
+            except Exception:
+                pass
         _KMEANS_CACHE[full_key] = kmeans_ranked(
             emb, id_col, vec_col, k_clusters, iters, scale
         ).localCheckpoint(eager=True)
     return _KMEANS_CACHE[full_key]
+
+
+def kmeans_cache_clear() -> None:
+    """Drop every memoized quantizer and release its checkpoint blocks."""
+    while _KMEANS_CACHE:
+        _, old = _KMEANS_CACHE.popitem()
+        try:
+            old.unpersist()
+        except Exception:
+            pass
 
 
 def kmeans_ivf_topk(
@@ -295,11 +319,23 @@ def neardup_pairs_bucketed(
     if ranked is None:
         ranked = kmeans_ranked(emb, id_col, vec_col, k_clusters, iters, scale)
     if probes > 1:
+        # The candidate self-join's key (cid) has only k_clusters distinct
+        # values, so — exactly like the 1-probe path below — it is salted:
+        # parallelism k_clusters·salt instead of k_clusters, and a hot
+        # bucket's Σ bucket² id-pairs spread over `salt` tasks instead of
+        # landing on one straggler. Only cheap (id, cid) rows are
+        # replicated; vectors join in after the (a, b) distinct.
         buckets = ranked.filter(F.col("__rn") <= probes).select("id", "cid")
-        ids_a = buckets.select(F.col("id").alias("a"), "cid")
-        ids_b = buckets.select(F.col("id").alias("b"), "cid")
+        ids_a = buckets.select(
+            F.col("id").alias("a"), "cid",
+            F.pmod(F.col("id"), F.lit(salt)).alias("__salt"),
+        )
+        ids_b = buckets.select(
+            F.col("id").alias("b"), "cid",
+            F.explode(F.expr(f"sequence(0, {salt - 1})")).alias("__salt"),
+        )
         pairs = (
-            ids_a.join(ids_b, "cid")
+            ids_a.join(ids_b, ["cid", "__salt"])
             .filter(F.col("a") < F.col("b"))
             .select("a", "b")
             .distinct()

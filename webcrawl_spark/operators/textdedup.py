@@ -118,6 +118,52 @@ def minhash_wide(
     )
 
 
+_SIG_CACHE: dict = {}
+_SIG_CACHE_MAX = 8
+
+
+def minhash_wide_cached(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 8, k: int = 5, cache_key=None,
+) -> DataFrame:
+    """Fit-once signature model: :func:`minhash_wide` materialized (eager
+    lineage cut) and memoized per (Spark application, ``cache_key``, params)
+    — the same pattern as the shared k-means quantizer
+    (``similarity.kmeans_ranked_cached``). The signature pass (md5 per
+    shingle occurrence + the min-aggregate shuffle) dominates every MinHash
+    consumer, so LSH pairs, star-edge clustering, and Jaccard verification
+    over one corpus should compute it ONCE. ``cache_key`` must identify the
+    input (e.g. its path); ``None`` disables caching. Bounded FIFO cache;
+    :func:`minhash_cache_clear` is the explicit invalidation hook."""
+    if cache_key is None:
+        return minhash_wide(docs, text_col, id_col, num_hashes, k)
+    full_key = (
+        docs.sparkSession.sparkContext.applicationId,
+        cache_key, text_col, id_col, num_hashes, k,
+    )
+    if full_key not in _SIG_CACHE:
+        while len(_SIG_CACHE) >= _SIG_CACHE_MAX:
+            old = _SIG_CACHE.pop(next(iter(_SIG_CACHE)))  # oldest first
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _SIG_CACHE[full_key] = minhash_wide(
+            docs, text_col, id_col, num_hashes, k
+        ).localCheckpoint(eager=True)
+    return _SIG_CACHE[full_key]
+
+
+def minhash_cache_clear() -> None:
+    """Drop every memoized signature table and release its checkpoint blocks."""
+    while _SIG_CACHE:
+        old = _SIG_CACHE.pop(next(iter(_SIG_CACHE)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Digest groups with >1 member: (digest, keeper, n_dups)."""
     return (
@@ -130,10 +176,10 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    num_hashes: int = 8, k: int = 5,
+    num_hashes: int = 8, k: int = 5, cache_key=None,
 ) -> DataFrame:
     """Long-form signatures: (id, h, minhash) — one row per hash function."""
-    sig = minhash_wide(docs, text_col, id_col, num_hashes, k)
+    sig = minhash_wide_cached(docs, text_col, id_col, num_hashes, k, cache_key)
     return sig.select(
         "id", F.posexplode("sig").alias("h", "minhash")
     )
@@ -142,12 +188,17 @@ def minhash_signatures(
 def lsh_buckets(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bands: int = 4, rows_per_band: int = 2, k: int = 5,
+    cache_key=None,
 ) -> DataFrame:
     """(id, bucket) membership — bucket key = band index + the band's row
     hashes concatenated. ONE signature pass + one explode (the per-band
-    union of the naive formulation would recompute the md5 scan per band)."""
+    union of the naive formulation would recompute the md5 scan per band).
+    ``cache_key`` shares the signature materialization across consumers
+    (:func:`minhash_wide_cached`)."""
     nh = bands * rows_per_band
-    sig = minhash_wide(docs, text_col, id_col, nh, k).withColumnRenamed("sig", "mh")
+    sig = minhash_wide_cached(
+        docs, text_col, id_col, nh, k, cache_key=cache_key
+    ).withColumnRenamed("sig", "mh")
     row_refs = ", ".join(
         f"cast(mh[b * {rows_per_band} + {r}] as string)"
         for r in range(rows_per_band)
@@ -159,10 +210,24 @@ def lsh_buckets(
     return sig.select("id", F.explode(F.expr(band_expr)).alias("bucket"))
 
 
+def _cap_buckets(buckets: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Deterministic bucket truncation to the ``max_bucket_size`` lowest ids
+    (linearithmic window sort); ``None`` = no cap."""
+    if max_bucket_size is None:
+        return buckets
+    w = Window.partitionBy("bucket").orderBy("id")
+    return (
+        buckets.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket_size)
+        .drop("__rn")
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bands: int = 4, rows_per_band: int = 2, k: int = 5,
     max_bucket_size: int | None = 1000,
+    cache_key=None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (a < b) via banded bucket self-join.
 
@@ -174,14 +239,10 @@ def lsh_candidate_pairs(
     kept members still mark the group; use
     :func:`lsh_bucket_stats` to report what was dropped). ``None`` = no cap.
     """
-    buckets = lsh_buckets(docs, text_col, id_col, bands, rows_per_band, k)
-    if max_bucket_size is not None:
-        w = Window.partitionBy("bucket").orderBy("id")
-        buckets = (
-            buckets.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= max_bucket_size)
-            .drop("__rn")
-        )
+    buckets = _cap_buckets(
+        lsh_buckets(docs, text_col, id_col, bands, rows_per_band, k, cache_key),
+        max_bucket_size,
+    )
     left = buckets.withColumnRenamed("id", "a")
     right = buckets.withColumnRenamed("id", "b")
     return (
@@ -196,11 +257,12 @@ def lsh_bucket_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bands: int = 4, rows_per_band: int = 2, k: int = 5,
     max_bucket_size: int = 1000,
+    cache_key=None,
 ) -> DataFrame:
     """Per-capped-bucket accounting: (bucket, size, dropped) for buckets over
     the cap — surfacing truncation instead of silently under-reporting."""
     return (
-        lsh_buckets(docs, text_col, id_col, bands, rows_per_band, k)
+        lsh_buckets(docs, text_col, id_col, bands, rows_per_band, k, cache_key)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("size"))
         .filter(F.col("size") > max_bucket_size)
@@ -212,6 +274,7 @@ def lsh_star_edges(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bands: int = 4, rows_per_band: int = 2, k: int = 5,
     max_bucket_size: int | None = 1000,
+    cache_key=None,
 ) -> DataFrame:
     """(a, b) star edges per LSH bucket: every member connects to the
     bucket's MINIMUM id. For CLUSTERING this is connectivity-equivalent to
@@ -221,14 +284,10 @@ def lsh_star_edges(
     cap and truncate costs a star here, so no cap is needed and no member
     is dropped. Use the pair form when per-pair similarity must be scored;
     use this when only the partition into clusters matters."""
-    buckets = lsh_buckets(docs, text_col, id_col, bands, rows_per_band, k)
-    if max_bucket_size is not None:
-        w = Window.partitionBy("bucket").orderBy("id")
-        buckets = (
-            buckets.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= max_bucket_size)
-            .drop("__rn")
-        )
+    buckets = _cap_buckets(
+        lsh_buckets(docs, text_col, id_col, bands, rows_per_band, k, cache_key),
+        max_bucket_size,
+    )
     mins = buckets.groupBy("bucket").agg(F.min("id").alias("a"))
     return (
         buckets.join(mins, "bucket")
@@ -308,6 +367,7 @@ def dedup_clusters(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bands: int = 4, rows_per_band: int = 2, k: int = 5,
     max_bucket_size: int | None = 1000,
+    cache_key=None,
 ) -> DataFrame:
     """(id, cluster_id, is_canonical) — every document assigned to its
     MinHash-LSH near-duplicate cluster; the cluster's minimum id is the
@@ -323,7 +383,8 @@ def dedup_clusters(
     result matches a pair-graph replay (an over-cap bucket keeps its
     lowest ids, exactly as :func:`lsh_candidate_pairs` reports)."""
     star = lsh_star_edges(
-        docs, text_col, id_col, bands, rows_per_band, k, max_bucket_size
+        docs, text_col, id_col, bands, rows_per_band, k, max_bucket_size,
+        cache_key,
     )
     cc = connected_components(star)
     return (

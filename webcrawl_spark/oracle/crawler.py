@@ -261,6 +261,11 @@ class OracleCrawler:
                     continue
 
                 body = self.pages[final_url or e.url]
+                if body is not None:
+                    # MaxFileSize truncates the transfer itself (CopyStream,
+                    # Crawler.cs:1743-1771): decode and link-scan see the
+                    # truncated bytes, and the bytes metric is the cut size.
+                    body = body[: cfg.max_file_size]
                 if status != 200 or body is None:
                     failures = e.failures + 1
                     if failures > cfg.max_retries:

@@ -256,17 +256,33 @@ class SparkCrawler:
         # tail before returning, so the on-disk state is current whenever
         # run() is not executing (resume, accessors, enqueue/requeue APIs).
         carry = None
-        while (
-            not m.done
-            and m.frontier_rows > 0
-            and m.next_round < self.cfg.max_rounds
-            and (max_rounds is None or rounds_done < max_rounds)
-        ):
-            m, carry = self._run_one(m, carry)
-            rounds_done += 1
-        if carry is not None:
-            self._drain(carry)
-        return m
+        try:
+            while (
+                not m.done
+                and m.frontier_rows > 0
+                and m.next_round < self.cfg.max_rounds
+                and (max_rounds is None or rounds_done < max_rounds)
+            ):
+                m, carry = self._run_one(m, carry)
+                rounds_done += 1
+            if carry is not None:
+                self._drain(carry)
+                carry = None
+            return m
+        finally:
+            # Error path: settle the carried round's writer threads before
+            # propagating — an orphaned _Job racing a later run()'s
+            # mode('overwrite') writes to the same seen/frontier/bloom round
+            # dirs could leave mixed data under a later-committed manifest.
+            # The manifest is deliberately NOT committed here (commit is
+            # success-only, in _drain): the uncommitted round replays
+            # identically on resume, which the fault probes verify.
+            if carry is not None:
+                for j in carry["stats"].jobs:
+                    try:
+                        j.join()
+                    except Exception:
+                        pass
 
     def _drain(self, carry) -> None:
         """Wait for a round's background commits, then make it visible."""

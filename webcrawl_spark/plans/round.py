@@ -278,11 +278,18 @@ def run_round(
     # layout (possibly a handful of files), and everything downstream — the
     # fetch_log files and therefore parse — would inherit that
     # serialization. The shuffle moves one round's html only (budget-bounded).
+    # MaxFileSize truncates the TRANSFER, not just the reported byte count
+    # (CopyStream, Crawler.cs:1743-1771; knob 583-598): the cut happens here
+    # at the fetch boundary so decode, link-scan, and the bytes metric all
+    # see the truncated body — and so one pathological multi-GB row can
+    # never inflate the fetch shuffle or an Arrow decode batch.
     dec = (
         sel.join(pg, "url", "left")
         .repartition(P, "url")
         .select(
-            *FRONTIER_COLS, "fetch_seq", "html", "final_url", "server_mime",
+            *FRONTIER_COLS, "fetch_seq",
+            F.expr(f"substring(html, 1, {int(cfg.max_file_size)})").alias("html"),
+            "final_url", "server_mime",
             status0.cast("int").alias("http_status"),
             present0.alias("present"),
             F.coalesce(F.col("exceeded"), F.lit(False)).alias("exceeded"),

@@ -563,7 +563,10 @@ def q_dedup_minhash_sig(spark, sf_dir):
 
 
 def q_dedup_lsh_pairs(spark, sf_dir):
-    return TD.lsh_candidate_pairs(_aug_docs(spark, sf_dir), bands=4, rows_per_band=2, k=5)
+    return TD.lsh_candidate_pairs(
+        _aug_docs(spark, sf_dir), bands=4, rows_per_band=2, k=5,
+        cache_key=f"aug:{sf_dir}",
+    )
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -575,7 +578,8 @@ def q_dedup_clusters(spark, sf_dir):
     the end. DuckDB oracle replays it as a recursive-CTE transitive
     closure."""
     return TD.dedup_clusters(
-        _aug_docs(spark, sf_dir), bands=4, rows_per_band=2, k=5
+        _aug_docs(spark, sf_dir), bands=4, rows_per_band=2, k=5,
+        cache_key=f"aug:{sf_dir}",
     )
 
 
@@ -787,6 +791,47 @@ def q_multimodal_meta(spark, sf_dir):
         F.col("n_bytes").cast("long").alias("n_bytes"),
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
+        "digest",
+    )
+
+
+def q_multimodal_audio_meta(spark, sf_dir):
+    """Audio-column metadata plumbing: same Arrow stage pattern as the image
+    path; WAV headers parse for REAL (stdlib), other codecs fall to the
+    deterministic digest-derived fake (no audio libs in-container). The
+    text-derived blobs here are not WAV, so the oracle replays the fake."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    )
+    return MM.extract_audio_meta(d, "doc_id", "blob").select(
+        "id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "duration_ms",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+        "digest",
+    )
+
+
+def q_multimodal_video_meta(spark, sf_dir):
+    """Video-column metadata plumbing (decode gated on PyAV — absent here,
+    so the deterministic fake; the frame-sample work list it feeds is
+    exercised separately in tests)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    )
+    return MM.extract_video_meta(d, "doc_id", "blob").select(
+        "id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "duration_ms",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("fps_x100").cast("long").alias("fps_x100"),
+        "n_frames",
         "digest",
     )
 
@@ -1400,6 +1445,44 @@ SELECT doc_id AS id,
 FROM documents WHERE doc_id < 200
 """
 
+    sql["multimodal_audio_meta"] = """
+WITH h AS (
+  SELECT doc_id AS id, octet_length(encode(text)) AS nb, md5(text) AS dg
+  FROM documents WHERE doc_id < 200
+)
+SELECT id,
+  CAST(nb AS BIGINT) AS n_bytes,
+  CAST(CAST(('0x' || substr(dg, 9, 4)) AS BIGINT) % 600000 + 1000 AS BIGINT) AS duration_ms,
+  CAST(CASE CAST(('0x' || substr(dg, 13, 2)) AS BIGINT) % 5
+       WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+       WHEN 3 THEN 44100 ELSE 48000 END AS BIGINT) AS sample_rate,
+  CAST(CAST(('0x' || substr(dg, 15, 2)) AS BIGINT) % 2 + 1 AS BIGINT) AS channels,
+  dg AS digest
+FROM h
+"""
+
+    sql["multimodal_video_meta"] = """
+WITH h AS (
+  SELECT doc_id AS id, octet_length(encode(text)) AS nb, md5(text) AS dg
+  FROM documents WHERE doc_id < 200
+), p AS (
+  SELECT id, nb, dg,
+    CAST(('0x' || substr(dg, 9, 4)) AS BIGINT) % 600000 + 1000 AS dur,
+    CAST(('0x' || substr(dg, 1, 4)) AS BIGINT) % 1024 + 16 AS w,
+    CAST(('0x' || substr(dg, 5, 4)) AS BIGINT) % 1024 + 16 AS ht,
+    CASE CAST(('0x' || substr(dg, 13, 2)) AS BIGINT) % 5
+         WHEN 0 THEN 2397 WHEN 1 THEN 2400 WHEN 2 THEN 2500
+         WHEN 3 THEN 3000 ELSE 6000 END AS fps
+  FROM h
+)
+SELECT id, CAST(nb AS BIGINT) AS n_bytes, CAST(dur AS BIGINT) AS duration_ms,
+  CAST(w AS BIGINT) AS width, CAST(ht AS BIGINT) AS height,
+  CAST(fps AS BIGINT) AS fps_x100,
+  CAST(dur * fps // 100000 AS BIGINT) AS n_frames,
+  dg AS digest
+FROM p
+"""
+
     return sql
 
 
@@ -1436,7 +1519,8 @@ def q_ngram_jaccard_lsh(spark, sf_dir):
     path (per-candidate cost) replacing consecutive-id demo pairing."""
     docs = _aug_docs(spark, sf_dir)
     pairs = TD.lsh_candidate_pairs(
-        docs, bands=4, rows_per_band=2, k=5, max_bucket_size=1000
+        docs, bands=4, rows_per_band=2, k=5, max_bucket_size=1000,
+        cache_key=f"aug:{sf_dir}",
     )
     return TD.ngram_jaccard_pairs(docs, k=3, pairs=pairs)
 
@@ -1519,6 +1603,8 @@ QUERIES: dict[str, Callable] = {
     "neardup_recall": q_neardup_recall,
     "embed_neardup": q_embed_neardup,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_audio_meta": q_multimodal_audio_meta,
+    "multimodal_video_meta": q_multimodal_video_meta,
     "redirect_resolve": q_redirect_resolve,
     "fatal_error_routing": q_fatal_error_routing,
     "embed_neardup_ann": q_embed_neardup_ann,

@@ -61,10 +61,19 @@ def stream_dedup_docs(spark: SparkSession, sf_dir: str, query_name: str) -> "Str
     pipelines where documents arrive continuously. At 100 TB the digest
     state shards uniformly across the cluster (md5 keys); a bounded-state
     variant would swap in ``dropDuplicatesWithinWatermark`` when dups are
-    known to arrive within a time horizon."""
+    known to arrive within a time horizon.
+
+    NULL-text rows have no content to be duplicates of: ``dropDuplicates``
+    treats NULL keys as equal and would silently collapse every content-less
+    document onto the first — so their dedup key falls back to the doc_id,
+    letting each pass through."""
     docs = table_stream(spark, sf_dir, "documents")
     deduped = docs.select(
-        "doc_id", F.md5(F.col("text")).alias("digest")
+        "doc_id",
+        F.coalesce(
+            F.md5(F.col("text")),
+            F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+        ).alias("digest"),
     ).dropDuplicates(["digest"])
     return (
         deduped.writeStream.format("memory")
