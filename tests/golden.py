@@ -18,6 +18,7 @@ def run_oracle(fx: Fixture):
     return OracleCrawler(
         fx.pages_dict(), fx.seeds, fx.config, fx.robots,
         redirects=fx.redirects, statuses=fx.statuses, mimes=fx.mimes,
+        ranks=fx.ranks,
     ).run()
 
 
@@ -37,7 +38,14 @@ def _pages_schema(pdf) -> T.StructType:
 def run_spark(spark, fx: Fixture, state_dir: str, num_partitions: int = 4) -> SparkCrawler:
     cfg = fx.config.with_(num_partitions=num_partitions)
     pages_df = spark.createDataFrame(fx.pages, schema=_pages_schema(fx.pages))
-    crawler = SparkCrawler(spark, pages_df, fx.seeds, state_dir, cfg, fx.robots)
+    ranks_df = None
+    if fx.ranks:
+        ranks_df = spark.createDataFrame(
+            list(fx.ranks.items()), "url string, rank long"
+        )
+    crawler = SparkCrawler(
+        spark, pages_df, fx.seeds, state_dir, cfg, fx.robots, ranks=ranks_df
+    )
     crawler.run()
     return crawler
 

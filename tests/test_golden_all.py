@@ -169,6 +169,24 @@ def test_truncate_golden(spark, tmp_path):
     assert big_text.endswith('<a href="/ha')
 
 
+def test_rank_priority_golden(spark, tmp_path):
+    """A ranks table (the shape link_pagerank emits) reorders frontier
+    selection within the html/binary class under cfg.rank_priority — the
+    reference's HTML-first priority (EnqueueCore, Crawler.cs:2507-2512)
+    generalized to an external signal. Budget 2/host/round: the trace must
+    follow rank order among html pages, with the top-ranked BINARY resource
+    still behind every html page (class dominates rank)."""
+    crawler = run_and_check(spark, gen.rank_fixture(), tmp_path)
+    trace = crawler.trace().toPandas().sort_values("fetch_seq")
+    order = [u.rsplit("/", 1)[1] for u in trace["url"]]
+    assert order == [
+        "index.html",
+        "p3.html", "p2.html",    # ranks 9000, 500
+        "p4.html", "p1.html",    # ranks 200, 10
+        "r1.png", "r2.png",      # binary class last, rank orders within it
+    ]
+
+
 def test_bloom_forced_golden(spark, tmp_path):
     """Force the Bloom check stage on from round 0 (bloom_min_seen=0) —
     byte-identical to the oracle; and again with a saturated 8-bit filter

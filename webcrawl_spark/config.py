@@ -82,6 +82,13 @@ class CrawlConfig:
                                      # two-phase numbering in operators/seq.py
     bloom_fpp: float = 0.01
     robots_enabled: bool = True
+    rank_priority: bool = False      # weight discovered links by a ranks
+                                     # table (url -> rank, e.g. link_pagerank):
+                                     # priority = base * RANK_SPAN - clamped
+                                     # rank, so the reference's HTML-first
+                                     # class ordering (EnqueueCore,
+                                     # Crawler.cs:2507-2512) still dominates
+                                     # and rank orders within a class
     reliable_checkpoints: bool = False  # lineage cuts via DataFrame.checkpoint
                                      # into the state dir (survives executor
                                      # loss on a cluster) instead of
@@ -90,6 +97,16 @@ class CrawlConfig:
 
     def with_(self, **kw) -> "CrawlConfig":
         return replace(self, **kw)
+
+
+# rank-weighted priority arithmetic (shared by engine and oracle): ranks are
+# clamped to [0, RANK_SPAN) so the base class (html=0 / binary=1) always
+# dominates — the spread between classes exceeds any clamped rank.
+RANK_SPAN = 1 << 20
+
+
+def rank_weighted_priority(base: int, rank: int) -> int:
+    return base * RANK_SPAN - min(max(rank, 0), RANK_SPAN - 1)
 
 
 DEFAULT_CONFIG = CrawlConfig()

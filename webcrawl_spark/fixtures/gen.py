@@ -56,6 +56,7 @@ class Fixture:
     redirects: dict = field(default_factory=dict)  # url -> Location target
     statuses: dict = field(default_factory=dict)   # url -> HTTP status (absent = 200)
     mimes: dict = field(default_factory=dict)      # url -> server Content-Type
+    ranks: dict = field(default_factory=dict)      # url -> rank (rank_priority)
 
     def pages_dict(self) -> dict:
         """Content rows only — redirect rows live in ``redirects``."""
@@ -762,6 +763,56 @@ def truncate_fixture() -> Fixture:
     )
 
 
+def rank_fixture() -> Fixture:
+    """Rank-weighted frontier priority (cfg.rank_priority): a ranks table
+    (url → rank, the shape ``link_pagerank`` emits) reorders selection
+    WITHIN the html/binary class — the reference's HTML-first class ordering
+    (EnqueueCore, Crawler.cs:2507-2512) generalized to an external signal.
+
+    One host, per-host budget 2/round: four html pages whose ranks reverse
+    their discovery order, plus two binary resources — the top-ranked
+    resource must still go after every html page (class dominates rank)."""
+    rng = random.Random(SEED + 29)
+    host = "http://rank.test"
+    rows = [
+        (
+            f"{host}/index.html",
+            render_html(
+                [
+                    ("/p1.html", "link"), ("/p2.html", "link"),
+                    ("/p3.html", "link"), ("/p4.html", "link"),
+                    ("/r1.png", "resource"), ("/r2.png", "resource"),
+                ],
+                rng=rng, title="idx",
+            ),
+        ),
+        (f"{host}/p1.html", render_html([], rng=rng, title="p1")),
+        (f"{host}/p2.html", render_html([], rng=rng, title="p2")),
+        (f"{host}/p3.html", render_html([], rng=rng, title="p3")),
+        (f"{host}/p4.html", render_html([], rng=rng, title="p4")),
+        (f"{host}/r1.png", b"\x89PNG-fake-1"),
+        (f"{host}/r2.png", b"\x89PNG-fake-2"),
+    ]
+    ranks = {
+        f"{host}/p1.html": 10,
+        f"{host}/p2.html": 500,
+        f"{host}/p3.html": 9000,
+        f"{host}/p4.html": 200,
+        f"{host}/r1.png": 999999,   # tops the table, still fetched last-ish
+        f"{host}/r2.png": 5,
+    }
+    return Fixture(
+        "rank",
+        _mk_pages(rows),
+        [f"{host}/index.html"],
+        CrawlConfig(
+            max_connections=None, max_connections_per_server=2,
+            rank_priority=True,
+        ),
+        ranks=ranks,
+    )
+
+
 def post_fixture() -> Fixture:
     """User POST resources (EnqueueUri(uri, postData), Crawler.cs:1081-1101):
 
@@ -818,6 +869,7 @@ ALL_TOPOLOGIES = {
     "mime_overrides": mime_override_fixture,
     "mime_retype": mime_retype_fixture,
     "truncate": truncate_fixture,
+    "rank": rank_fixture,
 }
 
 

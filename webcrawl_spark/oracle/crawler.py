@@ -48,7 +48,7 @@ from typing import Optional
 
 import pandas as pd
 
-from ..config import CrawlConfig
+from ..config import CrawlConfig, rank_weighted_priority
 from ..kernels import links as L
 from ..kernels import mime as M
 from ..kernels import robots as R
@@ -113,11 +113,13 @@ class OracleCrawler:
         redirects: Optional[dict] = None,
         statuses: Optional[dict] = None,
         mimes: Optional[dict] = None,
+        ranks: Optional[dict] = None,
     ):
         self.pages = pages            # content rows only (no redirect rows)
         self.redirects = redirects or {}  # url -> Location target
         self.statuses = statuses or {}    # url -> HTTP status (absent = 200)
         self.mimes = mimes or {}          # url -> server Content-Type header
+        self.ranks = ranks or {}          # url -> rank (cfg.rank_priority)
         self.cfg = config
         self.seeds = seeds
         rules = robots_rules if robots_rules is not None else pd.DataFrame(
@@ -401,9 +403,17 @@ class OracleCrawler:
                         continue
                     pq.add(cc.query)
                     seen[key] = (depth, rnd)
+                    prio = _priority(cc.path, cfg, self.ext_table)
+                    if cfg.rank_priority:
+                        # rank-weighted ordering within the base class
+                        # (EnqueueCore HTML-first generalized; the engine
+                        # applies the same formula at 5c')
+                        prio = rank_weighted_priority(
+                            prio, self.ranks.get(cc.url, 0)
+                        )
                     new_entries.append(
                         Entry(cc.url, cc.url_key, cc.host, depth, e.url, ltype,
-                              bool(sc.is_external), _priority(cc.path, cfg, self.ext_table),
+                              bool(sc.is_external), prio,
                               seq, 0, rnd + 1)
                     )
                     seq += 1

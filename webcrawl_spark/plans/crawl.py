@@ -47,6 +47,7 @@ class SparkCrawler:
         state_dir: str,
         config: CrawlConfig = CrawlConfig(),
         robots_rules: Optional[pd.DataFrame] = None,
+        ranks: Optional[DataFrame] = None,
     ):
         self.spark = spark
         self.pages = pages
@@ -91,6 +92,9 @@ class SparkCrawler:
                 spark.sparkContext.broadcast(rule_index) if rule_index else None
             ),
             delays=delays,
+            # (url, rank) priority weights — e.g. a link_pagerank output fed
+            # back into the frontier; consumed only under cfg.rank_priority
+            ranks=ranks if config.rank_priority else None,
         )
 
     # ------------------------------------------------------------------

@@ -85,6 +85,8 @@ class RoundContext:
     rule_index_bc: object = None     # spark broadcast of robots rule index
     delays: dict = field(default_factory=dict)  # host -> crawl_delay seconds
     bloom_dir: str = None            # complete sidecar dir for this round
+    ranks: DataFrame = None          # (url, rank) priority weights — consumed
+                                     # only when cfg.rank_priority is set
 
 
 @dataclass
@@ -572,6 +574,37 @@ def run_round(
             F.col("__a.depth").alias("first_depth"),
         )
     )
+
+    # 5c'. rank-weighted priority (config-gated): discovered entries join the
+    #      ranks table (url → rank, e.g. a link_pagerank output) and fold the
+    #      rank into the priority — base class still dominates (RANK_SPAN
+    #      exceeds any clamped rank), rank orders within a class. This is
+    #      the reference's HTML-first class ordering (EnqueueCore,
+    #      Crawler.cs:2507-2512) generalized to an externally-computed
+    #      signal. Uniform-key join on url (the ranks table is corpus-sized
+    #      at scale — never assume broadcast; AQE picks one when it is small).
+    if cfg.rank_priority and ctx.ranks is not None:
+        from ..config import RANK_SPAN
+
+        acc = (
+            acc.join(
+                ctx.ranks.select(
+                    F.col("url"), F.col("rank").cast("long").alias("__rank")
+                ),
+                "url", "left",
+            )
+            .withColumn(
+                "priority",
+                (
+                    F.col("priority").cast("long") * F.lit(RANK_SPAN)
+                    - F.least(
+                        F.greatest(F.coalesce("__rank", F.lit(0)), F.lit(0)),
+                        F.lit(RANK_SPAN - 1),
+                    )
+                ).cast("int"),
+            )
+            .drop("__rank")
+        )
 
     # 5d. crawler-trap cap: ≥ max distinct query strings per (host, path)
     #     → ignore (Crawler.cs:2415-2423). Each accepted key adds exactly
