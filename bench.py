@@ -234,7 +234,7 @@ def main_scaling():
             "print('PREPARED')"
         )
         pr = subprocess.run([sys.executable, "-c", prep], cwd=REPO,
-                            capture_output=True, text=True, timeout=1800)
+                            capture_output=True, text=True, timeout=3600)
         if "PREPARED" not in pr.stdout:
             print(pr.stdout[-2000:], pr.stderr[-2000:], file=sys.stderr)
             raise RuntimeError("pages synthesis failed")
@@ -254,7 +254,8 @@ def main_scaling():
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
         p = subprocess.run(
             [sys.executable, "-c", code], cwd=REPO, env=env,
-            capture_output=True, text=True, timeout=3600,
+            capture_output=True, text=True,
+            timeout=7200,   # the 4x-input amortization leg runs ~1h at local[4]
         )
         line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
         if not line:

@@ -81,3 +81,51 @@ def test_hard_crash_resume_identical(spark, tmp_path):
     s_res = sorted((r["host"], r["url_key"]) for r in resumed.seen().collect())
     s_cln = sorted((r["host"], r["url_key"]) for r in clean.seen().collect())
     assert s_res == s_cln
+
+
+def test_run_exception_joins_carry_threads(spark, tmp_path):
+    """A round that THROWS mid-run() must not orphan the carried round's
+    background writer threads (two live writers on one round dir could mix
+    data under a later-committed manifest) and must not commit the failed
+    round's manifest; a fresh crawler on the same state resumes to the
+    uninterrupted trace."""
+    import threading
+
+    import pytest
+
+    fx = tree(branching=2, depth=2)
+    pages = spark.createDataFrame(fx.pages, schema=schemas.PAGES)
+    cfg = fx.config.with_(num_partitions=4)
+    state = str(tmp_path / "boom")
+
+    c = SparkCrawler(spark, pages, fx.seeds, state, cfg)
+    real = c._run_one
+    calls = {"n": 0}
+
+    def boom(m, carry):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected round failure")
+        return real(m, carry)
+
+    c._run_one = boom
+    before = {t for t in threading.enumerate()}
+    with pytest.raises(RuntimeError, match="injected round failure"):
+        c.run()
+    # no _Job writer threads outlive run()
+    leaked = [
+        t for t in threading.enumerate()
+        if t not in before and t.is_alive() and type(t).__name__ == "_Job"
+    ]
+    assert leaked == []
+    # round 1 computed but its manifest must NOT have been committed
+    committed = sorted(os.listdir(os.path.join(state, "_manifests")))
+    assert "round-1.json" not in committed
+
+    resumed = SparkCrawler(spark, pages, fx.seeds, state, cfg)
+    resumed.run()
+    clean = SparkCrawler(spark, pages, fx.seeds, str(tmp_path / "clean2"), cfg)
+    clean.run()
+    assert [tuple(r) for r in resumed.trace().collect()] == [
+        tuple(r) for r in clean.trace().collect()
+    ]
