@@ -48,6 +48,10 @@ def main(argv=None):
     ap.add_argument("--reliable-checkpoints", action="store_true",
                     help="lineage cuts via DataFrame.checkpoint into the "
                          "state dir (survives executor loss on a cluster)")
+    ap.add_argument("--ranks", help="ranks table (parquet path, columns "
+                    "url + rank — e.g. a link_pagerank output); enables "
+                    "rank-weighted frontier priority within the html/binary "
+                    "class")
     args = ap.parse_args(argv)
 
     seeds = list(args.seeds)
@@ -83,9 +87,12 @@ def main(argv=None):
         post_seeds=tuple((u, d) for u, d in args.post),
         mime_overrides=tuple((e, m) for e, m in args.mime_override),
         reliable_checkpoints=args.reliable_checkpoints,
+        rank_priority=args.ranks is not None,
     )
+    ranks = spark.read.parquet(args.ranks) if args.ranks else None
     crawler = SparkCrawler(
-        spark, spark.read.parquet(args.pages), seeds, args.state, cfg, robots
+        spark, spark.read.parquet(args.pages), seeds, args.state, cfg, robots,
+        ranks=ranks,
     )
     m = crawler.run(max_rounds=args.max_rounds)
     print(json.dumps({

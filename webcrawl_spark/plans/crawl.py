@@ -377,30 +377,43 @@ class SparkCrawler:
             bloom_update=bloom_cb,
             bloom_wait=bloom_wait,
         )
-        if bloom_cb is not None:
-            self._bloom_dir = nd
-        _mk("run_round_total")
-        # the PREVIOUS round's background commits have now fully overlapped
-        # this round's compute — settle them and make that round visible
-        if carry is not None:
-            self._drain(carry)
-            _mk("prev_round_commit")
-        nm = Manifest(
-            next_round=k + 1,
-            next_seq=stats.next_seq,
-            next_fetch_seq=stats.next_fetch_seq,
-            frontier_rows=stats.frontier_rows,
-            done=(stats.frontier_rows == 0),
-            counters=[list(c) for c in stats.counters],
-            seen_rows=(
-                None if m.seen_rows is None else m.seen_rows + stats.n_new
-            ),
-        )
-        return nm, {
-            "stats": stats,
-            "manifest": nm,
-            "seen": seen.unionByName(stats.seen_delta),
-        }
+        try:
+            if bloom_cb is not None:
+                self._bloom_dir = nd
+            _mk("run_round_total")
+            # the PREVIOUS round's background commits have now fully
+            # overlapped this round's compute — settle them and make that
+            # round visible
+            if carry is not None:
+                self._drain(carry)
+                _mk("prev_round_commit")
+            nm = Manifest(
+                next_round=k + 1,
+                next_seq=stats.next_seq,
+                next_fetch_seq=stats.next_fetch_seq,
+                frontier_rows=stats.frontier_rows,
+                done=(stats.frontier_rows == 0),
+                counters=[list(c) for c in stats.counters],
+                seen_rows=(
+                    None if m.seen_rows is None else m.seen_rows + stats.n_new
+                ),
+            )
+            return nm, {
+                "stats": stats,
+                "manifest": nm,
+                "seen": seen.unionByName(stats.seen_delta),
+            }
+        except BaseException:
+            # THIS round's background writers started inside run_round but
+            # are not yet in any carry the caller could settle — join them
+            # here so a failed drain of the previous round can't orphan them
+            # (their manifest is never committed, so the round replays).
+            for j in stats.jobs:
+                try:
+                    j.join()
+                except Exception:
+                    pass
+            raise
 
     # ---------------- result accessors ----------------
     def _m(self) -> Manifest:
