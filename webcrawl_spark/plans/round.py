@@ -290,7 +290,12 @@ def run_round(
         .repartition(P, "url")
         .select(
             *FRONTIER_COLS, "fetch_seq",
-            F.expr(f"substring(html, 1, {int(cfg.max_file_size)})").alias("html"),
+            # conditional so the (common) under-cap body passes by reference
+            # instead of paying a per-row byte-array copy
+            F.when(
+                F.length("html") > cfg.max_file_size,
+                F.expr(f"substring(html, 1, {int(cfg.max_file_size)})"),
+            ).otherwise(F.col("html")).alias("html"),
             "final_url", "server_mime",
             status0.cast("int").alias("http_status"),
             present0.alias("present"),

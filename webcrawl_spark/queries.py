@@ -415,6 +415,33 @@ def q_politeness_topk(spark, sf_dir):
     )
 
 
+def q_politeness_topk_ranked(spark, sf_dir):
+    """Rank-weighted politeness selection (§2 ops 2-3 + `rank_priority`):
+    the engine's shared priority formula — ``base * RANK_SPAN − clamp(rank)``
+    (`config.rank_weighted_priority`, what the crawl applies at its accept
+    stage) — evaluated JVM-side over neutral data, then the REAL selection
+    function. The DuckDB oracle replays the exact integer arithmetic, so
+    the hash match proves the rank ordering cross-engine."""
+    from .config import RANK_SPAN
+    from .plans.round import select_polite
+
+    fr = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("host"),
+        (
+            (F.col("o_orderkey") % 2).cast("long") * F.lit(RANK_SPAN)
+            - F.least(F.col("o_orderkey") % 1000, F.lit(RANK_SPAN - 1))
+        ).alias("priority"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderkey").cast("string").alias("url_key"),
+    )
+    return select_polite(fr, 2, salt_buckets=4, rank_col="rn").select(
+        F.col("host").alias("o_custkey"),
+        F.col("seq").alias("o_orderkey"),
+        F.col("priority").cast("long").alias("priority"),
+        F.col("rn").cast("long").alias("rn"),
+    )
+
+
 def q_seen_antijoin(spark, sf_dir):
     """Seen-set dedup shape: left-anti join (§2 op 10)."""
     c = _t(spark, sf_dir, "customer")
@@ -947,6 +974,23 @@ SELECT o_custkey, o_orderkey, rn FROM (
          CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
               ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
   FROM orders) WHERE rn <= 2
+"""
+
+    sql["politeness_topk_ranked"] = """
+WITH fr AS (
+  SELECT o_custkey AS host, o_orderkey AS seq,
+         CAST((o_orderkey % 2) * 1048576
+              - LEAST(o_orderkey % 1000, 1048575) AS BIGINT) AS priority
+  FROM orders
+), ranked AS (
+  SELECT host, seq, priority,
+         CAST(ROW_NUMBER() OVER (PARTITION BY host
+              ORDER BY priority, seq) AS BIGINT) AS rn
+  FROM fr
+)
+SELECT host AS o_custkey, seq AS o_orderkey,
+       CAST(priority AS BIGINT) AS priority, rn
+FROM ranked WHERE rn <= 2
 """
 
     sql["seen_antijoin"] = """
@@ -1574,6 +1618,7 @@ QUERIES: dict[str, Callable] = {
     "server_mime_retype": q_server_mime_retype,
     "robots_filter": q_robots_filter,
     "politeness_topk": q_politeness_topk,
+    "politeness_topk_ranked": q_politeness_topk_ranked,
     "seen_antijoin": q_seen_antijoin,
     "min_depth_merge": q_min_depth_merge,
     "global_budget_limit": q_global_budget_limit,
