@@ -138,3 +138,31 @@ def test_connected_components_matches_union_find(spark):
 
     got = TD.connected_components(_pairs(spark, edges)).toPandas()
     assert dict(zip(got["id"], got["cc"])) == want
+
+
+def test_exact_duplicates_null_text_excluded(spark):
+    """NULL-text rows are not duplicates of each other: without the filter
+    they'd all share the NULL digest and surface as one bogus group."""
+    docs = _docs(spark, ["same", "same", None, None, "solo"])
+    out = TD.exact_duplicates(docs).toPandas()
+    assert len(out) == 1                 # only the real 'same' group
+    assert out.iloc[0]["keeper"] == 0 and out.iloc[0]["n_docs"] == 2
+
+
+def test_minhash_cache_shares_one_materialization(spark):
+    """cache_key memoizes the signature table per (application, input):
+    the second call returns the SAME checkpoint-backed frame."""
+    docs = _docs(spark, [f"document number {i} with words" for i in range(20)])
+    TD.minhash_cache_clear()
+    a = TD.minhash_wide_cached(docs, cache_key="t1")
+    b = TD.minhash_wide_cached(docs, cache_key="t1")
+    assert a is b
+    c = TD.minhash_wide_cached(docs, cache_key="t2")
+    assert c is not a
+    # consumers through different entry points agree with the uncached path
+    pairs_cached = TD.lsh_candidate_pairs(docs, cache_key="t1").toPandas()
+    pairs_plain = TD.lsh_candidate_pairs(docs).toPandas()
+    key = lambda df: sorted(map(tuple, df[["a", "b"]].itertuples(index=False)))
+    assert key(pairs_cached) == key(pairs_plain)
+    TD.minhash_cache_clear()
+    assert not TD._SIG_CACHE

@@ -168,6 +168,14 @@ def test_truncate_golden(spark, tmp_path):
     assert len(big_text.encode("utf-8")) == cap          # text IS the cut body
     assert big_text.endswith('<a href="/ha')
 
+    # None = Infinite (Crawler.cs:583-598): no truncation, every link found
+    inf = gen.Fixture(
+        "truncate_inf", fx.pages, fx.seeds, fx.config.with_(max_file_size=None)
+    )
+    crawler2 = run_and_check(spark, inf, tmp_path)
+    urls2 = set(crawler2.fetched().toPandas()["url"])
+    assert {"http://trunc.test/half.html", "http://trunc.test/lost.html"} <= urls2
+
 
 def test_rank_priority_golden(spark, tmp_path):
     """A ranks table (the shape link_pagerank emits) reorders frontier

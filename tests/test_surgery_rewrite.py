@@ -137,6 +137,52 @@ def test_rewrite_unmapped_relative_to_original(spark):
     assert 'href="/missing.html">' in out2["http://h.test/index.html"]
 
 
+def test_rewrite_want_flags(spark):
+    """WantResource (Crawler.cs:3330-3335) at the mirror layer: a fetched
+    but UNWANTED type gets no local path — it is deleted and its links
+    rewrite to the original URL (Crawler.cs:1673-1678) — while wanted types
+    still localize."""
+    import pandas as pd
+
+    html = (
+        '<a href="/page.html">html-link</a>'
+        '<img src="/pic.png">'
+    )
+    fetched = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [
+                    "http://h.test/index.html",
+                    "http://h.test/page.html",
+                    "http://h.test/pic.png",
+                ],
+                "host": ["h.test"] * 3,
+                "url_key": ["/index.html", "/page.html", "/pic.png"],
+                "mime": ["text/html", "text/html", "image/png"],
+                "extracted_text": [html, "<html></html>", None],
+            }
+        )
+    )
+    from webcrawl_spark.operators.rewrite import rewrite_links
+
+    # NonHtml unwanted: the image loses its mirror path → original URL
+    out = {
+        r["url"]: r["rewritten"]
+        for r in rewrite_links(spark, fetched, want_nonhtml=False).collect()
+    }
+    doc = out["http://h.test/index.html"]
+    assert 'href="h.test/page.html">' in doc           # html still localized
+    assert 'src="http://h.test/pic.png">' in doc       # binary → original
+    # Html unwanted: the html page loses its path, the image keeps its own
+    out2 = {
+        r["url"]: r["rewritten"]
+        for r in rewrite_links(spark, fetched, want_html=False).collect()
+    }
+    doc2 = out2["http://h.test/index.html"]
+    assert 'href="http://h.test/page.html">' in doc2   # html → original
+    assert 'src="h.test/pic.png">' in doc2             # binary localized
+
+
 def test_enqueue_uri_between_runs(spark, tmp_path):
     """EnqueueUri API (Crawler.cs:1081-1101): force-enqueue between runs —
     an orphan page gets fetched, a force dup refetches a seen url, and a

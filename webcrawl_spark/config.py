@@ -24,7 +24,9 @@ class CrawlConfig:
     max_redirects: int = 20          # redirect-chain cap (Crawler.cs:635-647)
     max_queued_links: Optional[int] = None          # None = Infinite
     max_query_strings_per_file: Optional[int] = 500   # None = Infinite
-    max_file_size: int = 50 * 1024 * 1024           # body truncation bytes
+    max_file_size: Optional[int] = 50 * 1024 * 1024  # transfer truncation
+                                                     # bytes; None = Infinite
+                                                     # (Crawler.cs:583-598)
 
     # --- scope rules (Crawler.cs:19-52, 470-496) ---
     directory_navigation: str = "Down"              # Same|Up|Down|UpAndDown

@@ -149,8 +149,11 @@ def make_decode_stage(cfg: CrawlConfig, base_uris_bc):
             out["rtype"] = rtype.where(valid, None)
             out["mime"] = mime.where(valid, None)
             out["charset"] = dec["charset"].where(valid, None)
+            # html is already transfer-truncated at the fetch boundary
+            # (plans/round.py; CopyStream, Crawler.cs:1743-1771) — the byte
+            # metric is simply the received length
             out["bytes"] = (
-                pdf["html"].map(lambda b: 0 if b is None else min(len(b), cfg.max_file_size))
+                pdf["html"].map(lambda b: 0 if b is None else len(b))
             ).astype("Int64").where(valid, pd.NA)
             out["text"] = text.where(valid, None)
             out["reject"] = reject

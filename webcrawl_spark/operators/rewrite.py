@@ -36,9 +36,32 @@ from ..kernels.links import scan_html_spans
 from ..kernels.urlnorm import canonicalize, is_absolute_href, resolve_links
 
 
-def local_paths(fetched: DataFrame) -> DataFrame:
-    """url → local mirror path for every fetched page."""
-    return fetched.select(
+def local_paths(
+    fetched: DataFrame, want_html: bool = True, want_nonhtml: bool = True
+) -> DataFrame:
+    """url → local mirror path for every fetched page the crawler WANTS.
+
+    ``want_html`` / ``want_nonhtml`` mirror ``WantResource``
+    (Crawler.cs:3330-3335): an unwanted type is still fetched and scanned
+    for links, but never saved to the mirror (Crawler.cs:1673-1678 deletes
+    it and triggers rewrite-to-original) — so it gets NO local path and
+    links to it splice to the original URL instead."""
+    out = fetched
+    if not (want_html and want_nonhtml):
+        from ..kernels.mime import _MIME_TO_TYPE
+
+        # binary iff the recorded MIME is outside the html/css/js classes —
+        # the exact classification WantResource applies; a plain JVM isin
+        # over the (static, ~10-entry) non-binary MIME set
+        base = F.lower(F.trim(F.split(F.col("mime"), ";").getItem(0)))
+        binary = ~base.isin(list(_MIME_TO_TYPE))
+        keep = F.lit(True)
+        if not want_nonhtml:
+            keep = keep & ~binary
+        if not want_html:
+            keep = keep & binary
+        out = out.filter(keep)
+    return out.select(
         "url", "host", "url_key",
         F.concat(
             F.col("host"),
@@ -116,7 +139,8 @@ def _splice_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def rewrite_links(
-    spark, fetched: DataFrame, unmapped_to_original: bool = True
+    spark, fetched: DataFrame, unmapped_to_original: bool = True,
+    want_html: bool = True, want_nonhtml: bool = True,
 ) -> DataFrame:
     """(url, rewritten) — fetched HTML with intra-mirror links localized.
 
@@ -130,8 +154,14 @@ def rewrite_links(
     works offline instead of dangling (the reference's
     BeginRewritingToOriginalUrl pass for failed/unfetched resources,
     Crawler.cs:3246-3294). Absolute unmapped links are already valid and
-    stay untouched."""
-    paths = local_paths(fetched).select(
+    stay untouched.
+
+    ``want_html`` / ``want_nonhtml``: unwanted types (WantResource,
+    Crawler.cs:3330-3335) get no mirror path — links to them behave as
+    unmapped (relative ones splice to the original URL), matching the
+    reference's delete-then-rewrite-to-original for fetched-but-unwanted
+    resources (Crawler.cs:1673-1678)."""
+    paths = local_paths(fetched, want_html, want_nonhtml).select(
         F.col("url").alias("canon"), "local_path"
     )
     spans = fetched.select("url", "extracted_text").mapInPandas(

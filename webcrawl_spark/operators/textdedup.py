@@ -165,9 +165,15 @@ def minhash_cache_clear() -> None:
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Digest groups with >1 member: (digest, keeper, n_dups)."""
+    """Digest groups with >1 member: (digest, keeper, n_dups).
+
+    NULL-text rows have no content to be duplicates of and are excluded —
+    without the filter they'd all share the NULL digest and be reported as
+    one bogus duplicate group (same rule as the streaming dedup's NULL
+    passthrough)."""
     return (
-        docs.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col).alias("id"))
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col).alias("id"))
         .groupBy("digest")
         .agg(F.min("id").alias("keeper"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)

@@ -263,10 +263,11 @@ class OracleCrawler:
                     continue
 
                 body = self.pages[final_url or e.url]
-                if body is not None:
+                if body is not None and cfg.max_file_size is not None:
                     # MaxFileSize truncates the transfer itself (CopyStream,
-                    # Crawler.cs:1743-1771): decode and link-scan see the
-                    # truncated bytes, and the bytes metric is the cut size.
+                    # Crawler.cs:1743-1771; None = Infinite): decode and
+                    # link-scan see the truncated bytes, and the bytes
+                    # metric is the cut size.
                     body = body[: cfg.max_file_size]
                 if status != 200 or body is None:
                     failures = e.failures + 1
@@ -327,7 +328,7 @@ class OracleCrawler:
                 trace_rows.append((rnd, my_fetch_seq, e.url, e.depth, e.link_type))
                 fetched_rows.append(
                     (e.url, e.url_key, e.host, rnd, my_fetch_seq, e.depth, e.link_type,
-                     200, mime, charset, min(len(body), cfg.max_file_size), text,
+                     200, mime, charset, len(body), text,
                      final_url)
                 )
                 parsed.append((e, my_fetch_seq, text, rtype, final_url))

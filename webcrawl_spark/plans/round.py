@@ -291,11 +291,15 @@ def run_round(
         .select(
             *FRONTIER_COLS, "fetch_seq",
             # conditional so the (common) under-cap body passes by reference
-            # instead of paying a per-row byte-array copy
-            F.when(
-                F.length("html") > cfg.max_file_size,
-                F.expr(f"substring(html, 1, {int(cfg.max_file_size)})"),
-            ).otherwise(F.col("html")).alias("html"),
+            # instead of paying a per-row byte-array copy; None = Infinite
+            (
+                F.when(
+                    F.length("html") > cfg.max_file_size,
+                    F.expr(f"substring(html, 1, {int(cfg.max_file_size)})"),
+                ).otherwise(F.col("html")).alias("html")
+                if cfg.max_file_size is not None
+                else F.col("html")
+            ),
             "final_url", "server_mime",
             status0.cast("int").alias("http_status"),
             present0.alias("present"),

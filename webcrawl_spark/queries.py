@@ -1063,7 +1063,8 @@ FROM events GROUP BY 1, 2
     sql["dedup_exact"] = f"""
 WITH aug AS ({_AUG_DOCS_SQL})
 SELECT md5(text) AS digest, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
-FROM aug GROUP BY md5(text) HAVING COUNT(*) > 1
+FROM aug WHERE text IS NOT NULL
+GROUP BY md5(text) HAVING COUNT(*) > 1
 """
 
     mh_cols = ",\n  ".join(
