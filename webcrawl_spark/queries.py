@@ -596,6 +596,17 @@ def q_dedup_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_lsh_bucket_stats(spark, sf_dir):
+    """Skew-cap accounting (no silent truncation): buckets over the cap are
+    REPORTED with their drop counts — the operator a pipeline operator
+    watches to know the cap bit. Cap=3 here so the aug corpus's duplicate
+    groups actually exceed it; shares the round's signature materialization."""
+    return TD.lsh_bucket_stats(
+        _aug_docs(spark, sf_dir), bands=4, rows_per_band=2, k=5,
+        max_bucket_size=3, cache_key=f"aug:{sf_dir}",
+    ).select("bucket", "size", F.col("dropped").cast("long").alias("dropped"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """LSH pairs → connected components → cluster assignment (the step that
     turns candidate pairs into an actual deduped corpus; near-dup relations
@@ -1098,6 +1109,18 @@ buckets AS (
 )
 SELECT DISTINCT l.id AS a, r.id AS b
 FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.id < r.id
+"""
+
+    sql["lsh_bucket_stats"] = f"""
+WITH aug AS ({_AUG_DOCS_SQL}),
+sigs AS (
+  SELECT doc_id AS id, {mh_cols}
+  FROM aug
+),
+buckets_all AS ({band_selects})
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS size,
+       CAST(COUNT(*) - 3 AS BIGINT) AS dropped
+FROM buckets_all GROUP BY bucket HAVING COUNT(*) > 3
 """
 
     sql["dedup_clusters"] = f"""
@@ -1633,6 +1656,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
+    "lsh_bucket_stats": q_lsh_bucket_stats,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "simhash_hamming": q_simhash_hamming,
