@@ -104,3 +104,20 @@ def test_multiprobe_neardup_dedups_before_scoring(spark):
     # without it a hot bucket is a one-task straggler emitting Σ bucket²
     # id pairs
     assert "__salt" in p
+
+
+def test_cached_signature_consumers_skip_the_md5_pass(spark):
+    """With a cache_key, LSH consumers read the materialized signature
+    table (Scan ExistingRDD) — the md5-per-shingle pass must be ABSENT
+    from their plans (it ran once at fit time)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    TD.minhash_cache_clear()
+    try:
+        p = _plan(TD.lsh_candidate_pairs(docs, cache_key="guard"))
+        assert "md5" not in p
+        assert "ExistingRDD" in p
+        # the uncached path still computes signatures inline
+        p2 = _plan(TD.lsh_candidate_pairs(docs))
+        assert "md5" in p2
+    finally:
+        TD.minhash_cache_clear()
