@@ -149,6 +149,18 @@ def main_default():
     spark = session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Machine-state control (VERDICT r4 item 2): a fixed zero-engine Arrow
+    # stage (regex scan over documents.parquet, no shuffle, no engine code)
+    # timed and recorded in every BENCH_r*.json as ``control_sec``. Any
+    # reader can normalize suite numbers across machine states by the ratio
+    # of control_sec between two records — the stage never changes with the
+    # engine. A short warm-up action first so JVM/python-worker cold start
+    # doesn't pollute the control itself.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    docs_path = os.path.join(SF_DIR, "documents.parquet")
+    run_control(spark, docs_path)  # warm python workers + parquet footer
+    ctrl_s, _ = run_control(spark, docs_path)
+
     t_all = time.time()
     n_base = 5000 if "0.1" in SF_DIR else 500
     crawl_s, n_urls, n_dedup, rounds, n_pages = run_crawl(
@@ -167,6 +179,7 @@ def main_default():
             {"crawl_bfs_full": round(crawl_s, 3)}, **qtimes
         ),
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "control_sec": round(ctrl_s, 3),
         "crawl": {
             "pages": n_pages,
             "rounds": rounds,
