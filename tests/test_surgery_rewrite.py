@@ -183,6 +183,39 @@ def test_rewrite_want_flags(spark):
     assert 'src="h.test/pic.png">' in doc2             # binary localized
 
 
+def test_rewrite_want_flags_null_mime(spark):
+    """A NULL/absent mime classifies as the html class (the decode path's
+    unknown-defaults-to-HTML rule) instead of dropping out of BOTH classes
+    under three-valued `~isin` logic (ADVICE r4): with want_nonhtml=False
+    it keeps a mirror path; with want_html=False it rewrites to original."""
+    import pandas as pd
+
+    html = '<a href="/noext">no-mime-link</a>'
+    fetched = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["http://h.test/index.html", "http://h.test/noext"],
+                "host": ["h.test"] * 2,
+                "url_key": ["/index.html", "/noext"],
+                "mime": ["text/html", None],
+                "extracted_text": [html, "<html></html>"],
+            }
+        )
+    )
+    from webcrawl_spark.operators.rewrite import rewrite_links
+
+    out = {
+        r["url"]: r["rewritten"]
+        for r in rewrite_links(spark, fetched, want_nonhtml=False).collect()
+    }
+    assert 'href="h.test/noext">' in out["http://h.test/index.html"]
+    out2 = {
+        r["url"]: r["rewritten"]
+        for r in rewrite_links(spark, fetched, want_html=False).collect()
+    }
+    assert 'href="http://h.test/noext">' in out2["http://h.test/index.html"]
+
+
 def test_enqueue_uri_between_runs(spark, tmp_path):
     """EnqueueUri API (Crawler.cs:1081-1101): force-enqueue between runs —
     an orphan page gets fetched, a force dup refetches a seen url, and a

@@ -93,7 +93,10 @@ def decode_audio_wav(blob: bytes) -> tuple[int, int, int] | None:
     import io
     import wave
 
-    if not blob.startswith(b"RIFF"):
+    # full container magic: 'RIFF' + 4-byte size + 'WAVE' — a blob that
+    # merely starts with 'RIFF' (e.g. arbitrary text bytes) never reaches
+    # the parser
+    if not (blob.startswith(b"RIFF") and blob[8:12] == b"WAVE"):
         return None
     try:
         with wave.open(io.BytesIO(blob)) as w:
@@ -115,17 +118,22 @@ def _fake_audio(digest_hex: str) -> tuple[int, int, int]:
     )
 
 
-def audio_meta_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def audio_meta_stage(
+    batches: Iterator[pd.DataFrame], real_wav: bool = True
+) -> Iterator[pd.DataFrame]:
     """(id, blob) → (id, n_bytes, duration_ms, sample_rate, channels,
     digest). WAV blobs are REALLY parsed (stdlib); anything else gets the
-    deterministic digest-derived fake."""
+    deterministic digest-derived fake. ``real_wav=False`` disables the real
+    parse entirely (ADVICE r4): a battery query checked against an oracle
+    that always replays the fake sets it so engine/oracle parity is
+    STRUCTURAL, not a probabilistic bet that no blob happens to be a WAV."""
     for pdf in batches:
         if pdf.empty:
             continue
         blobs = pdf["blob"].map(lambda b: bytes(b) if b is not None else b"")
         digests = blobs.map(lambda b: hashlib.md5(b).hexdigest())
         props = [
-            decode_audio_wav(b) or _fake_audio(d)
+            (decode_audio_wav(b) if real_wav else None) or _fake_audio(d)
             for b, d in zip(blobs, digests)
         ]
         yield pd.DataFrame(
@@ -140,12 +148,17 @@ def audio_meta_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def extract_audio_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+def extract_audio_meta(
+    df: DataFrame, id_col: str, blob_col: str, real_wav: bool = True
+) -> DataFrame:
     from pyspark.sql import functions as F
+
+    def stage(batches):
+        return audio_meta_stage(batches, real_wav=real_wav)
 
     return df.select(
         F.col(id_col).cast("long").alias("id"), F.col(blob_col).alias("blob")
-    ).mapInPandas(audio_meta_stage, AUDIO_META_SCHEMA)
+    ).mapInPandas(stage, AUDIO_META_SCHEMA)
 
 
 # --------------------------------------------------------------------- video

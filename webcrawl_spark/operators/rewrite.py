@@ -52,9 +52,13 @@ def local_paths(
 
         # binary iff the recorded MIME is outside the html/css/js classes —
         # the exact classification WantResource applies; a plain JVM isin
-        # over the (static, ~10-entry) non-binary MIME set
+        # over the (static, ~10-entry) non-binary MIME set. A NULL/absent
+        # mime classifies as the html class (the same unknown-defaults-to-
+        # HTML rule the decode path applies to extension-less URLs) — under
+        # three-valued logic a bare `~isin` would be NULL and the row would
+        # silently drop out of BOTH classes (ADVICE r4).
         base = F.lower(F.trim(F.split(F.col("mime"), ";").getItem(0)))
-        binary = ~base.isin(list(_MIME_TO_TYPE))
+        binary = F.coalesce(~base.isin(list(_MIME_TO_TYPE)), F.lit(False))
         keep = F.lit(True)
         if not want_nonhtml:
             keep = keep & ~binary

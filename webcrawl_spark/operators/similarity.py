@@ -184,6 +184,11 @@ def kmeans_ranked(
 
 _KMEANS_CACHE: dict = {}
 _KMEANS_CACHE_MAX = 8
+# Evicted-but-not-released models (ADVICE r4): localCheckpoint truncates
+# lineage, so unpersisting at eviction would break callers still holding
+# the evicted frame. Eviction drops only the memo entry; blocks are
+# released by kmeans_cache_clear, the one safe invalidation point.
+_KMEANS_EVICTED: list = []
 
 
 def kmeans_ranked_cached(
@@ -200,9 +205,10 @@ def kmeans_ranked_cached(
     The cache is bounded (LRU-ish FIFO of ``_KMEANS_CACHE_MAX`` models):
     localCheckpoint blocks pin executor storage for the application's
     lifetime, so a long-lived session fitting quantizers over many inputs
-    must evict — the oldest entry is unpersisted before a new fit is
-    admitted. :func:`kmeans_cache_clear` is the explicit invalidation
-    hook."""
+    must evict — eviction drops the memo entry but DEFERS the block
+    release to :func:`kmeans_cache_clear` (unpersisting a checkpoint a
+    caller still holds would fail its next action), which is the explicit
+    invalidation hook."""
     if cache_key is None:
         return kmeans_ranked(emb, id_col, vec_col, k_clusters, iters, scale)
     full_key = (
@@ -211,11 +217,8 @@ def kmeans_ranked_cached(
     )
     if full_key not in _KMEANS_CACHE:
         while len(_KMEANS_CACHE) >= _KMEANS_CACHE_MAX:
-            old = _KMEANS_CACHE.pop(next(iter(_KMEANS_CACHE)))  # oldest first
-            try:
-                old.unpersist()
-            except Exception:
-                pass
+            # defer the unpersist: outstanding references stay usable
+            _KMEANS_EVICTED.append(_KMEANS_CACHE.pop(next(iter(_KMEANS_CACHE))))
         _KMEANS_CACHE[full_key] = kmeans_ranked(
             emb, id_col, vec_col, k_clusters, iters, scale
         ).localCheckpoint(eager=True)
@@ -223,11 +226,14 @@ def kmeans_ranked_cached(
 
 
 def kmeans_cache_clear() -> None:
-    """Drop every memoized quantizer and release its checkpoint blocks."""
-    while _KMEANS_CACHE:
-        _, old = _KMEANS_CACHE.popitem()
+    """Drop every memoized quantizer (live AND evicted) and release their
+    checkpoint blocks. After this, DataFrames previously returned by
+    :func:`kmeans_ranked_cached` are invalid — callers must re-request."""
+    _KMEANS_EVICTED.extend(_KMEANS_CACHE.values())
+    _KMEANS_CACHE.clear()
+    while _KMEANS_EVICTED:
         try:
-            old.unpersist()
+            _KMEANS_EVICTED.pop().unpersist()
         except Exception:
             pass
 

@@ -120,6 +120,12 @@ def minhash_wide(
 
 _SIG_CACHE: dict = {}
 _SIG_CACHE_MAX = 8
+# Evicted-but-not-released frames (ADVICE r4): a localCheckpoint truncates
+# lineage, so unpersisting at eviction time would break any caller still
+# holding the evicted DataFrame (missing-block error on its next action).
+# Eviction therefore only drops the memo entry; the blocks are released by
+# the explicit clear hook, which is the only safe invalidation point.
+_SIG_EVICTED: list = []
 
 
 def minhash_wide_cached(
@@ -143,11 +149,8 @@ def minhash_wide_cached(
     )
     if full_key not in _SIG_CACHE:
         while len(_SIG_CACHE) >= _SIG_CACHE_MAX:
-            old = _SIG_CACHE.pop(next(iter(_SIG_CACHE)))  # oldest first
-            try:
-                old.unpersist()
-            except Exception:
-                pass
+            # defer the unpersist: outstanding references stay usable
+            _SIG_EVICTED.append(_SIG_CACHE.pop(next(iter(_SIG_CACHE))))
         _SIG_CACHE[full_key] = minhash_wide(
             docs, text_col, id_col, num_hashes, k
         ).localCheckpoint(eager=True)
@@ -155,11 +158,14 @@ def minhash_wide_cached(
 
 
 def minhash_cache_clear() -> None:
-    """Drop every memoized signature table and release its checkpoint blocks."""
-    while _SIG_CACHE:
-        old = _SIG_CACHE.pop(next(iter(_SIG_CACHE)))
+    """Drop every memoized signature table (live AND evicted) and release
+    their checkpoint blocks. After this, DataFrames previously returned by
+    :func:`minhash_wide_cached` are invalid — callers must re-request."""
+    _SIG_EVICTED.extend(_SIG_CACHE.values())
+    _SIG_CACHE.clear()
+    while _SIG_EVICTED:
         try:
-            old.unpersist()
+            _SIG_EVICTED.pop().unpersist()
         except Exception:
             pass
 

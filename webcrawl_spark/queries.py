@@ -596,14 +596,20 @@ def q_dedup_lsh_pairs(spark, sf_dir):
     )
 
 
+# One constant drives BOTH the engine call and the DuckDB oracle SQL for
+# lsh_bucket_stats (ADVICE r4: two hardcoded copies could silently drift).
+LSH_STATS_CAP = 3
+
+
 def q_lsh_bucket_stats(spark, sf_dir):
     """Skew-cap accounting (no silent truncation): buckets over the cap are
     REPORTED with their drop counts — the operator a pipeline operator
-    watches to know the cap bit. Cap=3 here so the aug corpus's duplicate
-    groups actually exceed it; shares the round's signature materialization."""
+    watches to know the cap bit. Cap=LSH_STATS_CAP so the aug corpus's
+    duplicate groups actually exceed it; shares the round's signature
+    materialization."""
     return TD.lsh_bucket_stats(
         _aug_docs(spark, sf_dir), bands=4, rows_per_band=2, k=5,
-        max_bucket_size=3, cache_key=f"aug:{sf_dir}",
+        max_bucket_size=LSH_STATS_CAP, cache_key=f"aug:{sf_dir}",
     ).select("bucket", "size", F.col("dropped").cast("long").alias("dropped"))
 
 
@@ -835,15 +841,18 @@ def q_multimodal_meta(spark, sf_dir):
 
 def q_multimodal_audio_meta(spark, sf_dir):
     """Audio-column metadata plumbing: same Arrow stage pattern as the image
-    path; WAV headers parse for REAL (stdlib), other codecs fall to the
+    path; the production stage parses WAV headers for REAL (stdlib; covered
+    end-to-end by tests/test_multimodal.py), other codecs fall to the
     deterministic digest-derived fake (no audio libs in-container). The
-    text-derived blobs here are not WAV, so the oracle replays the fake."""
+    DuckDB oracle always replays the fake, so THIS battery query pins
+    ``real_wav=False`` — parity with the oracle is structural, not a bet
+    that no text-derived blob ever parses as RIFF/WAVE (ADVICE r4)."""
     d = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id", F.encode("text", "UTF-8").alias("blob"))
     )
-    return MM.extract_audio_meta(d, "doc_id", "blob").select(
+    return MM.extract_audio_meta(d, "doc_id", "blob", real_wav=False).select(
         "id",
         F.col("n_bytes").cast("long").alias("n_bytes"),
         "duration_ms",
@@ -1119,8 +1128,8 @@ sigs AS (
 ),
 buckets_all AS ({band_selects})
 SELECT bucket, CAST(COUNT(*) AS BIGINT) AS size,
-       CAST(COUNT(*) - 3 AS BIGINT) AS dropped
-FROM buckets_all GROUP BY bucket HAVING COUNT(*) > 3
+       CAST(COUNT(*) - {LSH_STATS_CAP} AS BIGINT) AS dropped
+FROM buckets_all GROUP BY bucket HAVING COUNT(*) > {LSH_STATS_CAP}
 """
 
     sql["dedup_clusters"] = f"""
