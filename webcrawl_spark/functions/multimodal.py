@@ -172,17 +172,153 @@ _FPS_X100 = (2397, 2400, 2500, 3000, 6000)
 
 
 def decode_video(blob: bytes):
-    """Real decode — gated on an importable decoder (none in-container)."""
+    """Real pixel decode — gated on an importable decoder (none
+    in-container). Container METADATA does not need a codec: see
+    :func:`decode_video_mp4`."""
     try:
         import av  # noqa: F401
     except ImportError as e:  # pragma: no cover - no PyAV in this container
         raise NotImplementedError(
-            "video decoding requires PyAV/ffmpeg; metadata stages use the "
-            "deterministic digest-derived fake instead"
+            "video frame decoding requires PyAV/ffmpeg; metadata stages "
+            "parse MP4 boxes in pure Python (decode_video_mp4) and fall to "
+            "the deterministic digest-derived fake for other containers"
         ) from e
     import io
 
     return av.open(io.BytesIO(blob))
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Iterate ISO-BMFF boxes in buf[start:end] → (type, body_off, box_end).
+    Handles 64-bit largesize (size==1) and to-end-of-file (size==0) boxes;
+    stops on any malformed length instead of raising."""
+    off = start
+    while off + 8 <= end:
+        size = int.from_bytes(buf[off:off + 4], "big")
+        typ = buf[off + 4:off + 8]
+        body = off + 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            size = int.from_bytes(buf[off + 8:off + 16], "big")
+            body = off + 16
+        elif size == 0:
+            size = end - off
+        if size < body - off or off + size > end:
+            return
+        yield typ, body, off + size
+        off += size
+
+
+def _mp4_find(buf: bytes, start: int, end: int, typ: bytes):
+    for t, body, box_end in _mp4_boxes(buf, start, end):
+        if t == typ:
+            return body, box_end
+    return None
+
+
+def decode_video_mp4(blob: bytes) -> tuple[int, int, int, int, int] | None:
+    """REAL metadata parse for the one container that needs no codec work:
+    ISO-BMFF / MP4. Walks ftyp→moov→(mvhd, trak→tkhd/mdia) boxes in pure
+    Python and returns (duration_ms, width, height, fps_x100, n_frames),
+    or None if the blob is not a parseable MP4 (fall to the digest fake).
+
+    All fields come from exact integer math so any engine replaying the
+    same bytes agrees: duration_ms = mvhd duration*1000 // timescale;
+    width/height are the video tkhd's 16.16 fixed-point values >> 16;
+    n_frames = the video track's stts sample-count sum (stsz count as a
+    fallback); fps_x100 = n_frames*100*media_timescale // media_duration.
+
+    Mirrors the audio stage's real-RIFF/fake-fallback contract
+    (decode_audio_wav); the reference crawler stores such resources as
+    opaque bytes (WebCrawl Crawler.cs:1743-1771) — typed metadata is this
+    engine's LLM-pipeline extension."""
+    n = len(blob)
+    # first top-level box must be ftyp (strict: avoids "happens to contain
+    # boxes" false positives on arbitrary byte blobs)
+    if n < 16 or blob[4:8] != b"ftyp":
+        return None
+    moov = _mp4_find(blob, 0, n, b"moov")
+    if moov is None:
+        return None
+    mstart, mend = moov
+    mvhd = _mp4_find(blob, mstart, mend, b"mvhd")
+    if mvhd is None:
+        return None
+    b, _ = mvhd
+    version = blob[b]
+    try:
+        if version == 1:
+            timescale = int.from_bytes(blob[b + 20:b + 24], "big")
+            duration = int.from_bytes(blob[b + 24:b + 32], "big")
+        else:
+            timescale = int.from_bytes(blob[b + 12:b + 16], "big")
+            duration = int.from_bytes(blob[b + 16:b + 20], "big")
+    except IndexError:
+        return None
+    if timescale <= 0:
+        return None
+    duration_ms = duration * 1000 // timescale
+
+    width = height = 0
+    fps_x100 = 0
+    n_frames = 0
+    for t, tb, te in _mp4_boxes(blob, mstart, mend):
+        if t != b"trak":
+            continue
+        tkhd = _mp4_find(blob, tb, te, b"tkhd")
+        if tkhd is None:
+            continue
+        hb, he = tkhd
+        v = blob[hb]
+        wh_off = hb + (88 if v == 1 else 76)
+        if wh_off + 8 > he:
+            continue
+        w = int.from_bytes(blob[wh_off:wh_off + 4], "big") >> 16
+        h = int.from_bytes(blob[wh_off + 4:wh_off + 8], "big") >> 16
+        if w <= 0 or h <= 0 or width:  # first video track wins
+            continue
+        width, height = w, h
+        mdia = _mp4_find(blob, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        db, de = mdia
+        mdhd = _mp4_find(blob, db, de, b"mdhd")
+        minf = _mp4_find(blob, db, de, b"minf")
+        if mdhd is None or minf is None:
+            continue
+        mb, _ = mdhd
+        mv = blob[mb]
+        if mv == 1:
+            media_ts = int.from_bytes(blob[mb + 20:mb + 24], "big")
+            media_dur = int.from_bytes(blob[mb + 24:mb + 32], "big")
+        else:
+            media_ts = int.from_bytes(blob[mb + 12:mb + 16], "big")
+            media_dur = int.from_bytes(blob[mb + 16:mb + 20], "big")
+        stbl = _mp4_find(blob, minf[0], minf[1], b"stbl")
+        if stbl is None:
+            continue
+        stts = _mp4_find(blob, stbl[0], stbl[1], b"stts")
+        if stts is not None:
+            sb, se = stts
+            n_entries = int.from_bytes(blob[sb + 4:sb + 8], "big")
+            total = 0
+            for i in range(n_entries):
+                eo = sb + 8 + i * 8
+                if eo + 8 > se:
+                    break
+                total += int.from_bytes(blob[eo:eo + 4], "big")
+            n_frames = total
+        else:
+            stsz = _mp4_find(blob, stbl[0], stbl[1], b"stsz")
+            if stsz is not None:
+                sb, _ = stsz
+                n_frames = int.from_bytes(blob[sb + 8:sb + 12], "big")
+        if n_frames and media_dur > 0 and media_ts > 0:
+            fps_x100 = n_frames * 100 * media_ts // media_dur
+    if not width:
+        return None
+    return (duration_ms, width, height, fps_x100, n_frames)
 
 
 def _fake_video(digest_hex: str) -> tuple[int, int, int, int, int]:
@@ -194,15 +330,25 @@ def _fake_video(digest_hex: str) -> tuple[int, int, int, int, int]:
     return (duration_ms, w, h, fps, duration_ms * fps // 100000)
 
 
-def video_meta_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def video_meta_stage(
+    batches: Iterator[pd.DataFrame], real_mp4: bool = True
+) -> Iterator[pd.DataFrame]:
     """(id, blob) → (id, n_bytes, duration_ms, width, height, fps_x100,
-    n_frames, digest) — same Arrow plumbing as the image stage."""
+    n_frames, digest) — same Arrow plumbing as the image stage. MP4 blobs
+    are REALLY parsed (pure-Python box walk, :func:`decode_video_mp4`);
+    other containers get the deterministic digest-derived fake.
+    ``real_mp4=False`` disables the real parse for battery queries whose
+    oracle always replays the fake (same structural-parity contract as the
+    audio stage's ``real_wav``)."""
     for pdf in batches:
         if pdf.empty:
             continue
         blobs = pdf["blob"].map(lambda b: bytes(b) if b is not None else b"")
         digests = blobs.map(lambda b: hashlib.md5(b).hexdigest())
-        props = digests.map(_fake_video)
+        props = [
+            (decode_video_mp4(b) if real_mp4 else None) or _fake_video(d)
+            for b, d in zip(blobs, digests)
+        ]
         yield pd.DataFrame(
             {
                 "id": pdf["id"].astype("int64"),
@@ -217,12 +363,17 @@ def video_meta_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def extract_video_meta(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+def extract_video_meta(
+    df: DataFrame, id_col: str, blob_col: str, real_mp4: bool = True
+) -> DataFrame:
     from pyspark.sql import functions as F
+
+    def stage(batches):
+        return video_meta_stage(batches, real_mp4=real_mp4)
 
     return df.select(
         F.col(id_col).cast("long").alias("id"), F.col(blob_col).alias("blob")
-    ).mapInPandas(video_meta_stage, VIDEO_META_SCHEMA)
+    ).mapInPandas(stage, VIDEO_META_SCHEMA)
 
 
 def sample_frame_indices(

@@ -863,15 +863,18 @@ def q_multimodal_audio_meta(spark, sf_dir):
 
 
 def q_multimodal_video_meta(spark, sf_dir):
-    """Video-column metadata plumbing (decode gated on PyAV — absent here,
-    so the deterministic fake; the frame-sample work list it feeds is
-    exercised separately in tests)."""
+    """Video-column metadata plumbing: the production stage REALLY parses
+    MP4 moov/mvhd/tkhd/stts boxes in pure Python (decode_video_mp4; covered
+    end-to-end by tests/test_multimodal.py) and falls to the deterministic
+    digest fake for other containers — pixel decode stays PyAV-gated. The
+    DuckDB oracle always replays the fake, so THIS battery query pins
+    ``real_mp4=False`` for structural parity (same contract as audio)."""
     d = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select("doc_id", F.encode("text", "UTF-8").alias("blob"))
     )
-    return MM.extract_video_meta(d, "doc_id", "blob").select(
+    return MM.extract_video_meta(d, "doc_id", "blob", real_mp4=False).select(
         "id",
         F.col("n_bytes").cast("long").alias("n_bytes"),
         "duration_ms",
