@@ -49,7 +49,8 @@ BENCH_QUERIES = [
     "ngram_jaccard", "lang_id", "quality_score", "token_count",
     "fingerprint", "corpus_clean_pipeline", "corpus_split_stats", "cosine_topk", "ann_ivf_topk", "ann_recall", "embed_neardup",
     "embed_neardup_ann", "neardup_recall", "multimodal_meta",
-    "multimodal_audio_meta", "multimodal_video_meta", "redirect_resolve",
+    "multimodal_audio_meta", "multimodal_video_meta",
+    "multimodal_frame_patches", "redirect_resolve",
     "fatal_error_routing", "ngram_jaccard_lsh",
 ]
 

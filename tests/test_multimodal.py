@@ -152,6 +152,32 @@ def test_video_meta_and_frame_sampling(spark):
     assert (m["frame_idx"] <= m["n_frames"]).all()
 
 
+def test_frame_patch_stage_matches_reference(spark):
+    """extract_frame_patches: every work-list row yields exactly one output
+    row whose window stats match a plain-Python reference computation."""
+    import hashlib
+
+    blobs = {1: b"A" * 10, 2: bytes(range(200)) * 3}  # short + long payloads
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()], "id long, blob binary"
+    )
+    work = spark.createDataFrame(
+        [(1, 0, 0), (1, 7, 1000), (2, 0, 0), (2, 31, 2000), (2, 900, 5000)],
+        "id long, frame_idx long, ts_ms long",
+    )
+    rows = MM.extract_frame_patches(df, work).collect()
+    assert len(rows) == 5
+    for r in rows:
+        b = blobs[r["id"]]
+        span = max(len(b) - MM.FRAME_PATCH_BYTES + 1, 1)
+        off = (r["frame_idx"] * MM.FRAME_PATCH_STRIDE) % span
+        patch = b[off:off + MM.FRAME_PATCH_BYTES]
+        assert r["patch_off"] == off
+        assert r["patch_len"] == len(patch)
+        assert r["patch_digest"] == hashlib.md5(patch).hexdigest()
+        assert r["byte_sum"] == sum(patch)
+
+
 def test_decode_gates_raise_without_codecs():
     import pytest
 

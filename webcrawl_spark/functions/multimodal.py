@@ -376,6 +376,86 @@ def extract_video_meta(
     ).mapInPandas(stage, VIDEO_META_SCHEMA)
 
 
+FRAME_PATCH_SCHEMA = (
+    "id long, frame_idx long, ts_ms long, patch_off long, patch_len long, "
+    "patch_digest string, byte_sum long"
+)
+
+FRAME_PATCH_BYTES = 64
+FRAME_PATCH_STRIDE = 997  # prime → frame_idx*stride walks the whole payload
+
+
+def frame_patch_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(id, blob, frames:[{frame_idx, ts_ms}]) → one row per sampled frame
+    with deterministic byte-window stats over the container payload:
+    ``patch_off = (frame_idx * STRIDE) % max(n_bytes - PATCH + 1, 1)``,
+    ``patch = blob[patch_off : patch_off + PATCH]``, md5 digest + byte sum.
+
+    This is the frame-CONTENT stage the ``sample_frame_indices`` work list
+    feeds: without a codec in-container there are no pixels, so "frame k"
+    deterministically maps to a byte window of the payload — the plumbing
+    (work-list join shape, Arrow batching, per-frame fan-out INSIDE the
+    stage so each blob crosses the exchange exactly once) is the real
+    100-TB design; a deployment swaps the window read for a codec call."""
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        out_id, out_fi, out_ts, out_off, out_len, out_dig, out_sum = (
+            [], [], [], [], [], [], []
+        )
+        for rid, blob, frames in zip(pdf["id"], pdf["blob"], pdf["frames"]):
+            b = bytes(blob) if blob is not None else b""
+            n = len(b)
+            span = max(n - FRAME_PATCH_BYTES + 1, 1)
+            for fr in frames:
+                fi = int(fr["frame_idx"])
+                off = (fi * FRAME_PATCH_STRIDE) % span
+                patch = b[off:off + FRAME_PATCH_BYTES]
+                out_id.append(int(rid))
+                out_fi.append(fi)
+                out_ts.append(int(fr["ts_ms"]))
+                out_off.append(off)
+                out_len.append(len(patch))
+                out_dig.append(hashlib.md5(patch).hexdigest())
+                out_sum.append(sum(patch))
+        yield pd.DataFrame(
+            {
+                "id": pd.Series(out_id, dtype="int64"),
+                "frame_idx": pd.Series(out_fi, dtype="int64"),
+                "ts_ms": pd.Series(out_ts, dtype="int64"),
+                "patch_off": pd.Series(out_off, dtype="int64"),
+                "patch_len": pd.Series(out_len, dtype="int64"),
+                "patch_digest": pd.Series(out_dig, dtype="object"),
+                "byte_sum": pd.Series(out_sum, dtype="int64"),
+            }
+        )
+
+
+def extract_frame_patches(
+    blobs: DataFrame, work: DataFrame, id_col: str = "id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Join the frame-sampling work list (``sample_frame_indices`` output:
+    id, frame_idx, ts_ms) back to the payload column and run the
+    frame-content stage.
+
+    Scale shape: the work list is pre-aggregated to ONE row per id
+    (collect_list of the small (frame_idx, ts_ms) structs) BEFORE joining,
+    so the multi-KB/MB payload bytes cross the shuffle exactly once per
+    document instead of once per sampled frame; the per-frame fan-out
+    happens inside the Arrow stage. Both join sides key on the uniform
+    document id — never a broadcast assumption on the corpus."""
+    from pyspark.sql import functions as F
+
+    per_doc = work.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("frame_idx", "ts_ms"))).alias("frames")
+    )
+    joined = blobs.select(
+        F.col(id_col).cast("long").alias("id"), F.col(blob_col).alias("blob")
+    ).join(per_doc, "id")
+    return joined.mapInPandas(frame_patch_stage, FRAME_PATCH_SCHEMA)
+
+
 def sample_frame_indices(
     df: DataFrame, every_ms: int = 1000,
     id_col: str = "id", duration_col: str = "duration_ms",
