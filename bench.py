@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "pricing_summary", "join_agg_revenue", "window_running_sum",
     "sessionize", "event_tumbling_counts",
     "dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs", "lsh_bucket_stats",
+    "dedup_lsh_incremental",
     "dedup_clusters", "dedup_simhash", "simhash_hamming",
     "ngram_jaccard", "lang_id", "quality_score", "token_count",
     "fingerprint", "corpus_clean_pipeline", "corpus_split_stats", "cosine_topk", "ann_ivf_topk", "ann_recall", "embed_neardup",

@@ -121,3 +121,27 @@ def test_cached_signature_consumers_skip_the_md5_pass(spark):
         assert "md5" in p2
     finally:
         TD.minhash_cache_clear()
+
+
+def test_incremental_lsh_never_resignatures_the_corpus(spark):
+    """lsh_pairs_incremental: the shingle/md5 signature pass must appear
+    exactly once (the delta side); the persisted corpus signature table is
+    consumed as stored values (Scan ExistingRDD + banding projection) —
+    re-signaturing 100 TB of corpus text per delta would defeat the
+    operator's purpose."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    TD.minhash_cache_clear()
+    try:
+        corpus_sigs = TD.minhash_wide_cached(
+            docs.filter("doc_id < 100"), cache_key="guard-corpus"
+        )
+        delta = docs.filter("doc_id >= 100 and doc_id < 150")
+        p = _plan(TD.lsh_pairs_incremental(delta, corpus_sigs))
+        assert "EvalPython" not in p
+        assert p.count("md5") == 1          # delta side only
+        assert "Scan ExistingRDD" in p      # corpus side: stored sigs
+        # exactly one text scan feeds the signature pass: the delta filter
+        # is pushed to the parquet reader
+        assert "GreaterThanOrEqual(doc_id,100)" in p
+    finally:
+        TD.minhash_cache_clear()

@@ -208,18 +208,25 @@ def lsh_buckets(
     ``cache_key`` shares the signature materialization across consumers
     (:func:`minhash_wide_cached`)."""
     nh = bands * rows_per_band
-    sig = minhash_wide_cached(
-        docs, text_col, id_col, nh, k, cache_key=cache_key
-    ).withColumnRenamed("sig", "mh")
+    sig = minhash_wide_cached(docs, text_col, id_col, nh, k, cache_key=cache_key)
+    return sig_buckets(sig, bands, rows_per_band)
+
+
+def sig_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, bucket) banding of a PRE-COMPUTED signature table
+    (id, sig ``array<bigint>``) — a pure projection + explode over stored
+    values: no shingle scan, no md5. This is the banding every LSH consumer
+    applies, and the corpus side of :func:`lsh_pairs_incremental` (whose
+    whole point is that the persisted corpus is never re-signatured)."""
     row_refs = ", ".join(
-        f"cast(mh[b * {rows_per_band} + {r}] as string)"
+        f"cast(sig[b * {rows_per_band} + {r}] as string)"
         for r in range(rows_per_band)
     )
     band_expr = (
         f"transform(sequence(0, {bands - 1}), "
         f"b -> concat_ws(':', cast(b as string), {row_refs}))"
     )
-    return sig.select("id", F.explode(F.expr(band_expr)).alias("bucket"))
+    return sigs.select("id", F.explode(F.expr(band_expr)).alias("bucket"))
 
 
 def _cap_buckets(buckets: DataFrame, max_bucket_size: int | None) -> DataFrame:
@@ -260,6 +267,52 @@ def lsh_candidate_pairs(
     return (
         left.join(right, "bucket")
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def lsh_pairs_incremental(
+    delta_docs: DataFrame, corpus_sigs: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+    bands: int = 4, rows_per_band: int = 2, k: int = 5,
+    max_bucket_size: int | None = 1000,
+    cache_key=None,
+) -> DataFrame:
+    """Delta-vs-corpus LSH candidate pairs: (a = delta id, b = corpus id).
+
+    The 100-TB operational mode of near-dup dedup is not "re-pair the whole
+    corpus" but "pair TODAY'S DELTA against yesterday's 100 TB": signatures
+    are computed ONLY for the delta; the corpus side is a persisted
+    signature table (id, sig ``array<bigint>`` — ~8 bigints per document
+    instead of its text, written once when each document was first
+    ingested), and its banding is a pure projection/explode of stored
+    values (:func:`sig_buckets`) — no shingle scan, no md5, no corpus text
+    read at all. This is the dedup analog of the crawl frontier's
+    seen-set anti-join (SURVEY §2 op 10): new work probes a persisted
+    uniform-key structure instead of recomputing the world.
+
+    Shuffle shape: both sides exchange on the uniform ``bucket`` key; only
+    (id, bucket) rows move. ``max_bucket_size`` caps each side's buckets
+    independently (lowest ids first, deterministic), so a boilerplate
+    mega-bucket on the corpus side cannot go quadratic against a delta
+    that also hits it; use :func:`lsh_bucket_stats` on either side for
+    truncation accounting. Delta-internal pairs are NOT emitted — run
+    :func:`lsh_candidate_pairs` on the delta alone for those (it shares
+    the same signature materialization via ``cache_key``)."""
+    nh = bands * rows_per_band
+    dsig = minhash_wide_cached(
+        delta_docs, text_col, id_col, nh, k, cache_key=cache_key
+    )
+    dbuckets = _cap_buckets(
+        sig_buckets(dsig, bands, rows_per_band), max_bucket_size
+    )
+    cbuckets = _cap_buckets(
+        sig_buckets(corpus_sigs, bands, rows_per_band), max_bucket_size
+    )
+    return (
+        dbuckets.withColumnRenamed("id", "a")
+        .join(cbuckets.withColumnRenamed("id", "b"), "bucket")
         .select("a", "b")
         .distinct()
     )

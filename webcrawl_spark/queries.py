@@ -601,6 +601,26 @@ def q_dedup_lsh_pairs(spark, sf_dir):
 LSH_STATS_CAP = 3
 
 
+def q_dedup_lsh_incremental(spark, sf_dir):
+    """Incremental dedup — today's delta vs yesterday's persisted corpus
+    (VERDICT r4 item 5). The aug corpus's injected duplicates (doc_id ≥
+    10000, copies of doc_id < 50) play "today's re-crawled delta"; the
+    original documents are "yesterday's corpus" whose signature table is a
+    fit-once materialization (in a deployment: a parquet/Iceberg (id, sig)
+    table) — the plan signatures ONLY the delta; the corpus side is a
+    stored-value projection (plan-guarded in test_plans_guard)."""
+    aug = _aug_docs(spark, sf_dir)
+    delta = aug.filter(F.col("doc_id") >= 10000)
+    corpus_sigs = TD.minhash_wide_cached(
+        aug.filter(F.col("doc_id") < 10000),
+        num_hashes=8, k=5, cache_key=f"aug-corpus:{sf_dir}",
+    )
+    return TD.lsh_pairs_incremental(
+        delta, corpus_sigs, bands=4, rows_per_band=2, k=5,
+        cache_key=f"aug-delta:{sf_dir}",
+    )
+
+
 def q_lsh_bucket_stats(spark, sf_dir):
     """Skew-cap accounting (no silent truncation): buckets over the cap are
     REPORTED with their drop counts — the operator a pipeline operator
@@ -1103,11 +1123,14 @@ SELECT id, CAST(h AS BIGINT) AS h, minhash FROM (
 )
 """
 
-    band_selects = " UNION ALL ".join(
-        f"SELECT id, CAST({b} AS STRING) || ':' || CAST(mh{2*b} AS STRING) || ':' || "
-        f"CAST(mh{2*b+1} AS STRING) AS bucket FROM sigs"
-        for b in range(4)
-    )
+    def _band_selects(table: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT id, CAST({b} AS STRING) || ':' || CAST(mh{2*b} AS STRING)"
+            f" || ':' || CAST(mh{2*b+1} AS STRING) AS bucket FROM {table}"
+            for b in range(4)
+        )
+
+    band_selects = _band_selects("sigs")
     sql["dedup_lsh_pairs"] = f"""
 WITH aug AS ({_AUG_DOCS_SQL}),
 sigs AS (
@@ -1121,6 +1144,30 @@ buckets AS (
 )
 SELECT DISTINCT l.id AS a, r.id AS b
 FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.id < r.id
+"""
+
+    sql["dedup_lsh_incremental"] = f"""
+WITH aug AS ({_AUG_DOCS_SQL}),
+dsigs AS (
+  SELECT doc_id AS id, {mh_cols}
+  FROM aug WHERE doc_id >= 10000
+),
+csigs AS (
+  SELECT doc_id AS id, {mh_cols}
+  FROM aug WHERE doc_id < 10000
+),
+dbuckets_all AS ({_band_selects("dsigs")}),
+dbuckets AS (
+  SELECT id, bucket FROM dbuckets_all
+  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY id) <= 1000
+),
+cbuckets_all AS ({_band_selects("csigs")}),
+cbuckets AS (
+  SELECT id, bucket FROM cbuckets_all
+  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY id) <= 1000
+)
+SELECT DISTINCT d.id AS a, c.id AS b
+FROM dbuckets d JOIN cbuckets c ON d.bucket = c.bucket
 """
 
     sql["lsh_bucket_stats"] = f"""
@@ -1733,6 +1780,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "lsh_bucket_stats": q_lsh_bucket_stats,
+    "dedup_lsh_incremental": q_dedup_lsh_incremental,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "simhash_hamming": q_simhash_hamming,
