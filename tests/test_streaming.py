@@ -100,6 +100,51 @@ def test_streaming_frontier_single_trigger_equals_batch(spark, tmp_path):
     assert got == want and len(got) == 15
 
 
+def test_streaming_frontier_rank_weighted_equals_batch(spark, tmp_path):
+    """Rank-priority parity (VERDICT r4 item 7): the streaming frontier with
+    a ranks table releases exactly the set a rank-weighted batch round
+    selects — both fold rank via the one shared expression
+    (functions.rankprio.fold_rank_priority), so class still dominates and
+    rank reorders within a class."""
+    from pyspark.sql import Window
+    from webcrawl_spark.functions.rankprio import fold_rank_priority
+    from webcrawl_spark.streaming import frontier as SFr
+
+    rows = _frontier_rows(60, 5)
+    # rank LATER urls higher so plain (priority, seq) order (earliest seq
+    # wins) and rank-weighted order (highest rank wins within a class)
+    # provably differ
+    ranks = [(url, i) for i, (url, _h, _p, _s) in enumerate(rows)]
+    ranks_df = spark.createDataFrame(ranks, "url string, rank long")
+    src = str(tmp_path / "f3")
+    spark.createDataFrame(rows, SFr.FRONTIER_IN_SCHEMA).coalesce(1).write.parquet(src)
+    q = SFr.stream_frontier_politeness(
+        spark, src, "frontier_t3", budget=3, ranks=ranks_df
+    )
+    _drain(q)
+    got = {
+        (r["host"], r["url"], r["priority"])
+        for r in spark.sql("select * from frontier_t3").collect()
+    }
+    w = Window.partitionBy("host").orderBy("priority", "seq")
+    batch = fold_rank_priority(
+        spark.createDataFrame(rows, SFr.FRONTIER_IN_SCHEMA), ranks_df
+    )
+    want = {
+        (r["host"], r["url"], r["priority"])
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3").collect()
+    }
+    assert got == want and len(got) == 15
+    # the weighting actually changed the selection vs the unranked run
+    unranked = {
+        (r["host"], r["url"])
+        for r in spark.createDataFrame(rows, SFr.FRONTIER_IN_SCHEMA)
+        .withColumn("rn", F.row_number().over(w)).filter("rn <= 3").collect()
+    }
+    assert {(h, u) for h, u, _p in got} != unranked
+
+
 def test_streaming_frontier_carryover(spark, tmp_path):
     """Across triggers the per-host queue carries over in state; a python
     replay of the same quantum discipline predicts the exact release order."""

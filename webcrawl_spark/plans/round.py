@@ -593,27 +593,9 @@ def run_round(
     #      signal. Uniform-key join on url (the ranks table is corpus-sized
     #      at scale — never assume broadcast; AQE picks one when it is small).
     if cfg.rank_priority and ctx.ranks is not None:
-        from ..config import RANK_SPAN
+        from ..functions.rankprio import fold_rank_priority
 
-        acc = (
-            acc.join(
-                ctx.ranks.select(
-                    F.col("url"), F.col("rank").cast("long").alias("__rank")
-                ),
-                "url", "left",
-            )
-            .withColumn(
-                "priority",
-                (
-                    F.col("priority").cast("long") * F.lit(RANK_SPAN)
-                    - F.least(
-                        F.greatest(F.coalesce("__rank", F.lit(0)), F.lit(0)),
-                        F.lit(RANK_SPAN - 1),
-                    )
-                ).cast("int"),
-            )
-            .drop("__rank")
-        )
+        acc = fold_rank_priority(acc, ctx.ranks)
 
     # 5d. crawler-trap cap: ≥ max distinct query strings per (host, path)
     #     → ignore (Crawler.cs:2415-2423). Each accepted key adds exactly

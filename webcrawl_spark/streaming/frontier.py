@@ -60,14 +60,28 @@ def make_politeness_fn(budget: int):
 
 
 def stream_frontier_politeness(
-    spark: SparkSession, src_dir: str, query_name: str, budget: int = 2
+    spark: SparkSession, src_dir: str, query_name: str, budget: int = 2,
+    ranks: DataFrame | None = None,
 ) -> "StreamingQuery":
-    """File-source URL stream → per-host budget-limited release."""
+    """File-source URL stream → per-host budget-limited release.
+
+    ``ranks`` (optional, url → rank): rank-weighted priority parity with
+    the batch path (plans/round.py step 5c') — a stream-static left join
+    folds the rank into ``priority`` via the SAME shared expression
+    (functions.rankprio.fold_rank_priority) BEFORE the stateful politeness
+    operator, so the per-host release order matches a rank-weighted batch
+    round exactly (test_streaming asserts the equivalence). Stream-static
+    joins re-read the static side per micro-batch; at scale the ranks
+    table is a broadcast-or-bucketed parquet table, same as batch."""
     st = (
         spark.readStream.schema(FRONTIER_IN_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
+    if ranks is not None:
+        from ..functions.rankprio import fold_rank_priority
+
+        st = fold_rank_priority(st, ranks)
     released = st.groupBy("host").applyInPandasWithState(
         make_politeness_fn(budget),
         outputStructType=FRONTIER_OUT_SCHEMA,
