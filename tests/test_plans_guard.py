@@ -145,3 +145,31 @@ def test_incremental_lsh_never_resignatures_the_corpus(spark):
         assert "GreaterThanOrEqual(doc_id,100)" in p
     finally:
         TD.minhash_cache_clear()
+
+
+def test_incremental_neardup_never_refits_the_quantizer(spark):
+    """neardup_incremental: the persisted model (centroids + corpus bucket
+    assignments) must be consumed as stored values (Scan ExistingRDD) — no
+    Lloyd re-fit, no corpus re-assignment per delta; the candidate join
+    must be salted (the corpus bucket side keys on only k_clusters distinct
+    cids) and the whole plan JVM-only."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    SIM.kmeans_cache_clear()
+    try:
+        corpus = emb.filter("vec_id % 5 <> 4")
+        delta = emb.filter("vec_id % 5 = 4")
+        cent, ranked = SIM.kmeans_model_cached(corpus, cache_key="guard-inc")
+        p = _plan(
+            SIM.neardup_incremental(delta, ranked, cent, corpus, probes=2)
+        )
+        assert "EvalPython" not in p
+        assert "CartesianProduct" not in p
+        assert "Scan ExistingRDD" in p   # persisted centroid/assignment tables
+        assert "__salt" in p             # corpus bucket side spread over salts
+        # the corpus vector side is scanned (for scoring), but only the
+        # delta is quantized+ranked against centroids: exactly one window
+        # ranking (the delta's) appears — the corpus ranking came from
+        # storage
+        assert p.count("windowspecdefinition") == 1
+    finally:
+        SIM.kmeans_cache_clear()

@@ -142,21 +142,23 @@ def _assign_dists(ve: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_ranked(
+def kmeans_fit(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     k_clusters: int = 4, iters: int = 2, scale: int = 1000,
+    _ve: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, cid, dist, __rn): every vector ranked against the FINAL integer
-    k-means centroids (__rn = 1 is its bucket; __rn ≤ p are its p probes).
+    """Final integer k-means centroid table (cid, pos, cval) — the
+    PERSISTABLE quantizer model (k_clusters × dims rows): write it once,
+    broadcast it forever. Centroids init from the ``k_clusters`` lowest
+    ids; each Lloyd iteration re-assigns and takes integer-rounded means
+    (floor(sum/count + 0.5) — one IEEE division of exact integers), so any
+    engine replaying the formulas gets bit-identical centroids.
 
-    Centroids init from the ``k_clusters`` lowest ids; each Lloyd iteration
-    re-assigns and takes integer-rounded means — all arithmetic exact, so
-    any engine replaying the formulas gets identical buckets.
-
-    The quantized long form is materialized once (eager lineage cut) —
-    every Lloyd pass and the final ranking read it, and recomputing the
-    scan+explode per pass is the textbook iterative-algorithm mistake."""
-    ve = _quantized_long(emb, id_col, vec_col, scale).localCheckpoint(eager=True)
+    ``_ve``: a pre-materialized quantized long form, so callers that also
+    rank against the fit (:func:`kmeans_ranked`) share one scan+explode."""
+    ve = _ve if _ve is not None else _quantized_long(
+        emb, id_col, vec_col, scale
+    ).localCheckpoint(eager=True)
     cent = ve.filter(F.col("id") < k_clusters).select(
         F.col("id").cast("int").alias("cid"), "pos", F.col("val").alias("cval")
     )
@@ -178,8 +180,37 @@ def kmeans_ranked(
             )
             .localCheckpoint(eager=True)   # k×dims rows; keeps the iterated plan flat
         )
+    return cent
+
+
+def assign_ranked(
+    emb: DataFrame, cent: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding", scale: int = 1000,
+    _ve: DataFrame | None = None,
+) -> DataFrame:
+    """(id, cid, dist, __rn): vectors ranked against a PERSISTED centroid
+    table (``kmeans_fit`` output) — one broadcast centroid join + one
+    uniform-key aggregate, NO Lloyd iterations. This is how new (delta)
+    vectors enter an existing quantizer's bucket space
+    (:func:`neardup_incremental`)."""
+    ve = _ve if _ve is not None else _quantized_long(emb, id_col, vec_col, scale)
     w = Window.partitionBy("id").orderBy("dist", "cid")
     return _assign_dists(ve, cent).withColumn("__rn", F.row_number().over(w))
+
+
+def kmeans_ranked(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k_clusters: int = 4, iters: int = 2, scale: int = 1000,
+) -> DataFrame:
+    """(id, cid, dist, __rn): every vector ranked against the FINAL integer
+    k-means centroids (__rn = 1 is its bucket; __rn ≤ p are its p probes).
+    Composition of :func:`kmeans_fit` + :func:`assign_ranked` over ONE
+    materialized quantized long form — every Lloyd pass and the final
+    ranking read it, and recomputing the scan+explode per pass is the
+    textbook iterative-algorithm mistake."""
+    ve = _quantized_long(emb, id_col, vec_col, scale).localCheckpoint(eager=True)
+    cent = kmeans_fit(emb, id_col, vec_col, k_clusters, iters, scale, _ve=ve)
+    return assign_ranked(emb, cent, id_col, vec_col, scale, _ve=ve)
 
 
 _KMEANS_CACHE: dict = {}
@@ -225,12 +256,56 @@ def kmeans_ranked_cached(
     return _KMEANS_CACHE[full_key]
 
 
+_MODEL_CACHE: dict = {}
+_MODEL_EVICTED: list = []
+
+
+def kmeans_model_cached(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k_clusters: int = 4, iters: int = 2, scale: int = 1000,
+    cache_key=None,
+) -> tuple:
+    """(cent, ranked) — the persisted-model PAIR incremental consumers need:
+    the centroid table (``kmeans_fit``) and the corpus bucket assignments
+    (``assign_ranked``), fit over ONE materialized quantized long form and
+    both lineage-cut. In a deployment both are parquet/Iceberg tables
+    written once at ingest; here the bounded cache stands in (same
+    deferred-unpersist discipline as the other fit caches)."""
+    def _build():
+        ve = _quantized_long(emb, id_col, vec_col, scale).localCheckpoint(
+            eager=True
+        )
+        cent = kmeans_fit(emb, id_col, vec_col, k_clusters, iters, scale, _ve=ve)
+        ranked = assign_ranked(
+            emb, cent, id_col, vec_col, scale, _ve=ve
+        ).localCheckpoint(eager=True)
+        return cent, ranked
+
+    if cache_key is None:
+        return _build()
+    full_key = (
+        emb.sparkSession.sparkContext.applicationId,
+        cache_key, id_col, vec_col, k_clusters, iters, scale,
+    )
+    if full_key not in _MODEL_CACHE:
+        while len(_MODEL_CACHE) >= _KMEANS_CACHE_MAX:
+            _MODEL_EVICTED.extend(_MODEL_CACHE.pop(next(iter(_MODEL_CACHE))))
+        _MODEL_CACHE[full_key] = _build()
+    return _MODEL_CACHE[full_key]
+
+
 def kmeans_cache_clear() -> None:
-    """Drop every memoized quantizer (live AND evicted) and release their
-    checkpoint blocks. After this, DataFrames previously returned by
-    :func:`kmeans_ranked_cached` are invalid — callers must re-request."""
+    """Drop every memoized quantizer/model (live AND evicted) and release
+    their checkpoint blocks. After this, DataFrames previously returned by
+    :func:`kmeans_ranked_cached` / :func:`kmeans_model_cached` are
+    invalid — callers must re-request."""
     _KMEANS_EVICTED.extend(_KMEANS_CACHE.values())
     _KMEANS_CACHE.clear()
+    for pair in _MODEL_CACHE.values():
+        _KMEANS_EVICTED.extend(pair)
+    _MODEL_CACHE.clear()
+    _KMEANS_EVICTED.extend(_MODEL_EVICTED)
+    _MODEL_EVICTED.clear()
     while _KMEANS_EVICTED:
         try:
             _KMEANS_EVICTED.pop().unpersist()
@@ -372,6 +447,55 @@ def neardup_pairs_bucketed(
     return (
         a.join(b, ["cid", "__salt"])
         .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos", F.expr(dot_sql("va", "vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") > threshold)
+        .select("a", "b", F.round("cos", round_to).alias("cos"))
+    )
+
+
+def neardup_incremental(
+    delta_emb: DataFrame, corpus_ranked: DataFrame, cent: DataFrame,
+    corpus_emb: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.3, probes: int = 2, scale: int = 1000,
+    round_to: int = 4, salt: int = 16,
+) -> DataFrame:
+    """(a = delta id, b = corpus id, cos) — embedding near-dup of TODAY'S
+    DELTA against a persisted corpus, the ANN sibling of
+    ``textdedup.lsh_pairs_incremental``.
+
+    Persisted state (written once, at ingest time): the quantizer model
+    ``cent`` (``kmeans_fit`` output, k×dims rows — broadcast-size) and the
+    corpus bucket assignments ``corpus_ranked`` ((id, cid, __rn) rows —
+    ~probes small rows per document, NOT its vector). Per delta: ONLY the
+    delta is quantized and ranked (one broadcast centroid join,
+    :func:`assign_ranked`) — no Lloyd re-fit, no corpus re-assignment, no
+    corpus vector scan for candidate generation.
+
+    Candidate join: the corpus bucket side is salted by ``pmod(id, salt)``
+    and the (small) delta side replicated ``salt``× — the opposite
+    orientation from :func:`neardup_pairs_bucketed`, because here the
+    corpus side is the big one and replicating it would be the scale
+    mistake. Each (a, b) pair still arises once per shared bucket and is
+    deduplicated on id-only rows before the corpus VECTORS join in for
+    exact cosine scoring (the only stage that touches them, and only for
+    candidate ids)."""
+    d_assign = assign_ranked(delta_emb, cent, id_col, vec_col, scale)
+    dbuckets = d_assign.filter(F.col("__rn") <= probes).select(
+        F.col("id").alias("a"), "cid",
+        F.explode(F.expr(f"sequence(0, {salt - 1})")).alias("__salt"),
+    )
+    cbuckets = corpus_ranked.filter(F.col("__rn") <= probes).select(
+        F.col("id").alias("b"), "cid",
+        F.pmod(F.col("id"), F.lit(salt)).alias("__salt"),
+    )
+    pairs = dbuckets.join(cbuckets, ["cid", "__salt"]).select("a", "b").distinct()
+    va = _prep_normed(delta_emb, id_col, vec_col, "a", "va", "na")
+    vb = _prep_normed(corpus_emb, id_col, vec_col, "b", "vb", "nb")
+    return (
+        pairs.join(va, "a").join(vb, "b")
         .withColumn(
             "cos", F.expr(dot_sql("va", "vb")) / (F.col("na") * F.col("nb"))
         )

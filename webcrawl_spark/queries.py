@@ -1380,12 +1380,15 @@ SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM (
          CAST(floor(SUM(ve.val) * 1.0 / COUNT(*) + 0.5) AS BIGINT) AS cval
   FROM ve JOIN {assign} a USING (id) GROUP BY a.cid, ve.pos
 """
-    _kmeans_ctes = f"""ve AS (
+    def _kmeans_block(where: str = "") -> str:
+        """The unrolled integer-Lloyd CTE chain, parameterized by the fit
+        population (the incremental oracle fits on the corpus split only)."""
+        return f"""ve AS (
   SELECT vec_id AS id, CAST(pos - 1 AS INT) AS pos,
          CAST(floor(CAST(val AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS val
   FROM (SELECT vec_id, unnest(embedding) AS val,
                generate_subscripts(embedding, 1) AS pos
-        FROM embeddings)
+        FROM embeddings{where})
 ),
 c0 AS (SELECT CAST(id AS INT) AS cid, pos, val AS cval FROM ve WHERE id < 4),
 d0 AS ({_assign.format(cent='c0')}),
@@ -1399,6 +1402,8 @@ c2 AS ({_update.format(assign='a1')}),
 df AS ({_assign.format(cent='c2')}),
 ranked AS (SELECT id, cid,
            ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM df)"""
+
+    _kmeans_ctes = _kmeans_block()
 
     sql["ann_ivf_topk"] = f"""
 WITH {_kmeans_ctes},
@@ -1423,6 +1428,35 @@ bucket AS (SELECT id, cid FROM ranked WHERE rn <= 2),
 cand AS (
   SELECT DISTINCT x.id AS a, y.id AS b
   FROM bucket x JOIN bucket y ON x.cid = y.cid AND x.id < y.id
+)
+SELECT c.a, c.b,
+       ROUND({_duck_cos64('ea.embedding', 'eb.embedding')}, 4) AS cos
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.a
+JOIN embeddings eb ON eb.vec_id = c.b
+WHERE {_duck_cos64('ea.embedding', 'eb.embedding')} > 0.3
+"""
+
+    _mod = EMB_DELTA_MOD
+    sql["embed_neardup_incremental"] = f"""
+WITH {_kmeans_block(f" WHERE vec_id % {_mod} <> {_mod - 1}")},
+vd AS (
+  SELECT vec_id AS id, CAST(pos - 1 AS INT) AS pos,
+         CAST(floor(CAST(val AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS val
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings WHERE vec_id % {_mod} = {_mod - 1})
+),
+dd AS (
+  SELECT vd.id, c.cid, SUM((vd.val - c.cval) * (vd.val - c.cval)) AS dist
+  FROM vd JOIN c2 c USING (pos) GROUP BY vd.id, c.cid
+),
+dranked AS (SELECT id, cid,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM dd),
+cand AS (
+  SELECT DISTINCT d.id AS a, r.id AS b
+  FROM (SELECT id, cid FROM dranked WHERE rn <= 2) d
+  JOIN (SELECT id, cid FROM ranked WHERE rn <= 2) r ON d.cid = r.cid
 )
 SELECT c.a, c.b,
        ROUND({_duck_cos64('ea.embedding', 'eb.embedding')}, 4) AS cos
@@ -1728,6 +1762,32 @@ def q_embed_neardup_ann(spark, sf_dir):
     )
 
 
+# delta split for the incremental embedding near-dup: every 5th vector is
+# "today's delta", the rest are "yesterday's corpus" (same constant drives
+# the oracle SQL)
+EMB_DELTA_MOD = 5
+
+
+def q_embed_neardup_incremental(spark, sf_dir):
+    """Incremental embedding near-dup — the ANN sibling of
+    `dedup_lsh_incremental`: the delta is quantized against the PERSISTED
+    corpus quantizer (broadcast centroid join, no Lloyd re-fit) and probes
+    the persisted corpus bucket assignments; corpus vectors are touched
+    only to score surviving candidate ids. The fit+assignments pair is a
+    fit-once materialization (kmeans_model_cached — in a deployment, two
+    parquet/Iceberg tables written at ingest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % EMB_DELTA_MOD == EMB_DELTA_MOD - 1
+    corpus = emb.filter(~is_delta)
+    delta = emb.filter(is_delta)
+    cent, ranked = SIM.kmeans_model_cached(
+        corpus, k_clusters=4, iters=2, cache_key=("emb-corpus", sf_dir)
+    )
+    return SIM.neardup_incremental(
+        delta, ranked, cent, corpus, threshold=0.3, probes=2
+    )
+
+
 def q_redirect_resolve(spark, sf_dir):
     """Bounded redirect-chain resolution (operators/redirect.py) over a
     deterministic synthetic edge set derived from documents: 1-2 hop
@@ -1803,6 +1863,7 @@ QUERIES: dict[str, Callable] = {
     "redirect_resolve": q_redirect_resolve,
     "fatal_error_routing": q_fatal_error_routing,
     "embed_neardup_ann": q_embed_neardup_ann,
+    "embed_neardup_incremental": q_embed_neardup_incremental,
     "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
 }
 
