@@ -49,7 +49,8 @@ BENCH_QUERIES = [
     "dedup_clusters", "dedup_simhash", "simhash_hamming",
     "ngram_jaccard", "lang_id", "quality_score", "token_count",
     "fingerprint", "corpus_clean_pipeline", "corpus_split_stats", "cosine_topk", "ann_ivf_topk", "ann_recall", "embed_neardup",
-    "embed_neardup_ann", "neardup_recall", "multimodal_meta",
+    "embed_neardup_ann", "embed_neardup_incremental",
+    "embed_neardup_incr_recall", "neardup_recall", "multimodal_meta",
     "multimodal_audio_meta", "multimodal_video_meta",
     "multimodal_frame_patches", "redirect_resolve",
     "fatal_error_routing", "ngram_jaccard_lsh",

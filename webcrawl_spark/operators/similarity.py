@@ -504,6 +504,29 @@ def neardup_incremental(
     )
 
 
+def neardup_pairs_cross(
+    left: DataFrame, right: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.3, round_to: int = 4,
+) -> DataFrame:
+    """(a = left id, b = right id, cos) — EXACT left×right cosine pairs.
+
+    O(|L|·|R|) brute baseline, affordable only when both sides are
+    small/bounded: it exists to MEASURE the recall of
+    :func:`neardup_incremental` (independent of its candidate machinery),
+    the delta-vs-corpus analog of :func:`neardup_pairs`."""
+    va = _prep_normed(left, id_col, vec_col, "a", "va", "na")
+    vb = _prep_normed(right, id_col, vec_col, "b", "vb", "nb")
+    return (
+        va.crossJoin(vb)
+        .withColumn(
+            "cos", F.expr(dot_sql("va", "vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") > threshold)
+        .select("a", "b", F.round("cos", round_to).alias("cos"))
+    )
+
+
 def neardup_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     n: int = 200, threshold: float = 0.3, round_to: int = 4,

@@ -1437,9 +1437,11 @@ JOIN embeddings eb ON eb.vec_id = c.b
 WHERE {_duck_cos64('ea.embedding', 'eb.embedding')} > 0.3
 """
 
+    # shared by the incremental near-dup query and its recall measurement:
+    # quantizer fit on the corpus split only, plus the delta's assignment
+    # (the probe pass neardup_incremental runs per delta)
     _mod = EMB_DELTA_MOD
-    sql["embed_neardup_incremental"] = f"""
-WITH {_kmeans_block(f" WHERE vec_id % {_mod} <> {_mod - 1}")},
+    _incr_ctes = f"""{_kmeans_block(f" WHERE vec_id % {_mod} <> {_mod - 1}")},
 vd AS (
   SELECT vec_id AS id, CAST(pos - 1 AS INT) AS pos,
          CAST(floor(CAST(val AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS val
@@ -1452,7 +1454,10 @@ dd AS (
   FROM vd JOIN c2 c USING (pos) GROUP BY vd.id, c.cid
 ),
 dranked AS (SELECT id, cid,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM dd),
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM dd)"""
+
+    sql["embed_neardup_incremental"] = f"""
+WITH {_incr_ctes},
 cand AS (
   SELECT DISTINCT d.id AS a, r.id AS b
   FROM (SELECT id, cid FROM dranked WHERE rn <= 2) d
@@ -1464,6 +1469,37 @@ FROM cand c
 JOIN embeddings ea ON ea.vec_id = c.a
 JOIN embeddings eb ON eb.vec_id = c.b
 WHERE {_duck_cos64('ea.embedding', 'eb.embedding')} > 0.3
+"""
+
+    _recall_row = """
+SELECT CAST({p} AS BIGINT) AS probes, COUNT(*) AS n_exact, COUNT(x.a) AS n_found,
+       ROUND(COUNT(x.a) * 1.0 / COUNT(*), 4) AS recall
+FROM exact t LEFT JOIN ann{p} x ON x.a = t.a AND x.b = t.b
+"""
+    _cap = INCR_RECALL_CORPUS_CAP
+    _incr_found = f"""
+  SELECT DISTINCT d.id AS a, r.id AS b
+  FROM (SELECT id, cid FROM dranked WHERE rn <= {{p}}) d
+  JOIN (SELECT id, cid FROM ranked WHERE rn <= {{p}} AND id < {_cap}) r
+    ON d.cid = r.cid
+  JOIN embeddings ea ON ea.vec_id = d.id
+  JOIN embeddings eb ON eb.vec_id = r.id
+  WHERE {_duck_cos64('ea.embedding', 'eb.embedding')} > 0.3
+"""
+    sql["embed_neardup_incr_recall"] = f"""
+WITH {_incr_ctes},
+exact AS (
+  SELECT d.vec_id AS a, c.vec_id AS b
+  FROM embeddings d JOIN embeddings c
+    ON d.vec_id % {_mod} = {_mod - 1}
+   AND c.vec_id % {_mod} <> {_mod - 1} AND c.vec_id < {_cap}
+  WHERE {_duck_cos64('d.embedding', 'c.embedding')} > 0.3
+),
+ann1 AS ({_incr_found.format(p=1)}),
+ann2 AS ({_incr_found.format(p=2)})
+{_recall_row.format(p=1)}
+UNION ALL
+{_recall_row.format(p=2)}
 """
 
     sql["ann_recall"] = f"""
@@ -1512,11 +1548,6 @@ GROUP BY b.query_id
   WHERE x.id < 200 AND y.id < 200
     AND {cos} > 0.3
 """.format(p="{p}", cos=_duck_cos64('ea.embedding', 'eb.embedding'))
-    _recall_row = """
-SELECT CAST({p} AS BIGINT) AS probes, COUNT(*) AS n_exact, COUNT(x.a) AS n_found,
-       ROUND(COUNT(x.a) * 1.0 / COUNT(*), 4) AS recall
-FROM exact t LEFT JOIN ann{p} x ON x.a = t.a AND x.b = t.b
-"""
     sql["neardup_recall"] = f"""
 WITH {_kmeans_ctes},
 e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
@@ -1766,6 +1797,10 @@ def q_embed_neardup_ann(spark, sf_dir):
 # "today's delta", the rest are "yesterday's corpus" (same constant drives
 # the oracle SQL)
 EMB_DELTA_MOD = 5
+# recall measurement restricts the corpus side to ids below this so the
+# exact delta×corpus baseline stays affordable (the delta is small by
+# definition; a 100-TB corpus side is not)
+INCR_RECALL_CORPUS_CAP = 400
 
 
 def q_embed_neardup_incremental(spark, sf_dir):
@@ -1786,6 +1821,48 @@ def q_embed_neardup_incremental(spark, sf_dir):
     return SIM.neardup_incremental(
         delta, ranked, cent, corpus, threshold=0.3, probes=2
     )
+
+
+def q_embed_neardup_incr_recall(spark, sf_dir):
+    """Recall of the incremental (persisted-model) near-dup path against
+    the exact delta×corpus baseline on the corpus-id<CAP subset where the
+    baseline is affordable — the incremental sibling of `neardup_recall`:
+    the cross-bucket-miss trade a delta probing yesterday's quantizer
+    accepts is MEASURED, not assumed. One row per probe count. The exact
+    side (`neardup_pairs_cross`) shares none of the candidate machinery it
+    grades."""
+    emb = _t(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % EMB_DELTA_MOD == EMB_DELTA_MOD - 1
+    corpus = emb.filter(~is_delta)
+    delta = emb.filter(is_delta)
+    cent, ranked = SIM.kmeans_model_cached(
+        corpus, k_clusters=4, iters=2, cache_key=("emb-corpus", sf_dir)
+    )
+    exact = SIM.neardup_pairs_cross(
+        delta, corpus.filter(F.col("vec_id") < INCR_RECALL_CORPUS_CAP),
+        threshold=0.3,
+    ).select("a", "b")
+    out = None
+    for p in (1, 2):
+        ann = (
+            SIM.neardup_incremental(
+                delta, ranked, cent, corpus, threshold=0.3, probes=p
+            )
+            .filter(F.col("b") < INCR_RECALL_CORPUS_CAP)
+            .select("a", "b")
+            .withColumn("hit", F.lit(1))
+        )
+        r = (
+            exact.join(ann, ["a", "b"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.count("hit").alias("n_found"),
+                F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall"),
+            )
+            .withColumn("probes", F.lit(p).cast("long"))
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.select("probes", "n_exact", "n_found", "recall")
 
 
 def q_redirect_resolve(spark, sf_dir):
@@ -1864,6 +1941,7 @@ QUERIES: dict[str, Callable] = {
     "fatal_error_routing": q_fatal_error_routing,
     "embed_neardup_ann": q_embed_neardup_ann,
     "embed_neardup_incremental": q_embed_neardup_incremental,
+    "embed_neardup_incr_recall": q_embed_neardup_incr_recall,
     "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
 }
 
