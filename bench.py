@@ -294,9 +294,14 @@ def main_scaling():
     ctrl_eff = results[lo]["control_seconds"] / (4 * results[hi]["control_seconds"])
     # parallel-work efficiency: subtract the fixed per-round commit floor?
     # No — report the raw number plus context.
+    # APPEND a dated section — BENCH/BASELINE.md is a curated multi-round
+    # document (hand-extended interpretation + historical measurements);
+    # overwriting it would destroy the record every time --scaling re-runs
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH — scaling efficiency (north_rule two-cluster-size criterion)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(f"""
+
+## Scaling re-run (bench.py --scaling, appended automatically)
 
 In-sandbox evidence per task instruction: the same crawl job on identical
 input at two parallelism levels (no real cluster available).
