@@ -42,8 +42,6 @@ def test_neardup_incremental_subset_of_exact_and_deterministic(spark):
     in the exact delta x corpus cosine join (the probes only LIMIT the
     candidate set, never invent pairs), the cos values must be the exact
     scores, and two runs from the same persisted model are identical."""
-    import pyspark.sql.functions as F
-
     emb = _emb(spark)
     corpus = emb.filter("vec_id % 5 <> 4")
     delta = emb.filter("vec_id % 5 = 4")
@@ -55,18 +53,9 @@ def test_neardup_incremental_subset_of_exact_and_deterministic(spark):
     got = {(r.a, r.b, r.cos) for r in inc.collect()}
     assert got, "tiny fixture should still produce some near-dup pairs"
 
-    va = SIM._prep_normed(delta, "vec_id", "embedding", "a", "va", "na")
-    vb = SIM._prep_normed(corpus, "vec_id", "embedding", "b", "vb", "nb")
     exact = {
         (r.a, r.b, r.cos)
-        for r in va.crossJoin(vb)
-        .withColumn(
-            "cos",
-            F.expr(SIM.dot_sql("va", "vb")) / (F.col("na") * F.col("nb")),
-        )
-        .filter(F.col("cos") > 0.3)
-        .select("a", "b", F.round("cos", 4).alias("cos"))
-        .collect()
+        for r in SIM.neardup_pairs_cross(delta, corpus, threshold=0.3).collect()
     }
     assert got <= exact
     # delta ids on the left, corpus ids on the right — never flipped
