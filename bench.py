@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs", "lsh_bucket_stats",
     "dedup_lsh_incremental",
     "dedup_clusters", "dedup_simhash", "simhash_hamming",
+    "dedup_simhash_incremental",
     "ngram_jaccard", "lang_id", "quality_score", "token_count",
     "fingerprint", "corpus_clean_pipeline", "corpus_split_stats", "cosine_topk", "ann_ivf_topk", "ann_recall", "embed_neardup",
     "embed_neardup_ann", "embed_neardup_incremental",

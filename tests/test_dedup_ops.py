@@ -166,3 +166,40 @@ def test_minhash_cache_shares_one_materialization(spark):
     assert key(pairs_cached) == key(pairs_plain)
     TD.minhash_cache_clear()
     assert not TD._SIG_CACHE
+
+
+def test_simhash_incremental_equals_full_hamming_join(spark):
+    """The pigeonhole claim, asserted: with max_hamming <= bands - 1 the
+    banded incremental join must equal the FULL delta x corpus Hamming
+    join — SimHash banding is lossless for the distance it filters,
+    unlike MinHash-LSH banding."""
+    import pyspark.sql.functions as F
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 80")
+    )
+    delta = docs.filter("doc_id % 4 = 0")
+    corpus = docs.filter("doc_id % 4 <> 0")
+    corpus_sigs = TD.simhash(corpus)
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in TD.simhash_pairs_incremental(
+            delta, corpus_sigs, bands=4, max_hamming=3
+        ).collect()
+    }
+    ds = TD.simhash(delta).select(
+        F.col("id").alias("a"), F.col("simhash").alias("ha")
+    )
+    cs = corpus_sigs.select(F.col("id").alias("b"), F.col("simhash").alias("hb"))
+    full = {
+        (r.a, r.b, r.hamming)
+        for r in ds.crossJoin(cs)
+        .withColumn("hamming", F.expr("cast(bit_count(ha ^ hb) as bigint)"))
+        .filter("hamming <= 3")
+        .collect()
+    }
+    assert got == full
+    # and the blocking is doing SOMETHING: candidates < full cross size
+    assert len(got) < delta.count() * corpus.count()

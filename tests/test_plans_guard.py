@@ -173,3 +173,28 @@ def test_incremental_neardup_never_refits_the_quantizer(spark):
         assert p.count("windowspecdefinition") == 1
     finally:
         SIM.kmeans_cache_clear()
+
+
+def test_incremental_simhash_never_resignatures_the_corpus(spark):
+    """simhash_pairs_incremental: the token/md5 signature pass must appear
+    exactly once (the delta's); the persisted corpus (id, simhash) table is
+    consumed as stored values — its banding is a shift/mask projection
+    (Scan ExistingRDD), and the whole plan is JVM-only."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    TD.minhash_cache_clear()
+    try:
+        corpus_sigs = TD.simhash_cached(
+            docs.filter("doc_id < 100"), cache_key="guard-sh-corpus"
+        )
+        delta = docs.filter("doc_id >= 100 and doc_id < 150")
+        p = _plan(
+            TD.simhash_pairs_incremental(delta, corpus_sigs, cache_key=None)
+        )
+        assert "EvalPython" not in p
+        assert "CartesianProduct" not in p
+        assert "md5" in p                   # the delta signature pass...
+        assert "Scan ExistingRDD" in p      # ...the corpus side: stored sigs
+        # the delta text filter is pushed to the parquet reader
+        assert "GreaterThanOrEqual(doc_id,100)" in p
+    finally:
+        TD.minhash_cache_clear()

@@ -503,6 +503,103 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def simhash_cached(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = 32, cache_key=None,
+) -> DataFrame:
+    """Fit-once (id, simhash) table — :func:`simhash` materialized and
+    memoized exactly like :func:`minhash_wide_cached` (same bounded store,
+    same deferred-unpersist eviction, same :func:`minhash_cache_clear`
+    invalidation hook). In a deployment this is a persisted parquet/Iceberg
+    table written once at ingest; the incremental consumer never recomputes
+    it."""
+    if cache_key is None:
+        return simhash(docs, text_col, id_col, bits)
+    full_key = (
+        docs.sparkSession.sparkContext.applicationId,
+        "simhash", cache_key, text_col, id_col, bits,
+    )
+    if full_key not in _SIG_CACHE:
+        while len(_SIG_CACHE) >= _SIG_CACHE_MAX:
+            _SIG_EVICTED.append(_SIG_CACHE.pop(next(iter(_SIG_CACHE))))
+        _SIG_CACHE[full_key] = simhash(
+            docs, text_col, id_col, bits
+        ).localCheckpoint(eager=True)
+    return _SIG_CACHE[full_key]
+
+
+def simhash_bands(sigs: DataFrame, bands: int = 4, bits: int = 32) -> DataFrame:
+    """(id, bucket) rows: the stored simhash split into ``bands``
+    equal-width chunks, each key tagged with its position — a PURE
+    PROJECTION of the stored signature (shift+mask, no text, no hashing).
+
+    Pigeonhole guarantee: two signatures within Hamming distance
+    ``bands - 1`` differ in at most ``bands - 1`` bits, so at least one of
+    the ``bands`` chunks is bit-identical — this blocking is LOSSLESS for
+    any ``max_hamming <= bands - 1`` (unlike MinHash-LSH banding, whose
+    recall is probabilistic)."""
+    w = bits // bands
+    mask = (1 << w) - 1
+    return sigs.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), i -> concat("
+                f"cast(i as string), ':', "
+                f"cast((shiftright(simhash, i * {w}) & {mask}) as string)))"
+            )
+        ).alias("bucket"),
+    )
+
+
+def simhash_pairs_incremental(
+    delta_docs: DataFrame, corpus_sigs: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+    bands: int = 4, bits: int = 32, max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
+    cache_key=None,
+) -> DataFrame:
+    """(a = delta id, b = corpus id, hamming) with hamming <= max_hamming —
+    the SimHash member of the incremental-dedup family
+    (:func:`lsh_pairs_incremental`, ``similarity.neardup_incremental``).
+
+    SimHash is computed ONLY for the delta; the corpus side is the
+    persisted (id, simhash) table (ONE bigint per document instead of its
+    text) banded by stored-value projection (:func:`simhash_bands`).
+    With ``max_hamming <= bands - 1`` the pigeonhole blocking is exact:
+    every qualifying pair shares a band, so the result is IDENTICAL to the
+    full delta×corpus Hamming join — at banded-join cost. Both sides
+    exchange on the uniform ``bucket`` key; ``max_bucket_size`` caps each
+    side deterministically (a degenerate band value — e.g. the all-zeros
+    chunk boilerplate pages converge to — cannot go quadratic). Signatures
+    join back ONLY for surviving candidate ids to compute the exact
+    Hamming distance JVM-side (``bit_count``). The delta signature feeds
+    both the banding and the final scoring join — ``cache_key``
+    materializes it once (:func:`simhash_cached`) instead of running the
+    token pass twice."""
+    dsig = simhash_cached(delta_docs, text_col, id_col, bits, cache_key)
+    dbuckets = _cap_buckets(simhash_bands(dsig, bands, bits), max_bucket_size)
+    cbuckets = _cap_buckets(
+        simhash_bands(corpus_sigs, bands, bits), max_bucket_size
+    )
+    pairs = (
+        dbuckets.withColumnRenamed("id", "a")
+        .join(cbuckets.withColumnRenamed("id", "b"), "bucket")
+        .select("a", "b")
+        .distinct()
+    )
+    ha = dsig.select(F.col("id").alias("a"), F.col("simhash").alias("ha"))
+    hb = corpus_sigs.select(
+        F.col("id").alias("b"), F.col("simhash").alias("hb")
+    )
+    return (
+        pairs.join(ha, "a").join(hb, "b")
+        .withColumn("hamming", F.expr("cast(bit_count(ha ^ hb) as bigint)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 3, pairs: DataFrame = None,

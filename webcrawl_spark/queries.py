@@ -621,6 +621,30 @@ def q_dedup_lsh_incremental(spark, sf_dir):
     )
 
 
+def q_dedup_simhash_incremental(spark, sf_dir):
+    """Incremental SimHash dedup — the third member of the delta-vs-corpus
+    family (LSH: `dedup_lsh_incremental`; embedding ANN:
+    `embed_neardup_incremental`). The aug corpus's injected re-crawl copies
+    (doc_id >= 10000) are today's delta; the corpus side is a persisted
+    (id, simhash) table (ONE bigint per document — fit-once materialization
+    here, a parquet/Iceberg table in a deployment), banded by pure
+    shift/mask projection. With max_hamming=3 <= bands-1 the pigeonhole
+    blocking is EXACT, so this equals the full delta×corpus Hamming join at
+    banded cost. Corpus bounded to doc_id < 100 so the DuckDB oracle's
+    token-level simhash replay stays affordable (same bound as
+    `dedup_simhash`)."""
+    aug = _aug_docs(spark, sf_dir)
+    delta = aug.filter(F.col("doc_id") >= 10000)
+    corpus_sigs = TD.simhash_cached(
+        aug.filter(F.col("doc_id") < 100),
+        cache_key=f"aug-corpus-sh:{sf_dir}",
+    )
+    return TD.simhash_pairs_incremental(
+        delta, corpus_sigs, bands=4, max_hamming=3,
+        cache_key=f"aug-delta-sh:{sf_dir}",
+    )
+
+
 def q_lsh_bucket_stats(spark, sf_dir):
     """Skew-cap accounting (no silent truncation): buckets over the cap are
     REPORTED with their drop counts — the operator a pipeline operator
@@ -1256,6 +1280,54 @@ SELECT a.id AS a, b.id AS b,
 FROM sh a JOIN sh b ON b.id = a.id + 1
 """
     )
+
+    def _simhash_block(tag: str, src: str, where: str) -> str:
+        """Token-level simhash replay for one population (unique CTE names
+        per ``tag`` so delta + corpus coexist in one WITH)."""
+        return f"""toks_{tag} AS (
+  SELECT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM {src}{where}
+),
+th_{tag} AS (SELECT id, {_duck_hash32('tok')} AS h FROM toks_{tag} WHERE tok <> ''),
+bits_{tag} AS (
+  SELECT id, i, SUM(((h >> CAST(i AS INT)) & 1) * 2 - 1) AS s
+  FROM th_{tag} CROSS JOIN (SELECT unnest(range(0, 32)) AS i) r
+  GROUP BY id, i
+),
+sh_{tag} AS (
+  SELECT id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits_{tag} GROUP BY id
+)"""
+
+    # band join on (band index, 8-bit chunk) ≡ the engine's tagged string
+    # key; caps replayed QUALIFY-style like dedup_lsh_incremental's oracle
+    def _sh_bands(tag: str) -> str:
+        return f"""bandsall_{tag} AS (
+  SELECT id, i AS bi, (simhash >> (CAST(i AS INT) * 8)) & 255 AS bv
+  FROM sh_{tag} CROSS JOIN (SELECT unnest(range(0, 4)) AS i) r
+),
+bands_{tag} AS (
+  SELECT id, bi, bv FROM bandsall_{tag}
+  QUALIFY row_number() OVER (PARTITION BY bi, bv ORDER BY id) <= 1000
+)"""
+
+    sql["dedup_simhash_incremental"] = f"""
+WITH aug AS ({_AUG_DOCS_SQL}),
+{_simhash_block('d', 'aug', ' WHERE doc_id >= 10000')},
+{_simhash_block('c', 'aug', ' WHERE doc_id < 100')},
+{_sh_bands('d')},
+{_sh_bands('c')},
+cand AS (
+  SELECT DISTINCT d.id AS a, c.id AS b
+  FROM bands_d d JOIN bands_c c ON d.bi = c.bi AND d.bv = c.bv
+)
+SELECT p.a, p.b,
+       CAST(bit_count(xor(da.simhash, cb.simhash)) AS BIGINT) AS hamming
+FROM cand p
+JOIN sh_d da ON da.id = p.a
+JOIN sh_c cb ON cb.id = p.b
+WHERE bit_count(xor(da.simhash, cb.simhash)) <= 3
+"""
 
     sql["ngram_jaccard"] = f"""
 WITH sh AS (
@@ -1921,6 +1993,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "simhash_hamming": q_simhash_hamming,
+    "dedup_simhash_incremental": q_dedup_simhash_incremental,
     "ngram_jaccard": q_ngram_jaccard,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
