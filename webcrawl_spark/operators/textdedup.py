@@ -538,6 +538,11 @@ def simhash_bands(sigs: DataFrame, bands: int = 4, bits: int = 32) -> DataFrame:
     the ``bands`` chunks is bit-identical — this blocking is LOSSLESS for
     any ``max_hamming <= bands - 1`` (unlike MinHash-LSH banding, whose
     recall is probabilistic)."""
+    if bits % bands != 0:
+        # a remainder would leave the top bits in NO chunk — pairs
+        # differing only there would be silently missed and the pigeonhole
+        # guarantee would be void
+        raise ValueError(f"bits ({bits}) must be divisible by bands ({bands})")
     w = bits // bands
     mask = (1 << w) - 1
     return sigs.select(

@@ -640,9 +640,18 @@ def q_dedup_simhash_incremental(spark, sf_dir):
         cache_key=f"aug-corpus-sh:{sf_dir}",
     )
     return TD.simhash_pairs_incremental(
-        delta, corpus_sigs, bands=4, max_hamming=3,
+        delta, corpus_sigs,
+        bands=SIMHASH_INCR_BANDS, max_hamming=SIMHASH_INCR_MAX_HAMMING,
+        max_bucket_size=SIMHASH_INCR_CAP,
         cache_key=f"aug-delta-sh:{sf_dir}",
     )
+
+
+# one source for the incremental-SimHash tunables: the engine call above
+# and the DuckDB oracle both interpolate these (cap drift = ADVICE r4 #3)
+SIMHASH_INCR_BANDS = 4
+SIMHASH_INCR_MAX_HAMMING = 3   # <= bands - 1 keeps the blocking lossless
+SIMHASH_INCR_CAP = 1000
 
 
 def q_lsh_bucket_stats(spark, sf_dir):
@@ -1299,16 +1308,21 @@ sh_{tag} AS (
   FROM bits_{tag} GROUP BY id
 )"""
 
-    # band join on (band index, 8-bit chunk) ≡ the engine's tagged string
-    # key; caps replayed QUALIFY-style like dedup_lsh_incremental's oracle
+    # band join on (band index, chunk value) ≡ the engine's tagged string
+    # key; caps replayed QUALIFY-style like dedup_lsh_incremental's oracle.
+    # All constants derive from the SAME Python values the engine call
+    # passes (ADVICE-3 lesson: never hardcode a tunable in two places)
+    _shw = 32 // SIMHASH_INCR_BANDS
+    _shmask = (1 << _shw) - 1
+
     def _sh_bands(tag: str) -> str:
         return f"""bandsall_{tag} AS (
-  SELECT id, i AS bi, (simhash >> (CAST(i AS INT) * 8)) & 255 AS bv
-  FROM sh_{tag} CROSS JOIN (SELECT unnest(range(0, 4)) AS i) r
+  SELECT id, i AS bi, (simhash >> (CAST(i AS INT) * {_shw})) & {_shmask} AS bv
+  FROM sh_{tag} CROSS JOIN (SELECT unnest(range(0, {SIMHASH_INCR_BANDS})) AS i) r
 ),
 bands_{tag} AS (
   SELECT id, bi, bv FROM bandsall_{tag}
-  QUALIFY row_number() OVER (PARTITION BY bi, bv ORDER BY id) <= 1000
+  QUALIFY row_number() OVER (PARTITION BY bi, bv ORDER BY id) <= {SIMHASH_INCR_CAP}
 )"""
 
     sql["dedup_simhash_incremental"] = f"""
@@ -1326,7 +1340,7 @@ SELECT p.a, p.b,
 FROM cand p
 JOIN sh_d da ON da.id = p.a
 JOIN sh_c cb ON cb.id = p.b
-WHERE bit_count(xor(da.simhash, cb.simhash)) <= 3
+WHERE bit_count(xor(da.simhash, cb.simhash)) <= {SIMHASH_INCR_MAX_HAMMING}
 """
 
     sql["ngram_jaccard"] = f"""
