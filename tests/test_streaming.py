@@ -225,3 +225,51 @@ def test_stream_dedup_null_text_passthrough(spark, tmp_path):
     # one survivor for the duplicated content + BOTH null-text rows
     assert len(got) == 3
     assert {3, 4} <= set(got["doc_id"])
+
+
+def test_stream_neardup_flags_equals_batch(spark, tmp_path):
+    """Near-dup-at-ingest: a delta arriving as THREE micro-batches must
+    produce exactly the pairs of the one-shot batch probe — per-document
+    results are batch-split-invariant (uncapped delta side), and the
+    corpus side is the same persisted signature table for every batch."""
+    from webcrawl_spark.operators import textdedup as TD
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 150")
+    )
+    corpus = docs.filter("doc_id < 100")
+    delta = docs.filter("doc_id >= 100")
+    TD.minhash_cache_clear()
+    try:
+        corpus_sigs = TD.minhash_wide_cached(corpus, cache_key="stream-corpus")
+
+        # stage the delta as 3 parquet files -> 3 micro-batches
+        stage = tmp_path / "delta_stage"
+        stage.mkdir()
+        for i in range(3):
+            delta.filter(f"doc_id % 3 = {i}").coalesce(1).write.mode(
+                "append"
+            ).parquet(str(stage))
+
+        out = tmp_path / "pairs_out"
+        q = SE.stream_neardup_flags(
+            spark, str(stage), corpus_sigs, str(out), "neardup_stream_t"
+        )
+        _drain(q)
+
+        got = {
+            (r.a, r.b)
+            for r in spark.read.parquet(str(out)).collect()
+        }
+        want = {
+            (r.a, r.b)
+            for r in TD.lsh_pairs_incremental(
+                delta, corpus_sigs, delta_max_bucket_size=None
+            ).collect()
+        }
+        assert got == want
+        assert want, "fixture delta should hit at least one corpus bucket"
+    finally:
+        TD.minhash_cache_clear()

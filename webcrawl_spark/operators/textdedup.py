@@ -272,11 +272,15 @@ def lsh_candidate_pairs(
     )
 
 
+_INHERIT = object()   # sentinel: "delta cap = corpus cap" (None means uncapped)
+
+
 def lsh_pairs_incremental(
     delta_docs: DataFrame, corpus_sigs: DataFrame,
     text_col: str = "text", id_col: str = "doc_id",
     bands: int = 4, rows_per_band: int = 2, k: int = 5,
     max_bucket_size: int | None = 1000,
+    delta_max_bucket_size=_INHERIT,
     cache_key=None,
 ) -> DataFrame:
     """Delta-vs-corpus LSH candidate pairs: (a = delta id, b = corpus id).
@@ -297,15 +301,22 @@ def lsh_pairs_incremental(
     independently (lowest ids first, deterministic), so a boilerplate
     mega-bucket on the corpus side cannot go quadratic against a delta
     that also hits it; use :func:`lsh_bucket_stats` on either side for
-    truncation accounting. Delta-internal pairs are NOT emitted — run
+    truncation accounting. ``delta_max_bucket_size`` overrides the cap for
+    the DELTA side alone (default: same as the corpus cap) — streaming
+    consumers pass ``None`` there, because a capped delta side would make
+    results depend on how arrivals happen to be batched (each document's
+    pairs must depend only on its own signature and the corpus, i.e. be
+    batch-split-invariant). Delta-internal pairs are NOT emitted — run
     :func:`lsh_candidate_pairs` on the delta alone for those (it shares
     the same signature materialization via ``cache_key``)."""
     nh = bands * rows_per_band
     dsig = minhash_wide_cached(
         delta_docs, text_col, id_col, nh, k, cache_key=cache_key
     )
+    if delta_max_bucket_size is _INHERIT:
+        delta_max_bucket_size = max_bucket_size
     dbuckets = _cap_buckets(
-        sig_buckets(dsig, bands, rows_per_band), max_bucket_size
+        sig_buckets(dsig, bands, rows_per_band), delta_max_bucket_size
     )
     cbuckets = _cap_buckets(
         sig_buckets(corpus_sigs, bands, rows_per_band), max_bucket_size

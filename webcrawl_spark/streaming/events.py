@@ -83,6 +83,55 @@ def stream_dedup_docs(spark: SparkSession, sf_dir: str, query_name: str) -> "Str
     )
 
 
+def stream_neardup_flags(
+    spark: SparkSession, stage_dir: str, corpus_sigs: DataFrame,
+    out_dir: str, query_name: str,
+    bands: int = 4, rows_per_band: int = 2, k: int = 5,
+    max_bucket_size: int | None = 1000,
+) -> "StreamingQuery":
+    """Streaming near-dup-at-ingest: each micro-batch of arriving documents
+    probes the PERSISTED corpus signature table via
+    ``textdedup.lsh_pairs_incremental`` and appends its (a, b) candidate
+    pairs to ``out_dir`` — the streaming form of the daily-delta dedup
+    (battery `dedup_lsh_incremental`), for pipelines where today's crawl
+    arrives continuously instead of as one batch.
+
+    ``foreachBatch`` is the right tool here, not a stream-stream join: the
+    probe is a plain batch computation per micro-batch against STATIC state
+    (the corpus signature table — a parquet/Iceberg table in a deployment),
+    so no streaming join state accumulates. The delta side runs UNCAPPED
+    (``delta_max_bucket_size=None``): a capped delta side would make a
+    document's pairs depend on which micro-batch it happened to arrive in —
+    per-document results must be batch-split-invariant, which also makes
+    the drained stream EXACTLY equal the one-shot batch operator (asserted
+    in tests). The corpus-side cap stays, identical for every batch.
+
+    Growing the corpus (appending each batch's own signatures so later
+    arrivals can pair with earlier ones) is an out-of-band table append in
+    this design — deliberately not done inside the hot probe path."""
+    from ..operators import textdedup as TD
+
+    schema = spark.read.parquet(stage_dir).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+
+    def _probe(batch_df: DataFrame, _batch_id: int) -> None:
+        TD.lsh_pairs_incremental(
+            batch_df, corpus_sigs,
+            bands=bands, rows_per_band=rows_per_band, k=k,
+            max_bucket_size=max_bucket_size, delta_max_bucket_size=None,
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        docs.writeStream.foreachBatch(_probe)
+        .queryName(query_name)
+        .start()
+    )
+
+
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str, query_name: str) -> "StreamingQuery":
     """1-hour tumbling windows, 2-hour watermark, memory sink."""
     ev = events_stream(spark, sf_dir)
