@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "embed_neardup_ann", "embed_neardup_incremental",
     "embed_neardup_incr_recall", "neardup_recall", "multimodal_meta",
     "multimodal_audio_meta", "multimodal_video_meta",
-    "multimodal_frame_patches", "redirect_resolve",
+    "multimodal_frame_patches", "warc_roundtrip", "redirect_resolve",
     "fatal_error_routing", "ngram_jaccard_lsh",
 ]
 

@@ -37,6 +37,7 @@ from .operators import similarity as SIM
 from .operators import textdedup as TD
 from .plans.crawl import SparkCrawler
 from .sources import synth_web as SW
+from .sources import warc as WARC
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -1799,6 +1800,22 @@ SELECT id, frame_idx, ts_ms,
 FROM f
 """
 
+    # the WARC round-trip oracle is WARC-blind: serializer∘parser must be
+    # identity, so the expected output is just the input fields (url/ts
+    # formulas mirrored from q_warc_roundtrip; length/digest of the UTF-8
+    # payload bytes)
+    sql["warc_roundtrip"] = """
+SELECT
+  'http://w' || cast(doc_id % 16 AS varchar) || '.example/doc/'
+            || cast(doc_id AS varchar) AS url,
+  '2026-01-02T03:04:' || lpad(cast(doc_id % 60 AS varchar), 2, '0') || 'Z'
+    AS warc_ts,
+  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+  md5(text) AS payload_md5
+FROM documents
+WHERE text IS NOT NULL
+"""
+
     return sql
 
 
@@ -1829,6 +1846,47 @@ def q_multimodal_frame_patches(spark, sf_dir):
     meta = MM.extract_video_meta(d, "doc_id", "blob", real_mp4=False)
     work = MM.sample_frame_indices(meta, every_ms=FRAME_EVERY_MS)
     return MM.extract_frame_patches(d, work, id_col="doc_id", blob_col="blob")
+
+
+WARC_N_FILES = 16
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC writer + parser as mutual inverses, proven distributed: build
+    per-group ``.warc.gz`` file blobs from the documents table
+    (``sources/warc.warc_file_blobs`` — the real writer's serializer, one
+    gzip member per record), parse them back with the real record parser
+    (``records_from_blobs`` — the stage behind ``read_warc_records``), and
+    emit each response's identifying fields. The oracle never sees WARC:
+    it recomputes url/ts/byte-length/digest straight from ``documents``,
+    so a hash match proves serializer∘parser = identity on every document.
+    ADAPT note: the reference has no archive interchange at all (its fetch
+    edge is live ``WebRequest``, Crawler.cs:1919-2056); WARC is how the
+    same corpus arrives at 100-TB scale (Common Crawl layout)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter("text is not null")
+        .select(
+            F.concat(
+                F.lit("http://w"), (F.col("doc_id") % 16).cast("string"),
+                F.lit(".example/doc/"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit("2026-01-02T03:04:"),
+                F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+                F.lit("Z"),
+            ).alias("ts"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    blobs = WARC.warc_file_blobs(docs, n_files=WARC_N_FILES)
+    recs = WARC.records_from_blobs(blobs, "file_id", "content")
+    return recs.filter("record_type = 'response'").select(
+        "url",
+        "warc_ts",
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+    )
 
 
 def q_fatal_error_routing(spark, sf_dir):
@@ -2024,6 +2082,7 @@ QUERIES: dict[str, Callable] = {
     "multimodal_audio_meta": q_multimodal_audio_meta,
     "multimodal_video_meta": q_multimodal_video_meta,
     "multimodal_frame_patches": q_multimodal_frame_patches,
+    "warc_roundtrip": q_warc_roundtrip,
     "redirect_resolve": q_redirect_resolve,
     "fatal_error_routing": q_fatal_error_routing,
     "embed_neardup_ann": q_embed_neardup_ann,
