@@ -53,7 +53,10 @@ BENCH_QUERIES = [
     "embed_neardup_ann", "embed_neardup_incremental",
     "embed_neardup_incr_recall", "neardup_recall", "multimodal_meta",
     "multimodal_audio_meta", "multimodal_video_meta",
-    "multimodal_frame_patches", "warc_roundtrip", "redirect_resolve",
+    # crawl_host_stats is battery-only: like crawl_bfs_trace it runs a FULL
+    # crawl, which the bench measures once as crawl_bfs_full instead
+    "multimodal_frame_patches", "warc_roundtrip", "cdx_index",
+    "redirect_resolve",
     "fatal_error_routing", "ngram_jaccard_lsh",
 ]
 

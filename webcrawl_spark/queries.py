@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from .functions import multimodal as MM
 from .functions import textstats as TS
+from .kernels import surt as SURT
 from .kernels.links import extract_links_batch
 from .kernels.robots import build_rule_index, robots_allowed
 from .kernels.urlnorm import canonicalize
@@ -1816,6 +1817,67 @@ FROM documents
 WHERE text IS NOT NULL
 """
 
+    # cdx_index oracle: the SAME messy-url fixture formula, but the SURT
+    # key stated in CLOSED FORM from the id arithmetic — scheme dropped,
+    # www label dropped, everything lowercased, :80 dropped / :8080 kept,
+    # empty path → '/', query sorted (a= before z=), fragment gone. The
+    # oracle never parses, so each rule is independently pinned.
+    sql["cdx_index"] = f"""
+SELECT
+  ('test,site' || CAST({hid} AS STRING) || ',sub' || CAST(doc_id % 3 AS STRING)
+   || (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) || ')'
+   || (CASE WHEN doc_id % 11 = 0 THEN '/'
+            ELSE '/dir' || CAST(doc_id % 10 AS STRING) || '/doc'
+                 || CAST(doc_id AS STRING) || '.html' END)
+   || (CASE WHEN doc_id % 9 = 0 THEN ''
+            ELSE '?a=' || CAST(doc_id % 3 AS STRING)
+                 || '&z=' || CAST(doc_id % 4 AS STRING) END)) AS url_key,
+  strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+           '%Y%m%d%H%M%S') AS cdx_ts,
+  {_cdx_url_sql('doc_id')} AS url,
+  'text/html' AS mime,
+  CAST(200 AS INTEGER) AS status,
+  md5(text) AS digest,
+  CAST(octet_length(encode(text)) AS BIGINT) AS length
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+    # crawl_host_stats oracle: the unrolled trace CTE joined to a full
+    # reconstruction of each page's html from the generator formula
+    # (sources/synth_web.synth_pages replayed in DuckDB), aggregated per
+    # host — pins the engine's bytes metric, not just membership.
+    sql["crawl_host_stats"] = f"""
+WITH docs3 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+edges3 AS (
+  SELECT d.doc_id AS src, ks.k AS k,
+         ((d.doc_id * {SW.LINK_MULT} + {SW.LINK_STEP} * ks.k + 1) % 300) AS dst
+  FROM docs3 d CROSS JOIN (SELECT unnest(range(0, {SW.MAX_LINKS})) AS k) ks
+  WHERE ks.k < 2 + (d.doc_id % 4)),
+links3 AS (
+  SELECT src AS id,
+         string_agg('<a href="' || {SW.url_sql('dst')} || '">t</a>',
+                    '' ORDER BY k) AS lk
+  FROM edges3 GROUP BY src),
+page_bytes AS (
+  SELECT d.doc_id AS id,
+         octet_length(encode(
+           '<html><head><title>doc' || CAST(d.doc_id AS STRING)
+           || '</title></head><body>' || l.lk || '<p>' || d.text
+           || '</p></body></html>')) AS b
+  FROM docs3 d JOIN links3 l ON l.id = d.doc_id)
+SELECT regexp_extract(t.url, 'http://([^/]+)/', 1) AS host,
+       count(*) AS pages,
+       CAST(sum(p.b) AS BIGINT) AS total_bytes,
+       max(t.depth) AS max_depth,
+       min(t.fetch_seq) AS first_seq,
+       max(t.fetch_seq) AS last_seq
+FROM ({SW.trace_sql(300)}) t
+JOIN page_bytes p
+  ON p.id = CAST(regexp_extract(t.url, 'doc(\\d+)[.]html', 1) AS BIGINT)
+GROUP BY 1
+"""
+
     return sql
 
 
@@ -1886,6 +1948,73 @@ def q_warc_roundtrip(spark, sf_dir):
         "warc_ts",
         "content_length",
         F.md5("payload").alias("payload_md5"),
+    )
+
+
+def _cdx_url_sql(d: str = "doc_id") -> str:
+    """Deterministically *messy* absolute URL from a doc id — upper-cased
+    scheme/host/path, sporadic ``WWW.`` label, explicit default and
+    non-default ports, unsorted upper-cased query, fragment. Valid in both
+    Spark SQL and DuckDB (the shared fixture; the SURT *key* is derived
+    independently on each side)."""
+    hid = SW.host_id_expr(d)
+    return (
+        f"('HTTP://' || (CASE WHEN ({d}) % 7 = 0 THEN 'WWW.' ELSE '' END)"
+        f" || 'Sub' || CAST(({d}) % 3 AS STRING) || '.Site' || CAST({hid} AS STRING) || '.TEST'"
+        f" || (CASE WHEN ({d}) % 5 = 0 THEN ':8080'"
+        f"          WHEN ({d}) % 5 = 1 THEN ':80' ELSE '' END)"
+        f" || (CASE WHEN ({d}) % 11 = 0 THEN ''"
+        f"          ELSE '/Dir' || CAST(({d}) % 10 AS STRING) || '/Doc'"
+        f"               || CAST({d} AS STRING) || '.Html' END)"
+        f" || (CASE WHEN ({d}) % 9 = 0 THEN ''"
+        f"          ELSE '?Z=' || CAST(({d}) % 4 AS STRING)"
+        f"               || '&A=' || CAST(({d}) % 3 AS STRING) END)"
+        f" || (CASE WHEN ({d}) % 2 = 0 THEN '#Frag' ELSE '' END))"
+    )
+
+
+def q_cdx_index(spark, sf_dir):
+    """SURT/CDX archive index (kernels/surt.py) over deterministically
+    messy URLs: one codegen projection parses, case-folds, www-strips,
+    default-port-drops, query-sorts and fragment-strips each URL into its
+    sort-friendly key, then emits the CDX record (key, 14-digit ts, url,
+    mime, status, payload digest, length) globally sorted. The oracle never
+    parses a URL — it states the expected key in CLOSED FORM from the id
+    formula, so every canonicalization rule is end-to-end checked. ADAPT:
+    the reference keeps only an in-memory seen hashtable
+    (Crawler.cs:2301-2320); CDX is the archive-index layer a Common-Crawl
+    scale corpus needs on top of the WARC edge (sources/warc.py)."""
+    recs = (
+        _t(spark, sf_dir, "documents")
+        .filter("text is not null")
+        .select(
+            F.expr(_cdx_url_sql("doc_id")).alias("url"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("doc_id").cast("double"))
+            ).alias("warc_ts"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    return SURT.cdx_index(recs)
+
+
+def q_crawl_host_stats(spark, sf_dir):
+    """Per-host crawl report — the reference's console ``stats`` command
+    (Crawler/main.cs:161-174; live byte counters Crawler.cs:423-435)
+    generalized to a per-host rollup over the committed fetch log: page
+    count, transferred bytes, depth ceiling, fetch-order span. The oracle
+    joins the unrolled trace CTE (sources/synth_web.trace_sql) against a
+    full DuckDB reconstruction of every page's html from the generator
+    formula, so the engine's ``bytes`` metric (decode stage,
+    functions/crawl_udfs.py) is checked end-to-end, not just row counts."""
+    c = _crawl(spark, sf_dir, 300)
+    return c.fetched().groupBy("host").agg(
+        F.count("*").alias("pages"),
+        F.sum("bytes").alias("total_bytes"),
+        F.max(F.col("depth").cast("long")).alias("max_depth"),
+        F.min("fetch_seq").alias("first_seq"),
+        F.max("fetch_seq").alias("last_seq"),
     )
 
 
@@ -2083,6 +2212,8 @@ QUERIES: dict[str, Callable] = {
     "multimodal_video_meta": q_multimodal_video_meta,
     "multimodal_frame_patches": q_multimodal_frame_patches,
     "warc_roundtrip": q_warc_roundtrip,
+    "cdx_index": q_cdx_index,
+    "crawl_host_stats": q_crawl_host_stats,
     "redirect_resolve": q_redirect_resolve,
     "fatal_error_routing": q_fatal_error_routing,
     "embed_neardup_ann": q_embed_neardup_ann,
