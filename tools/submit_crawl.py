@@ -27,6 +27,8 @@ def main(argv=None):
     ap.add_argument("--seeds-file", help="file with one seed URL per line")
     ap.add_argument("--state", required=True, help="checkpoint/state directory")
     ap.add_argument("--robots", help="robots rules parquet/csv (host, path_prefix, allow, crawl_delay)")
+    ap.add_argument("--robots-raw", help="raw robots.txt bodies parquet (host, body) — parsed distributed via operators/robotsparse")
+    ap.add_argument("--user-agent", default="amwc", help="product token for robots group matching (default amwc)")
     ap.add_argument("--max-rounds", type=int, default=None)
     ap.add_argument("--max-connections", type=int, default=None)
     ap.add_argument("--per-host", type=int, default=2)
@@ -73,6 +75,12 @@ def main(argv=None):
         robots = spark.read.parquet(args.robots).toPandas() \
             if args.robots.endswith(".parquet") \
             else __import__("pandas").read_csv(args.robots)
+    elif args.robots_raw:
+        from webcrawl_spark.operators.robotsparse import parse_robots
+
+        robots = parse_robots(
+            spark.read.parquet(args.robots_raw), user_agent=args.user_agent
+        ).toPandas()
 
     cfg = CrawlConfig(
         max_connections=args.max_connections,

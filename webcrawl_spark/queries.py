@@ -36,6 +36,7 @@ from .kernels.robots import build_rule_index, robots_allowed
 from .kernels.urlnorm import canonicalize
 from .operators import similarity as SIM
 from .operators import textdedup as TD
+from .operators.robotsparse import parse_robots
 from .plans.crawl import SparkCrawler
 from .sources import synth_web as SW
 from .sources import warc as WARC
@@ -394,6 +395,50 @@ def q_robots_filter(spark, sf_dir):
         )
         .mapInPandas(_robots_stage, _ROBOTS_SCHEMA)
     )
+
+
+def _robots_body_sql(h: str) -> str:
+    """Deterministic per-host robots.txt body — ONE SQL string valid in both
+    Spark SQL and DuckDB (structural synthesis parity, like url_sql).
+    Exercises every parser branch: comments, mixed-case field names, the
+    ``*`` group, an exact-UA group that overrides it (hid%4=1), consecutive
+    ``User-agent:`` heads in one group (hid%8=1), a group for another bot
+    (hid%8=5, never matched), empty-value ``Disallow:`` no-ops (hid%5=2),
+    ``Crawl-delay`` (hid%3=0), and a delay-only group with no path rules
+    (hid%16=12 → carrier-row path)."""
+    s = f"CAST({h} AS STRING)"
+    nl = "chr(10)"
+    return (
+        f"'# robots for site' || {s} || {nl}"
+        f" || 'User-Agent: *' || {nl}"
+        f" || CASE WHEN {h} % 16 = 12 THEN '' ELSE 'Disallow: /private' || {s} || {nl} END"
+        f" || CASE WHEN {h} % 2 = 0 AND {h} % 16 <> 12 THEN 'Allow: /private' || {s} || '/pub' || {nl} ELSE '' END"
+        f" || CASE WHEN {h} % 3 = 0 THEN 'Crawl-delay: ' || CAST(1 + {h} % 5 AS STRING) || {nl} ELSE '' END"
+        f" || CASE WHEN {h} % 5 = 2 THEN 'Disallow:' || {nl} ELSE '' END"
+        f" || {nl}"
+        f" || CASE WHEN {h} % 4 = 1 THEN 'User-agent: amwc' || {nl} ELSE '' END"
+        f" || CASE WHEN {h} % 8 = 1 THEN 'User-agent: extrabot' || {nl} ELSE '' END"
+        f" || CASE WHEN {h} % 4 = 1 THEN 'Disallow: /amwc-only' || {s} || {nl} ELSE '' END"
+        f" || CASE WHEN {h} % 8 = 5 THEN 'User-agent: heavybot' || {nl} || 'Disallow: /' || {nl} ELSE '' END"
+    )
+
+
+def q_robots_parse(spark, sf_dir):
+    """Raw robots.txt bodies → the broadcast rules table (RFC 9309 group
+    semantics; north_rule loop closure — the rules table kernels/robots.py
+    consumes is now PRODUCED from fetched robots bodies by a pure
+    DataFrame plan, operators/robotsparse.parse_robots)."""
+    hid = SW.host_id_expr("doc_id")
+    bodies = (
+        _t(spark, sf_dir, "documents")
+        .select(F.expr(hid).alias("hid"))
+        .distinct()
+        .select(
+            F.expr("'site' || CAST(hid AS STRING) || '.test'").alias("host"),
+            F.expr(_robots_body_sql("hid")).alias("body"),
+        )
+    )
+    return parse_robots(bodies, user_agent="amwc")
 
 
 def q_politeness_topk(spark, sf_dir):
@@ -1044,6 +1089,75 @@ SELECT doc_id,
   '/doc' || CAST(doc_id AS STRING) || '.html' AS path,
   NOT (({hid}) % 4 = 1 AND ('/doc' || CAST(doc_id AS STRING) || '.html') LIKE '/doc1%') AS allowed
 FROM documents
+"""
+
+    # independent re-derivation of the RFC 9309 group semantics in DuckDB
+    # (window-function group ids; the body synthesis SQL is shared
+    # textually with the engine — structural parity)
+    sql["robots_parse"] = f"""
+WITH hosts AS (SELECT DISTINCT {hid} AS hid FROM documents),
+bodies AS (
+  SELECT 'site' || CAST(hid AS STRING) || '.test' AS host,
+         {_robots_body_sql("hid")} AS body
+  FROM hosts
+),
+lines0 AS (
+  SELECT host, i AS pos,
+         trim(regexp_replace(arr[CAST(i AS INT) + 1], '#.*', '')) AS line
+  FROM (SELECT host, string_split(body, chr(10)) AS arr FROM bodies)
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+  WHERE i < len(arr)
+),
+lines1 AS (
+  SELECT host, pos,
+         lower(trim(string_split(line, ':')[1])) AS field,
+         trim(substr(line, strpos(line, ':') + 1)) AS value
+  FROM lines0 WHERE line <> '' AND strpos(line, ':') > 0
+),
+known AS (
+  SELECT * FROM lines1
+  WHERE field IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+),
+g AS (
+  SELECT host, pos, field, value, (field = 'user-agent') AS is_ua,
+    CASE WHEN field = 'user-agent'
+          AND NOT coalesce(lag(field = 'user-agent')
+                OVER (PARTITION BY host ORDER BY pos), FALSE)
+         THEN 1 ELSE 0 END AS gstart
+  FROM known
+),
+g2 AS (SELECT *, SUM(gstart) OVER (PARTITION BY host ORDER BY pos) AS gid FROM g),
+spec AS (
+  SELECT host, gid,
+    MAX(CASE WHEN lower(value) = 'amwc' THEN 2
+             WHEN value = '*' THEN 1 ELSE 0 END) AS spec
+  FROM g2 WHERE is_ua GROUP BY host, gid
+),
+spec1 AS (SELECT * FROM spec WHERE spec > 0),
+best AS (SELECT host, MAX(spec) AS best FROM spec1 GROUP BY host),
+matched AS (
+  SELECT s.host, s.gid FROM spec1 s
+  JOIN best b ON s.host = b.host AND s.spec = b.best
+),
+rules AS (
+  SELECT g2.host, g2.field, g2.value FROM g2
+  JOIN matched m ON g2.host = m.host AND g2.gid = m.gid
+  WHERE NOT g2.is_ua
+),
+paths AS (
+  SELECT DISTINCT host, value AS path_prefix, (field = 'allow') AS allow
+  FROM rules WHERE field IN ('allow', 'disallow') AND value <> ''
+),
+delays AS (
+  SELECT host, MAX(TRY_CAST(value AS DOUBLE)) AS crawl_delay
+  FROM rules WHERE field = 'crawl-delay' GROUP BY host
+  HAVING MAX(TRY_CAST(value AS DOUBLE)) IS NOT NULL
+)
+SELECT p.host, p.path_prefix, p.allow, d.crawl_delay
+FROM paths p LEFT JOIN delays d ON p.host = d.host
+UNION ALL
+SELECT d.host, '' AS path_prefix, TRUE AS allow, d.crawl_delay
+FROM delays d WHERE d.host NOT IN (SELECT host FROM paths)
 """
 
     sql["politeness_topk"] = """
@@ -2174,6 +2288,7 @@ QUERIES: dict[str, Callable] = {
     "mime_infer": q_mime_infer,
     "server_mime_retype": q_server_mime_retype,
     "robots_filter": q_robots_filter,
+    "robots_parse": q_robots_parse,
     "politeness_topk": q_politeness_topk,
     "politeness_topk_ranked": q_politeness_topk_ranked,
     "seen_antijoin": q_seen_antijoin,
