@@ -39,12 +39,13 @@ MULT = int(os.environ.get("BENCH_MULT", "8"))
 BENCH_QUERIES = [
     "crawl_frontier_round1",
     "url_canonicalize", "link_extract", "link_pagerank", "mime_infer", "server_mime_retype",
-    "robots_filter", "robots_parse",
+    "robots_filter", "robots_parse", "sitemap_parse",
     "politeness_topk", "politeness_topk_ranked", "seen_antijoin", "min_depth_merge",
     "global_budget_limit", "query_string_cap", "retry_union",
     "pricing_summary", "join_agg_revenue", "window_running_sum",
     "sessionize", "event_tumbling_counts",
-    "dedup_exact", "dedup_minhash_sig", "dedup_lsh_pairs", "lsh_bucket_stats",
+    "dedup_exact", "paragraph_dedup", "pii_scrub",
+    "dedup_minhash_sig", "dedup_lsh_pairs", "lsh_bucket_stats",
     "dedup_lsh_incremental",
     "dedup_clusters", "dedup_simhash", "simhash_hamming",
     "dedup_simhash_incremental",

@@ -203,3 +203,38 @@ def test_simhash_incremental_equals_full_hamming_join(spark):
     assert got == full
     # and the blocking is doing SOMETHING: candidates < full cross size
     assert len(got) < delta.count() * corpus.count()
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nboiler\nunique one"),
+            (2, "boiler\nunique two\n   \nalpha"),
+            (3, "boiler"),
+            (4, "  \n \n"),  # whitespace-only paragraphs everywhere
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text_clean, r.paras_kept, r.paras_dropped)
+        for r in TD.paragraph_dedup(docs).collect()
+    }
+    # doc 1 is the global first occurrence of both 'alpha' and 'boiler'
+    assert out[1] == ("alpha\nboiler\nunique one", 3, 0)
+    # doc 2 loses both dups, keeps its unique line; blank para uncounted
+    assert out[2] == ("unique two", 1, 2)
+    # doc 3's only paragraph is a later duplicate → emptied, still present
+    assert out[3] == ("", 0, 1)
+    # doc 4 had nothing but whitespace → present with zero counts
+    assert out[4] == ("", 0, 0)
+
+
+def test_paragraph_dedup_plan_no_window_no_python(spark):
+    """Survivor selection must be the partial-aggregatable min-struct,
+    not a window over the paragraph hash (hot-key safety at scale)."""
+    docs = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = (
+        TD.paragraph_dedup(docs)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+    assert "row_number" not in plan.lower()

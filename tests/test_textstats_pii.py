@@ -1,0 +1,37 @@
+"""PII scrub unit battery (functions/textstats.pii_scrub)."""
+
+from webcrawl_spark.functions.textstats import pii_scrub
+
+
+def test_pii_scrub_kinds_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-y.example.com and root@h.io now"),
+            (2, "server 192.168.0.1 and 10.0.0.255 up"),
+            (3, "call 555-123-4567 or 555.987.6543"),
+            (4, "clean text, no pii at all"),
+            (5, "mixed bob@example.org from 8.8.8.8 dial 555-000-1111"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert out[1].text_clean == "mail <EMAIL> and <EMAIL> now"
+    assert (out[1].n_email, out[1].n_ip, out[1].n_phone) == (2, 0, 0)
+    assert out[2].text_clean == "server <IP> and <IP> up"
+    assert out[2].n_ip == 2
+    assert out[3].text_clean == "call <PHONE> or <PHONE>"
+    assert out[3].n_phone == 2
+    assert out[4].text_clean == "clean text, no pii at all"
+    assert (out[4].n_email, out[4].n_ip, out[4].n_phone) == (0, 0, 0)
+    assert out[5].text_clean == "mixed <EMAIL> from <IP> dial <PHONE>"
+
+
+def test_pii_scrub_email_domain_not_half_eaten_as_ip(spark):
+    """Emails are scrubbed before IPs: a numeric-ish domain must not
+    leave a dangling IP match behind."""
+    docs = spark.createDataFrame(
+        [(1, "x 1a@127.0.0.1.example.com y")], "doc_id long, text string"
+    )
+    r = pii_scrub(docs).collect()[0]
+    assert r.n_email == 1 and r.n_ip == 0
+    assert r.text_clean == "x <EMAIL> y"

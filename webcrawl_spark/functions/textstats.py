@@ -87,3 +87,38 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         .select("id", F.col("m.lang").alias("pred_lang"))
     )
     return ids.join(best, "id", "left").fillna({"pred_lang": "unknown"})
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data redaction pass)
+# ---------------------------------------------------------------------------
+
+# Patterns are deliberately RE2-compatible (no backreferences/lookaround)
+# so the DuckDB oracle runs them verbatim; order matters — emails are
+# scrubbed before IPs so an address's dotted domain is never half-eaten.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails, IPv4 addresses, and US-style phone numbers,
+    counting each kind — the standard pre-training redaction pass.
+
+    Sequential semantics: each pattern is counted on (and replaced in)
+    the text as left by the previous pattern, so a redaction token never
+    double-counts. Pure JVM ``regexp_count``/``regexp_replace`` columns
+    (whole-stage codegen, embarrassingly parallel — no exchange at all).
+    """
+    out = docs.select(F.col(id_col), F.col(text_col).alias("t"))
+    for name, pat, tok in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count("t", F.lit(pat)).cast("long")
+        ).withColumn("t", F.regexp_replace("t", pat, tok))
+    return out.select(
+        id_col,
+        F.col("t").alias("text_clean"),
+        *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+    )

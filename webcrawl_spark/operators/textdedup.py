@@ -651,3 +651,75 @@ def ngram_jaccard_pairs(
         )
         .withColumn("jaccard", F.round("jaccard", 6))
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (C4 §2.2 / RefinedWeb-style line dedup)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide paragraph (newline-delimited span) deduplication.
+
+    The C4 cleaning recipe drops any line that occurs more than once in
+    the corpus, keeping ONE occurrence; RefinedWeb does the same per
+    paragraph. Survivor rule here is deterministic: the globally first
+    occurrence by ``(id, position)`` wins; all later copies are removed
+    from their documents. Empty/whitespace-only paragraphs are dropped
+    unconditionally.
+
+    Returns one row per input document:
+    ``(id_col, text_clean, paras_kept, paras_dropped)`` — documents
+    whose every paragraph was a later duplicate come back with
+    ``text_clean = ''``.
+
+    100-TB shape: explode → survivor = ``min(struct(id, pos))`` per
+    paragraph hash — a partial-aggregatable groupBy (map-side combine),
+    NOT a window ``row_number``: a boilerplate line occurring in 10^8
+    documents would make a window partition one irreducible hot task,
+    while the agg combines locally and the back-join on the hash is
+    AQE-skew-splittable. Then one groupBy back on the doc id. No
+    similarity joins, no Python; the paragraph table is linear in
+    corpus size, never quadratic.
+    """
+    paras = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "rawp"),
+        )
+        .select("id", "pos", F.trim("rawp").alias("para"))
+        .where(F.col("para") != "")
+        .withColumn("phash", F.md5("para"))
+    )
+    first = paras.groupBy("phash").agg(
+        F.min(F.struct("id", "pos")).alias("first_occ")
+    )
+    marked = paras.join(first, "phash").withColumn(
+        "keep", F.struct("id", "pos") == F.col("first_occ")
+    )
+    rebuilt = marked.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda x: x["para"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.sum(F.col("keep").cast("long")).alias("paras_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("paras_dropped"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("paras_kept", F.lit(0)).alias("paras_kept"),
+            F.coalesce("paras_dropped", F.lit(0)).alias("paras_dropped"),
+        )
+    )

@@ -37,6 +37,7 @@ from .kernels.urlnorm import canonicalize
 from .operators import similarity as SIM
 from .operators import textdedup as TD
 from .operators.robotsparse import parse_robots
+from .operators.sitemap import parse_sitemaps
 from .plans.crawl import SparkCrawler
 from .sources import synth_web as SW
 from .sources import warc as WARC
@@ -441,6 +442,58 @@ def q_robots_parse(spark, sf_dir):
     return parse_robots(bodies, user_agent="amwc")
 
 
+def _sitemap_body_sql(h: str) -> str:
+    """Deterministic per-host sitemap XML — ONE SQL string valid in both
+    Spark SQL and DuckDB. Branches: hid%4=3 hosts serve a
+    ``<sitemapindex>`` (child sitemaps, one with lastmod, one with
+    whitespace-padded loc); others a ``<urlset>`` with an
+    entity-escaped loc + full W3C datetime lastmod, an optional
+    priority (hid%2=0), a whitespace/newline-padded loc, and (hid%5=2)
+    a loc-less entry that must be dropped."""
+    s = f"CAST({h} AS STRING)"
+    nl = "chr(10)"
+    mon = f"lpad(CAST(1 + {h} % 12 AS STRING), 2, '0')"
+    return (
+        f"CASE WHEN {h} % 4 = 3 THEN"
+        f" '<?xml version=\"1.0\"?><sitemapindex>'"
+        f" || '<sitemap><loc>http://site' || {s} || '.test/maps/a.xml</loc>"
+        f"<lastmod>2024-02-0' || CAST(1 + {h} % 9 AS STRING) || '</lastmod></sitemap>'"
+        f" || '<sitemap><loc> http://site' || {s} || '.test/maps/b.xml </loc></sitemap>'"
+        f" || '</sitemapindex>'"
+        f" ELSE"
+        f" '<?xml version=\"1.0\"?><urlset>'"
+        f" || '<url><loc>http://site' || {s} || '.test/page1?a=1&amp;b=2</loc>"
+        f"<lastmod>2024-' || {mon} || '-10T08:30:00+00:00</lastmod>'"
+        f" || CASE WHEN {h} % 2 = 0 THEN '<priority>0.8</priority>' ELSE '' END || '</url>'"
+        f" || '<url><loc>' || {nl} || '  http://site' || {s} || '.test/page2.html' || {nl} || '</loc></url>'"
+        f" || CASE WHEN {h} % 5 = 2 THEN '<url><lastmod>2024-01-01</lastmod></url>' ELSE '' END"
+        f" || '</urlset>'"
+        f" END"
+    )
+
+
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap XML bodies → URL-discovery rows (sitemaps.org protocol;
+    the other discovery edge next to robots_parse — see
+    operators/sitemap.parse_sitemaps)."""
+    hid = SW.host_id_expr("doc_id")
+    bodies = (
+        _t(spark, sf_dir, "documents")
+        .select(F.expr(hid).alias("hid"))
+        .distinct()
+        .select(
+            F.expr("'site' || CAST(hid AS STRING) || '.test'").alias("host"),
+            F.expr(_sitemap_body_sql("hid")).alias("body"),
+        )
+    )
+    # lastmod re-cast date→string for the hash compare: DuckDB dates land
+    # in pandas as Timestamps, Spark dates as datetime.date — same value,
+    # different str() repr
+    return parse_sitemaps(bodies).withColumn(
+        "lastmod", F.col("lastmod").cast("string")
+    )
+
+
 def q_politeness_topk(spark, sf_dir):
     """Per-host politeness top-k (§2 ops 2-3) — drives the ENGINE's actual
     selection code path (`plans.round.select_polite`, the same function the
@@ -627,6 +680,59 @@ def q_event_tumbling_counts(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     return TD.exact_duplicates(_aug_docs(spark, sf_dir))
+
+
+def _para_text_sql(d: str) -> str:
+    """Deterministic multi-paragraph text per doc — ONE SQL string valid
+    in both Spark SQL and DuckDB. Paragraph mix: a corpus-wide
+    boilerplate line (dropped everywhere but the global first
+    occurrence), a unique body line, a 7-variant shared footer, an
+    extra footer for d%3=0 docs, and a whitespace-only paragraph
+    (d%11=4) that must vanish without being counted."""
+    s = f"CAST({d} AS STRING)"
+    nl = "chr(10)"
+    return (
+        f"'subscribe to our newsletter for updates' || {nl}"
+        f" || 'doc ' || {s} || ' body: ' || substr(text, 1, 40) || {nl}"
+        f" || 'shared footer variant ' || CAST({d} % 7 AS STRING)"
+        f" || CASE WHEN {d} % 3 = 0 THEN {nl} || 'copyright example footer' ELSE '' END"
+        f" || CASE WHEN {d} % 11 = 4 THEN {nl} || '   ' ELSE '' END"
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup (C4 §2.2 / RefinedWeb line dedup):
+    drop every newline-delimited span that occurs elsewhere in the
+    corpus, keeping the global first occurrence (operators/textdedup
+    .paragraph_dedup — min-struct survivor, no hot window partitions)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_para_text_sql("doc_id")).alias("text")
+    )
+    return TD.paragraph_dedup(docs)
+
+
+def _pii_text_sql(d: str) -> str:
+    """Deterministic PII-bearing text per doc — ONE SQL string valid in
+    both Spark SQL and DuckDB: an email for every doc, a US-style phone
+    (d%2=0), an IPv4 (d%3=0), and two extra emails (d%5=1)."""
+    s = f"CAST({d} AS STRING)"
+    return (
+        f"substr(text, 1, 60) || ' contact user' || {s} || '@mail.example.com'"
+        f" || CASE WHEN {d} % 2 = 0 THEN ' call 555-' || lpad(CAST({d} % 1000 AS STRING), 3, '0')"
+        f" || '-' || lpad(CAST({d} % 10000 AS STRING), 4, '0') ELSE '' END"
+        f" || CASE WHEN {d} % 3 = 0 THEN ' from 10.' || CAST({d} % 256 AS STRING) || '.0.' || CAST({d} % 100 AS STRING) ELSE '' END"
+        f" || CASE WHEN {d} % 5 = 1 THEN ' cc admin@example.org plus root@example.net' ELSE '' END"
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass (emails / IPv4 / phone numbers → tokens, with
+    per-kind counts; functions/textstats.pii_scrub — sequential RE2-safe
+    regexes, zero exchanges)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_pii_text_sql("doc_id")).alias("text")
+    )
+    return TS.pii_scrub(docs)
 
 
 def q_dedup_minhash_sig(spark, sf_dir):
@@ -1160,6 +1266,42 @@ SELECT d.host, '' AS path_prefix, TRUE AS allow, d.crawl_delay
 FROM delays d WHERE d.host NOT IN (SELECT host FROM paths)
 """
 
+    # independent sitemaps.org parse in DuckDB (RE2 regexp_extract_all;
+    # body synthesis SQL shared textually with the engine)
+    sql["sitemap_parse"] = f"""
+WITH hosts AS (SELECT DISTINCT {hid} AS hid FROM documents),
+bodies AS (
+  SELECT 'site' || CAST(hid AS STRING) || '.test' AS host,
+         {_sitemap_body_sql("hid")} AS body
+  FROM hosts
+),
+url_e AS (
+  SELECT host, 'url' AS kind,
+         unnest(regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)) AS entry
+  FROM bodies WHERE contains(body, '<urlset')
+),
+map_e AS (
+  SELECT host, 'sitemap' AS kind,
+         unnest(regexp_extract_all(body, '(?s)<sitemap>(.*?)</sitemap>', 1)) AS entry
+  FROM bodies WHERE contains(body, '<sitemapindex')
+),
+fields AS (
+  SELECT host, kind,
+    coalesce(regexp_extract(entry, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1), '') AS rawloc,
+    coalesce(regexp_extract(entry, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '') AS rawmod,
+    coalesce(regexp_extract(entry, '(?s)<priority>\\s*(.*?)\\s*</priority>', 1), '') AS rawpri
+  FROM (SELECT * FROM url_e UNION ALL SELECT * FROM map_e)
+)
+SELECT host, kind,
+  replace(replace(replace(replace(replace(rawloc,
+    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', chr(39)),
+    '&amp;', '&') AS loc,
+  CAST(TRY_CAST(substr(rawmod, 1, 10) AS DATE) AS STRING) AS lastmod,
+  CASE WHEN kind = 'url' THEN coalesce(TRY_CAST(rawpri AS DOUBLE), 0.5)
+       ELSE TRY_CAST(rawpri AS DOUBLE) END AS priority
+FROM fields WHERE rawloc <> ''
+"""
+
     sql["politeness_topk"] = """
 SELECT o_custkey, o_orderkey, rn FROM (
   SELECT o_custkey, o_orderkey,
@@ -1257,6 +1399,53 @@ WITH aug AS ({_AUG_DOCS_SQL})
 SELECT md5(text) AS digest, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
 FROM aug WHERE text IS NOT NULL
 GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+    # paragraph dedup oracle: paragraphs re-derived straight from the
+    # synthesis formula (independent of the engine's newline split);
+    # survivor = global first (id, pos); rebuild via ordered string_agg
+    sql["paragraph_dedup"] = """
+WITH paras AS (
+  SELECT doc_id AS id, 0 AS pos,
+         'subscribe to our newsletter for updates' AS para FROM documents
+  UNION ALL
+  SELECT doc_id, 1,
+         trim('doc ' || CAST(doc_id AS STRING) || ' body: ' || substr(text, 1, 40))
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'shared footer variant ' || CAST(doc_id % 7 AS STRING)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 3, 'copyright example footer' FROM documents WHERE doc_id % 3 = 0
+),
+marked AS (
+  SELECT id, pos, para,
+         (ROW_NUMBER() OVER (PARTITION BY para ORDER BY id, pos) = 1) AS keep
+  FROM paras
+)
+SELECT id AS doc_id,
+  coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS text_clean,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS paras_kept,
+  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS paras_dropped
+FROM marked GROUP BY id
+"""
+
+    # PII scrub oracle: stages generated from the SAME PII_PATTERNS
+    # constant the engine uses (single source of truth — patterns are
+    # RE2-compatible by design; DuckDB needs the explicit 'g' flag)
+    pii_stages = ""
+    for i, (pname, pat, tok) in enumerate(TS.PII_PATTERNS):
+        pii_stages += f""",
+d{i + 1} AS (
+  SELECT * EXCLUDE (t),
+         CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{pname},
+         regexp_replace(t, '{pat}', '{tok}', 'g') AS t
+  FROM d{i}
+)"""
+    sql["pii_scrub"] = f"""
+WITH d0 AS (SELECT doc_id, {_pii_text_sql("doc_id")} AS t FROM documents){pii_stages}
+SELECT doc_id, t AS text_clean, n_email, n_ip, n_phone
+FROM d{len(TS.PII_PATTERNS)}
 """
 
     mh_cols = ",\n  ".join(
@@ -2289,6 +2478,7 @@ QUERIES: dict[str, Callable] = {
     "server_mime_retype": q_server_mime_retype,
     "robots_filter": q_robots_filter,
     "robots_parse": q_robots_parse,
+    "sitemap_parse": q_sitemap_parse,
     "politeness_topk": q_politeness_topk,
     "politeness_topk_ranked": q_politeness_topk_ranked,
     "seen_antijoin": q_seen_antijoin,
@@ -2302,6 +2492,8 @@ QUERIES: dict[str, Callable] = {
     "sessionize": q_sessionize,
     "event_tumbling_counts": q_event_tumbling_counts,
     "dedup_exact": q_dedup_exact,
+    "paragraph_dedup": q_paragraph_dedup,
+    "pii_scrub": q_pii_scrub,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "lsh_bucket_stats": q_lsh_bucket_stats,
