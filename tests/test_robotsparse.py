@@ -123,3 +123,23 @@ def test_plan_is_pure_jvm(spark):
     )
     plan = parse_robots(bodies)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_sitemap_urls_global_extraction(spark):
+    from webcrawl_spark.operators.robotsparse import sitemap_urls
+
+    body = (
+        "Sitemap: http://s.test/maps/root.xml\n"
+        "User-agent: otherbot\n"
+        "Disallow: /\n"
+        "SITEMAP: http://s.test/maps/other.xml  # trailing comment\n"
+        "sitemapX: not-a-field\n"
+    )
+    bodies = spark.createDataFrame([("s.test", body)], "host string, body string")
+    out = sorted(r.sitemap_url for r in sitemap_urls(bodies).collect())
+    # global: extracted even from inside a non-matching bot's group;
+    # case-insensitive field; comment stripped; URL's :// intact
+    assert out == [
+        "http://s.test/maps/other.xml",
+        "http://s.test/maps/root.xml",
+    ]

@@ -28,6 +28,7 @@ def main(argv=None):
     ap.add_argument("--state", required=True, help="checkpoint/state directory")
     ap.add_argument("--robots", help="robots rules parquet/csv (host, path_prefix, allow, crawl_delay)")
     ap.add_argument("--robots-raw", help="raw robots.txt bodies parquet (host, body) — parsed distributed via operators/robotsparse")
+    ap.add_argument("--sitemaps", help="sitemap XML bodies parquet (host, body) — <url> locs become extra seeds (operators/sitemap)")
     ap.add_argument("--user-agent", default="amwc", help="product token for robots group matching (default amwc)")
     ap.add_argument("--max-rounds", type=int, default=None)
     ap.add_argument("--max-connections", type=int, default=None)
@@ -60,8 +61,8 @@ def main(argv=None):
     if args.seeds_file:
         with open(args.seeds_file) as f:
             seeds += [line.strip() for line in f if line.strip()]
-    if not seeds:
-        ap.error("no seeds given (--seeds or --seeds-file)")
+    if not seeds and not args.sitemaps:
+        ap.error("no seeds given (--seeds, --seeds-file, or --sitemaps)")
 
     from pyspark.sql import SparkSession
 
@@ -81,6 +82,12 @@ def main(argv=None):
         robots = parse_robots(
             spark.read.parquet(args.robots_raw), user_agent=args.user_agent
         ).toPandas()
+
+    if args.sitemaps:
+        from webcrawl_spark.operators.sitemap import parse_sitemaps
+
+        sm = parse_sitemaps(spark.read.parquet(args.sitemaps))
+        seeds += [r.loc for r in sm.where(sm.kind == "url").select("loc").collect()]
 
     cfg = CrawlConfig(
         max_connections=args.max_connections,

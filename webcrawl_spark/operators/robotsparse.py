@@ -148,3 +148,32 @@ def parse_robots(bodies: DataFrame, user_agent: str = "amwc") -> DataFrame:
         )
         .distinct()
     )
+
+
+def sitemap_urls(bodies: DataFrame) -> DataFrame:
+    """Extract ``Sitemap:`` lines from robots.txt bodies →
+    ``(host, sitemap_url)``.
+
+    Per sitemaps.org / RFC 9309 §2.2.4 these lines are GLOBAL — valid
+    anywhere in the file, independent of user-agent groups — which is
+    why this is a separate single-projection pass rather than part of
+    the group-scoped rules parse (``parse_robots`` ignores the field).
+    The first ``:`` is the field separator, so the URL's own ``://``
+    survives intact. Zero exchanges.
+    """
+    return (
+        bodies.select(
+            "host", F.explode(F.split(F.col("body"), "\n")).alias("raw")
+        )
+        .select(
+            "host", F.trim(F.regexp_replace("raw", "#.*", "")).alias("line")
+        )
+        .where(F.lower(F.col("line")).startswith("sitemap:"))
+        .select(
+            "host",
+            F.trim(F.expr("substring(line, instr(line, ':') + 1)")).alias(
+                "sitemap_url"
+            ),
+        )
+        .where(F.col("sitemap_url") != "")
+    )
