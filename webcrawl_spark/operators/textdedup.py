@@ -677,11 +677,23 @@ def paragraph_dedup(
     100-TB shape: explode → survivor = ``min(struct(id, pos))`` per
     paragraph hash — a partial-aggregatable groupBy (map-side combine),
     NOT a window ``row_number``: a boilerplate line occurring in 10^8
-    documents would make a window partition one irreducible hot task,
-    while the agg combines locally and the back-join on the hash is
-    AQE-skew-splittable. Then one groupBy back on the doc id. No
-    similarity joins, no Python; the paragraph table is linear in
-    corpus size, never quadratic.
+    documents would make a window partition one irreducible hot task
+    (AQE cannot split a window partition), while the agg collapses the
+    hot key to one row per map task before the shuffle. The back-join
+    then touches ONLY hashes that are actually duplicated — in a web
+    corpus the overwhelming majority of paragraphs are unique, so the
+    dup table is tiny and AQE picks a broadcast join.
+
+    Measured trade (12M paragraphs, 4M-row hot key, local[32]): this
+    plan 12.4s vs 7.3s for the window variant — the window wins at
+    small scale because this plan derives the paragraph table twice
+    (once into the agg, once into the join). The window's cost is an
+    IRREDUCIBLE single task that sorts the entire hot key; 4M rows in
+    one task is cheap, 10^9 is a dead executor. This operator targets
+    the regime where that matters; at laptop scale the constant factor
+    is the price of not falling over. Then one groupBy back on the doc
+    id. No similarity joins, no Python; the paragraph table is linear
+    in corpus size, never quadratic.
     """
     paras = (
         docs.select(
@@ -692,11 +704,19 @@ def paragraph_dedup(
         .where(F.col("para") != "")
         .withColumn("phash", F.md5("para"))
     )
-    first = paras.groupBy("phash").agg(
-        F.min(F.struct("id", "pos")).alias("first_occ")
+    dup_first = (
+        paras.groupBy("phash")
+        .agg(
+            F.min(F.struct("id", "pos")).alias("first_occ"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_occ") > 1)
+        .select("phash", "first_occ")
     )
-    marked = paras.join(first, "phash").withColumn(
-        "keep", F.struct("id", "pos") == F.col("first_occ")
+    marked = paras.join(dup_first, "phash", "left").withColumn(
+        "keep",
+        F.col("first_occ").isNull()
+        | (F.struct("id", "pos") == F.col("first_occ")),
     )
     rebuilt = marked.groupBy("id").agg(
         F.array_join(
