@@ -238,3 +238,40 @@ def test_paragraph_dedup_plan_no_window_no_python(spark):
     )
     assert "EvalPython" not in plan
     assert "row_number" not in plan.lower()
+
+
+def test_contamination_flags_ngram_overlap(spark):
+    eight = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {eight} trailing text here"),   # contains the bench 8-gram
+            (2, f"intro words {eight.upper()} more"),          # case-insensitive hit
+            (3, "totally unrelated content with nothing shared at all"),
+            (4, "one two three four five six seven"),          # 7 words: too short
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"q: {eight}?"), (200, f"{eight} answer")],
+        "bench_id long, text string",
+    )
+    # bench 100's grams include 'q: one ... seven' and 'one ... eight?' —
+    # punctuation sticks to whitespace tokens, so only bench 200
+    # contributes the clean 'one ... eight' gram plus its own tail grams
+    out = {r.doc_id: r for r in TD.contamination_flags(docs, bench, n=8).collect()}
+    assert 1 in out and 2 in out
+    assert 3 not in out and 4 not in out
+    assert out[1].n_bench_docs == 1  # only bench 200's clean gram matches
+    assert out[1].n_gram_hits == 1
+    assert out[2].n_gram_hits == 1   # lowercased before gramming
+
+
+def test_contamination_plan_broadcasts_bench(spark):
+    docs = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c d e f g h")], "bench_id long, text string")
+    plan = (
+        TD.contamination_flags(docs, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan

@@ -743,3 +743,63 @@ def paragraph_dedup(
             F.coalesce("paras_dropped", F.lit(0)).alias("paras_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+def _word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int, out_id: str):
+    """Distinct lowercase word n-grams per row, exploded. Documents
+    shorter than ``n`` words contribute nothing (a partial n-gram must
+    not spuriously match)."""
+    gram_expr = (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> array_join(slice(w, i, {n}), ' '))) "
+        f"ELSE array() END"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
+        )
+        .select(out_id, F.explode(F.expr(gram_expr)).alias("gram"))
+    )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with a
+    benchmark/eval set — the GPT-3 / Pile decontamination pass
+    (case-insensitive, whitespace-tokenized, default 8-grams).
+
+    Returns one row per CONTAMINATED document:
+    ``(id_col, n_gram_hits, n_bench_docs)`` where ``n_gram_hits``
+    counts distinct (gram, benchmark-doc) matches and ``n_bench_docs``
+    the distinct benchmark documents hit; the caller anti-joins this
+    flag table to drop or audit.
+
+    100-TB shape: the benchmark side is small BY DEFINITION (an eval
+    set), so its exploded n-grams are broadcast — the corpus side is a
+    single narrow explode scanned once, no shuffle except the final
+    per-doc aggregation on the uniform doc id.
+    """
+    d = _word_ngrams(docs, id_col, text_col, n, "id")
+    b = _word_ngrams(benchmark, bench_id_col, bench_text_col, n, "bench_id")
+    return (
+        d.join(F.broadcast(b), "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gram_hits"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .select(F.col("id").alias(id_col), "n_gram_hits", "n_bench_docs")
+    )

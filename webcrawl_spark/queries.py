@@ -735,6 +735,30 @@ def q_pii_scrub(spark, sf_dir):
     return TS.pii_scrub(docs)
 
 
+DECON_N = 8  # word n-gram size for decontamination (engine AND oracle)
+DECON_BENCH_FILTER = "doc_id % 97 = 3"  # deterministic eval-set subset
+DECON_BENCH_TEXT = "substr(text, 20, 150)"  # mid-document excerpt
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 / Pile style): flag training
+    docs sharing any word 8-gram with an eval set (operators/textdedup
+    .contamination_flags — broadcast bench n-grams, one corpus scan).
+    The synthetic eval set is a mid-document excerpt of every 97th doc,
+    so the flagged set is exactly those source docs, found via interior
+    n-gram overlap (the excerpt's cut word edges must not match)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = (
+        _t(spark, sf_dir, "documents")
+        .where(DECON_BENCH_FILTER)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.expr(DECON_BENCH_TEXT).alias("text"),
+        )
+    )
+    return TD.contamination_flags(docs, bench, n=DECON_N)
+
+
 def q_dedup_minhash_sig(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return TD.minhash_signatures(docs, num_hashes=8, k=5).select(
@@ -1428,6 +1452,36 @@ SELECT id AS doc_id,
   CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS paras_kept,
   CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS paras_dropped
 FROM marked GROUP BY id
+"""
+
+    # decontamination oracle: word n-grams re-derived in DuckDB list
+    # algebra; n / bench filter / bench text shared via module constants
+    def _duck_ngrams(w: str, n: int) -> str:
+        return (
+            f"CASE WHEN len({w}) >= {n} THEN "
+            f"list_distinct(list_transform(range(1, len({w}) - {n - 1} + 1), "
+            f"i -> array_to_string(list_slice({w}, CAST(i AS INT), "
+            f"CAST(i + {n - 1} AS INT)), ' '))) "
+            f"ELSE CAST([] AS VARCHAR[]) END"
+        )
+
+    sql["decontaminate"] = f"""
+WITH dw AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+dg AS (SELECT id, unnest({_duck_ngrams("w", DECON_N)}) AS gram FROM dw),
+bw AS (
+  SELECT doc_id AS bench_id,
+         string_split_regex(lower(trim({DECON_BENCH_TEXT})), '\\s+') AS w
+  FROM documents WHERE {DECON_BENCH_FILTER}
+),
+bg AS (SELECT bench_id, unnest({_duck_ngrams("w", DECON_N)}) AS gram FROM bw)
+SELECT d.id AS doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_gram_hits,
+  CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+FROM dg d JOIN bg b USING (gram)
+GROUP BY d.id
 """
 
     # PII scrub oracle: stages generated from the SAME PII_PATTERNS
@@ -2494,6 +2548,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_exact": q_dedup_exact,
     "paragraph_dedup": q_paragraph_dedup,
     "pii_scrub": q_pii_scrub,
+    "decontaminate": q_decontaminate,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "lsh_bucket_stats": q_lsh_bucket_stats,
