@@ -35,3 +35,24 @@ def test_pii_scrub_email_domain_not_half_eaten_as_ip(spark):
     r = pii_scrub(docs).collect()[0]
     assert r.n_email == 1 and r.n_ip == 0
     assert r.text_clean == "x <EMAIL> y"
+
+
+def test_repetition_stats_fractions(spark):
+    from webcrawl_spark.functions.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # 3 bigrams, all 'spam spam'
+            (2, "all words here are different"), # 4 bigrams, all distinct
+            (3, "word"),                          # shorter than n → no signal
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs, n=2).collect()}
+    assert (out[1].total_ngrams, out[1].distinct_ngrams) == (3, 1)
+    assert out[1].dup_ngram_frac == 0.666667 and out[1].top_ngram_frac == 1.0
+    assert (out[2].total_ngrams, out[2].distinct_ngrams) == (4, 4)
+    assert out[2].dup_ngram_frac == 0.0 and out[2].top_ngram_frac == 0.25
+    # no-signal doc: zero counts, NULL fractions (not a perfect score)
+    assert (out[3].total_ngrams, out[3].distinct_ngrams) == (0, 0)
+    assert out[3].dup_ngram_frac is None and out[3].top_ngram_frac is None

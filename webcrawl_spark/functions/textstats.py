@@ -122,3 +122,63 @@ def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col("t").alias("text_clean"),
         *[f"n_{name}" for name, _, _ in PII_PATTERNS],
     )
+
+
+def repetition_stats(
+    docs: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals over word
+    ``n``-grams: ``(id, total_ngrams, distinct_ngrams, dup_ngram_frac,
+    top_ngram_frac)`` — the quality gate drops docs whose
+    ``dup_ngram_frac`` (share of n-gram occurrences beyond each gram's
+    first) or ``top_ngram_frac`` (share claimed by the single most
+    frequent n-gram) exceeds a threshold; boilerplate and spam score
+    high on both. Docs shorter than ``n`` words report zero counts and
+    NULL fractions (no signal, not a perfect score).
+
+    100-TB shape: repetition is a PER-DOCUMENT property — the n-gram
+    explode groups by (id, gram) then by id, both partially aggregated
+    map-side, and because every group is confined to one document the
+    keys are uniform by construction (no corpus-wide hot gram exists in
+    this keyspace, unlike cross-corpus dedup). Pure JVM throughout.
+    """
+    grams = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
+        )
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(w) >= {n} THEN "
+                    f"transform(sequence(1, size(w) - {n - 1}), "
+                    f"i -> array_join(slice(w, i, {n}), ' ')) "
+                    f"ELSE array() END"
+                )
+            ).alias("gram"),
+        )
+    )
+    per_gram = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_gram.groupBy("id").agg(
+        F.sum("c").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        F.max("c").alias("top_c"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+            F.coalesce("distinct_ngrams", F.lit(0)).alias("distinct_ngrams"),
+            F.round(
+                (F.col("total_ngrams") - F.col("distinct_ngrams"))
+                / F.col("total_ngrams"),
+                6,
+            ).alias("dup_ngram_frac"),
+            F.round(F.col("top_c") / F.col("total_ngrams"), 6).alias(
+                "top_ngram_frac"
+            ),
+        )
+    )

@@ -735,6 +735,13 @@ def q_pii_scrub(spark, sf_dir):
     return TS.pii_scrub(docs)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition signals over word 2-grams
+    (functions/textstats.repetition_stats) — the corpus's small
+    vocabulary makes real repetition, no synthesis needed."""
+    return TS.repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
 DECON_N = 8  # word n-gram size for decontamination (engine AND oracle)
 DECON_BENCH_FILTER = "doc_id % 97 = 3"  # deterministic eval-set subset
 DECON_BENCH_TEXT = "substr(text, 20, 150)"  # mid-document excerpt
@@ -1454,29 +1461,57 @@ SELECT id AS doc_id,
 FROM marked GROUP BY id
 """
 
-    # decontamination oracle: word n-grams re-derived in DuckDB list
-    # algebra; n / bench filter / bench text shared via module constants
-    def _duck_ngrams(w: str, n: int) -> str:
-        return (
-            f"CASE WHEN len({w}) >= {n} THEN "
-            f"list_distinct(list_transform(range(1, len({w}) - {n - 1} + 1), "
+    # decontamination oracle: n / bench filter / bench text shared via
+    # module constants; n-gram helper shared with the repetition oracle
+    # word n-grams in DuckDB list algebra (shared by the repetition and
+    # decontamination oracles; distinct=False keeps every occurrence)
+    def _duck_word_ngrams(w: str, n: int, distinct: bool) -> str:
+        body = (
+            f"list_transform(range(1, len({w}) - {n - 1} + 1), "
             f"i -> array_to_string(list_slice({w}, CAST(i AS INT), "
-            f"CAST(i + {n - 1} AS INT)), ' '))) "
+            f"CAST(i + {n - 1} AS INT)), ' '))"
+        )
+        if distinct:
+            body = f"list_distinct({body})"
+        return (
+            f"CASE WHEN len({w}) >= {n} THEN {body} "
             f"ELSE CAST([] AS VARCHAR[]) END"
         )
+
+    def _duck_all_ngrams(w: str, n: int) -> str:
+        return _duck_word_ngrams(w, n, distinct=False)
+
+    sql["repetition_stats"] = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+g AS (SELECT doc_id, unnest({_duck_all_ngrams("w", 2)}) AS gram FROM w),
+pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+st AS (
+  SELECT doc_id, SUM(c) AS total, COUNT(*) AS distinct_n, MAX(c) AS top_c
+  FROM pg GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(st.total, 0) AS BIGINT) AS total_ngrams,
+  CAST(coalesce(st.distinct_n, 0) AS BIGINT) AS distinct_ngrams,
+  ROUND((st.total - st.distinct_n) / CAST(st.total AS DOUBLE), 6) AS dup_ngram_frac,
+  ROUND(st.top_c / CAST(st.total AS DOUBLE), 6) AS top_ngram_frac
+FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+"""
 
     sql["decontaminate"] = f"""
 WITH dw AS (
   SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS w
   FROM documents
 ),
-dg AS (SELECT id, unnest({_duck_ngrams("w", DECON_N)}) AS gram FROM dw),
+dg AS (SELECT id, unnest({_duck_word_ngrams("w", DECON_N, distinct=True)}) AS gram FROM dw),
 bw AS (
   SELECT doc_id AS bench_id,
          string_split_regex(lower(trim({DECON_BENCH_TEXT})), '\\s+') AS w
   FROM documents WHERE {DECON_BENCH_FILTER}
 ),
-bg AS (SELECT bench_id, unnest({_duck_ngrams("w", DECON_N)}) AS gram FROM bw)
+bg AS (SELECT bench_id, unnest({_duck_word_ngrams("w", DECON_N, distinct=True)}) AS gram FROM bw)
 SELECT d.id AS doc_id,
   CAST(COUNT(*) AS BIGINT) AS n_gram_hits,
   CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
@@ -2549,6 +2584,7 @@ QUERIES: dict[str, Callable] = {
     "paragraph_dedup": q_paragraph_dedup,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "lsh_bucket_stats": q_lsh_bucket_stats,
