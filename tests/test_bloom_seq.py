@@ -69,3 +69,29 @@ def test_assign_global_seq_with_count_empty(spark):
     df = spark.createDataFrame([], "prio int, sub int")
     out, n = assign_global_seq(df, ["prio", "sub"], 0, num_partitions=4, with_count=True)
     assert n == 0 and out.count() == 0
+
+
+def test_shard_by_tokens_partitioning_invariant(spark):
+    """The shard assignment equals a plain cumsum and is identical at
+    any parallelism (the assign_global_seq determinism property)."""
+    from webcrawl_spark.operators.seq import shard_by_tokens
+
+    rows = [(i, " ".join(["w"] * (3 + i % 5))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # reference: plain python exclusive-prefix cumsum in doc_id order
+    toks = {i: 3 + i % 5 for i in range(40)}
+    cum, expect = 0, {}
+    for i in range(40):
+        expect[i] = cum // 7
+        cum += toks[i]
+
+    for parts in (1, 2, 8):
+        out = {
+            r.doc_id: (r.n_tokens, r.shard)
+            for r in shard_by_tokens(
+                docs, tokens_per_shard=7, num_partitions=parts
+            ).collect()
+        }
+        assert {k: v[1] for k, v in out.items()} == expect, parts
+        assert all(out[i][0] == toks[i] for i in range(40))

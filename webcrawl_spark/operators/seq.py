@@ -72,3 +72,64 @@ def assign_global_seq(
     if with_count:
         return out, sum(counts.values())
     return out
+
+
+def shard_by_tokens(
+    docs: DataFrame,
+    tokens_per_shard: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Pack documents into ~``tokens_per_shard``-token shards in stable
+    ``id_col`` order — the pre-training data-prep step that turns a
+    cleaned corpus into bounded training files. Returns
+    ``(id_col, n_tokens, shard)`` with
+    ``shard = floor(exclusive_prefix_tokens / tokens_per_shard)``: a
+    document lands in the shard its first token falls into, so shard
+    boundaries never split differently at different parallelism.
+
+    Same scale strategy as :func:`assign_global_seq` (the distributed
+    prefix sum): range-repartition on the id, per-partition token SUMS
+    (a tiny P-row aggregate to the driver), broadcast offsets, windowed
+    cumsum within partitions — no single-partition window at any size.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    ranged = (
+        base.repartitionByRange(num_partitions, F.col("id"))
+        .sortWithinPartitions("id")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    from .ckpt import cut
+
+    ranged = cut(ranged, False)
+    sums = dict(
+        ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("s")).collect()
+    )
+    pids = sorted(sums)
+    offsets = dict(zip(pids, accumulate([0] + [sums[p] for p in pids[:-1]])))
+    if offsets:
+        off_expr = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )[F.col("__pid")]
+    else:
+        off_expr = F.lit(0)
+    w = Window.partitionBy("__pid").orderBy("id")
+    return (
+        ranged.withColumn(
+            "__cum_excl",
+            off_expr + F.sum("n_tokens").over(w) - F.col("n_tokens"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.floor(F.col("__cum_excl") / tokens_per_shard)
+            .cast("long")
+            .alias("shard"),
+        )
+    )

@@ -37,6 +37,7 @@ from .kernels.urlnorm import canonicalize
 from .operators import similarity as SIM
 from .operators import textdedup as TD
 from .operators.robotsparse import parse_robots
+from .operators.seq import shard_by_tokens
 from .operators.sitemap import parse_sitemaps
 from .plans.crawl import SparkCrawler
 from .sources import synth_web as SW
@@ -740,6 +741,19 @@ def q_repetition_stats(spark, sf_dir):
     (functions/textstats.repetition_stats) — the corpus's small
     vocabulary makes real repetition, no synthesis needed."""
     return TS.repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
+SHARD_TOKENS = 1000  # tokens per shard (engine AND oracle)
+
+
+def q_shard_by_tokens(spark, sf_dir):
+    """Token-budget shard packing (operators/seq.shard_by_tokens) — the
+    distributed prefix sum that turns a cleaned corpus into bounded
+    training shards; the oracle is a plain ordered window cumsum, which
+    the engine must equal at ANY partitioning."""
+    return shard_by_tokens(
+        _t(spark, sf_dir, "documents"), tokens_per_shard=SHARD_TOKENS
+    )
 
 
 DECON_N = 8  # word n-gram size for decontamination (engine AND oracle)
@@ -1480,6 +1494,21 @@ FROM marked GROUP BY id
 
     def _duck_all_ngrams(w: str, n: int) -> str:
         return _duck_word_ngrams(w, n, distinct=False)
+
+    # shard packing oracle: the single-window cumsum DuckDB can afford
+    # at sf scale — the engine's distributed prefix sum must equal it
+    sql["shard_by_tokens"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+       / {SHARD_TOKENS}.0) AS BIGINT) AS shard
+FROM toks
+"""
 
     sql["repetition_stats"] = f"""
 WITH w AS (
@@ -2585,6 +2614,7 @@ QUERIES: dict[str, Callable] = {
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
+    "shard_by_tokens": q_shard_by_tokens,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "lsh_bucket_stats": q_lsh_bucket_stats,
