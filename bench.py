@@ -44,7 +44,8 @@ BENCH_QUERIES = [
     "global_budget_limit", "query_string_cap", "retry_union",
     "pricing_summary", "join_agg_revenue", "window_running_sum",
     "sessionize", "event_tumbling_counts",
-    "dedup_exact", "paragraph_dedup", "pii_scrub", "decontaminate",
+    "dedup_exact", "paragraph_dedup", "paragraph_dedup_incremental",
+    "pii_scrub", "decontaminate",
     "dedup_minhash_sig", "dedup_lsh_pairs", "lsh_bucket_stats",
     "dedup_lsh_incremental",
     "dedup_clusters", "dedup_simhash", "simhash_hamming",

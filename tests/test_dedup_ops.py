@@ -275,3 +275,35 @@ def test_contamination_plan_broadcasts_bench(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_paragraph_dedup_incremental_corpus_and_delta_dups(spark):
+    delta = spark.createDataFrame(
+        [
+            (1, "in-corpus line\nfresh one\ndelta-dup"),
+            (2, "delta-dup\nfresh two"),
+            (3, "in-corpus line"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(100, "in-corpus line\nold stuff")], "doc_id long, text string"
+    )
+    hashes = TD.paragraph_hashes(corpus)
+    out = {
+        r.doc_id: (r.text_clean, r.paras_kept, r.paras_dropped)
+        for r in TD.paragraph_dedup_incremental(delta, hashes).collect()
+    }
+    # corpus hit drops EVERY delta copy; delta-internal dup keeps the
+    # global first occurrence only
+    assert out[1] == ("fresh one\ndelta-dup", 2, 1)
+    assert out[2] == ("fresh two", 1, 1)
+    assert out[3] == ("", 0, 1)
+    # appending the cleaned delta's hashes grows the corpus table
+    grown = hashes.union(
+        TD.paragraph_hashes(
+            TD.paragraph_dedup_incremental(delta, hashes),
+            text_col="text_clean", id_col="doc_id",
+        )
+    ).distinct()
+    assert grown.count() == hashes.count() + 3  # fresh one, fresh two, delta-dup

@@ -695,15 +695,7 @@ def paragraph_dedup(
     id. No similarity joins, no Python; the paragraph table is linear
     in corpus size, never quadratic.
     """
-    paras = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "rawp"),
-        )
-        .select("id", "pos", F.trim("rawp").alias("para"))
-        .where(F.col("para") != "")
-        .withColumn("phash", F.md5("para"))
-    )
+    paras = _paragraphs(docs, text_col, id_col)
     dup_first = (
         paras.groupBy("phash")
         .agg(
@@ -718,6 +710,25 @@ def paragraph_dedup(
         F.col("first_occ").isNull()
         | (F.struct("id", "pos") == F.col("first_occ")),
     )
+    return _rebuild_docs(docs, marked, id_col)
+
+
+def _paragraphs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, para, phash): trimmed non-empty newline spans, exploded."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "rawp"),
+        )
+        .select("id", "pos", F.trim("rawp").alias("para"))
+        .where(F.col("para") != "")
+        .withColumn("phash", F.md5("para"))
+    )
+
+
+def _rebuild_docs(docs: DataFrame, marked: DataFrame, id_col: str) -> DataFrame:
+    """Reassemble (id, text_clean, paras_kept, paras_dropped) from marked
+    paragraph rows, keeping fully-emptied/empty docs present."""
     rebuilt = marked.groupBy("id").agg(
         F.array_join(
             F.transform(
@@ -743,6 +754,65 @@ def paragraph_dedup(
             F.coalesce("paras_dropped", F.lit(0)).alias("paras_dropped"),
         )
     )
+
+
+def paragraph_hashes(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct paragraph hashes ``(phash)`` of a corpus — the persisted
+    side-table :func:`paragraph_dedup_incremental` probes (written once
+    at ingest; append each delta's NEW hashes after cleaning)."""
+    return _paragraphs(docs, text_col, id_col).select("phash").distinct()
+
+
+def paragraph_dedup_incremental(
+    delta_docs: DataFrame,
+    corpus_phashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Clean TODAY'S DELTA against yesterday's corpus: drop every delta
+    paragraph whose hash exists in the persisted ``corpus_phashes``
+    table, and deduplicate the delta internally (global first
+    occurrence by ``(id, pos)`` survives, as in
+    :func:`paragraph_dedup`). Same output shape as
+    :func:`paragraph_dedup`.
+
+    This is the paragraph member of the incremental family
+    (``lsh_pairs_incremental``, ``simhash_pairs_incremental``,
+    ``neardup_incremental``) and the dedup analog of the crawl
+    frontier's seen-set anti-join: the corpus's TEXT is never touched —
+    only its hash table, one 32-hex-char row per distinct paragraph.
+    Both probes shuffle on the uniform md5 key; the corpus-membership
+    join is null-producing (left) so a hit drops ALL delta copies while
+    within-delta dedup handles the rest.
+    """
+    paras = _paragraphs(delta_docs, text_col, id_col)
+    in_corpus = (
+        corpus_phashes.select("phash").distinct().withColumn("__hit", F.lit(True))
+    )
+    dup_first = (
+        paras.groupBy("phash")
+        .agg(
+            F.min(F.struct("id", "pos")).alias("first_occ"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_occ") > 1)
+        .select("phash", "first_occ")
+    )
+    marked = (
+        paras.join(in_corpus, "phash", "left")
+        .join(dup_first, "phash", "left")
+        .withColumn(
+            "keep",
+            F.col("__hit").isNull()
+            & (
+                F.col("first_occ").isNull()
+                | (F.struct("id", "pos") == F.col("first_occ"))
+            ),
+        )
+    )
+    return _rebuild_docs(delta_docs, marked, id_col)
 
 
 # ---------------------------------------------------------------------------

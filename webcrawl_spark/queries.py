@@ -743,6 +743,24 @@ def q_repetition_stats(spark, sf_dir):
     return TS.repetition_stats(_t(spark, sf_dir, "documents"), n=2)
 
 
+PARA_SPLIT = 250  # delta = doc_id < PARA_SPLIT; corpus = the rest
+
+
+def q_paragraph_dedup_incremental(spark, sf_dir):
+    """Incremental paragraph dedup: clean today's delta (doc_id <
+    PARA_SPLIT) against the persisted paragraph-hash table of
+    yesterday's corpus (operators/textdedup.paragraph_dedup_incremental
+    + paragraph_hashes) — the line-dedup member of the delta-vs-corpus
+    family. The corpus holds the boilerplate/footer lines, so every
+    delta doc keeps exactly its unique body paragraph."""
+    all_docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_para_text_sql("doc_id")).alias("text")
+    )
+    delta = all_docs.where(f"doc_id < {PARA_SPLIT}")
+    corpus_hashes = TD.paragraph_hashes(all_docs.where(f"doc_id >= {PARA_SPLIT}"))
+    return TD.paragraph_dedup_incremental(delta, corpus_hashes)
+
+
 SHARD_TOKENS = 1000  # tokens per shard (engine AND oracle)
 
 
@@ -1449,8 +1467,10 @@ GROUP BY md5(text) HAVING COUNT(*) > 1
     # paragraph dedup oracle: paragraphs re-derived straight from the
     # synthesis formula (independent of the engine's newline split);
     # survivor = global first (id, pos); rebuild via ordered string_agg
-    sql["paragraph_dedup"] = """
-WITH paras AS (
+    # paragraph rows re-derived straight from the synthesis formula
+    # (independent of the engine's newline split); shared by the
+    # whole-corpus and incremental oracles
+    para_rows = """
   SELECT doc_id AS id, 0 AS pos,
          'subscribe to our newsletter for updates' AS para FROM documents
   UNION ALL
@@ -1462,11 +1482,32 @@ WITH paras AS (
   FROM documents
   UNION ALL
   SELECT doc_id, 3, 'copyright example footer' FROM documents WHERE doc_id % 3 = 0
-),
+"""
+
+    sql["paragraph_dedup"] = f"""
+WITH paras AS ({para_rows}),
 marked AS (
   SELECT id, pos, para,
          (ROW_NUMBER() OVER (PARTITION BY para ORDER BY id, pos) = 1) AS keep
   FROM paras
+)
+SELECT id AS doc_id,
+  coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS text_clean,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS paras_kept,
+  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS paras_dropped
+FROM marked GROUP BY id
+"""
+
+    sql["paragraph_dedup_incremental"] = f"""
+WITH paras AS ({para_rows}),
+delta AS (SELECT * FROM paras WHERE id < {PARA_SPLIT}),
+corpus AS (SELECT DISTINCT para FROM paras WHERE id >= {PARA_SPLIT}),
+marked AS (
+  SELECT d.id, d.pos, d.para,
+         (d.para NOT IN (SELECT para FROM corpus))
+         AND (ROW_NUMBER() OVER (PARTITION BY d.para ORDER BY d.id, d.pos) = 1)
+         AS keep
+  FROM delta d
 )
 SELECT id AS doc_id,
   coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS text_clean,
@@ -2615,6 +2656,7 @@ QUERIES: dict[str, Callable] = {
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
     "shard_by_tokens": q_shard_by_tokens,
+    "paragraph_dedup_incremental": q_paragraph_dedup_incremental,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "lsh_bucket_stats": q_lsh_bucket_stats,
