@@ -190,3 +190,51 @@ def stream_session_counts(spark: SparkSession, sf_dir: str, query_name: str) -> 
         .outputMode("update")
         .start()
     )
+
+
+def stream_paragraph_dedup(
+    spark: SparkSession, stage_dir: str, phash_dir: str,
+    out_dir: str, query_name: str,
+) -> "StreamingQuery":
+    """Streaming paragraph-dedup-at-ingest with a GROWING store: each
+    micro-batch is cleaned against the persisted paragraph-hash table
+    (``textdedup.paragraph_dedup_incremental``), then the hashes of its
+    KEPT paragraphs are appended — so a line first kept in batch N is
+    dropped from batch N+1 onward, exactly the day-over-day loop of the
+    batch operator run per micro-batch.
+
+    Unlike :func:`stream_neardup_flags` (static corpus, out-of-band
+    growth), the growth here is IN the loop because paragraph dedup's
+    semantics are first-occurrence-wins: without the append, two batches
+    could both keep the same boilerplate line. The consequence is that
+    per-document output depends on arrival order — with in-order arrival
+    (FileStreamSource's oldest-first default) the drained stream equals
+    the one-shot :func:`~webcrawl_spark.operators.textdedup
+    .paragraph_dedup_incremental` over the whole delta (asserted in
+    tests). ``foreachBatch`` keeps every step a plain batch job against
+    parquet state; no streaming join state accumulates."""
+    from ..operators import textdedup as TD
+
+    schema = spark.read.parquet(stage_dir).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+
+    def _clean(batch_df: DataFrame, _batch_id: int) -> None:
+        stored = spark.read.parquet(phash_dir)
+        cleaned = TD.paragraph_dedup_incremental(batch_df, stored)
+        # localCheckpoint: the append below must not re-run the probe
+        # against a store we are about to grow
+        cleaned = cleaned.localCheckpoint(eager=True)
+        cleaned.write.mode("append").parquet(out_dir)
+        TD.paragraph_hashes(cleaned, text_col="text_clean").write.mode(
+            "append"
+        ).parquet(phash_dir)
+
+    return (
+        docs.writeStream.foreachBatch(_clean)
+        .queryName(query_name)
+        .start()
+    )
