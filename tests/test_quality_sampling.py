@@ -1,0 +1,109 @@
+"""Unit battery for the composite quality gate, per-group term stats,
+class-balanced sampling (functions/textstats) and the inter-crawl
+snapshot diff (operators/snapshot)."""
+
+from pyspark.sql import functions as F
+
+from webcrawl_spark.functions.textstats import (
+    GOPHER_MIN_WORDS,
+    balanced_sample,
+    gopher_filter,
+    topk_terms,
+)
+from webcrawl_spark.operators.snapshot import snapshot_diff, snapshot_diff_stats
+
+OK_TEXT = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the woods while birds watch from tall trees near a quiet river "
+    "bank where children often play games during long summer afternoons"
+)
+
+
+def test_gopher_filter_rules_fire_in_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, OK_TEXT),                       # passes all rules
+            (2, "too short"),                   # rule: too_few_words
+            (3, " ".join(["ab"] * 40)),         # mwl 200 < 300 → word_length
+            # enough words, sane mwl, but one bigram dominates → repetition
+            (4, " ".join(["the spam"] * 20)),
+            # 30+ distinct words, no stopwords → no_stopwords
+            (5, " ".join(f"w{i:02d}xx" for i in range(35))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_filter(docs).collect()}
+    assert out[1].reason == "ok" and out[1].keep
+    assert out[2].reason == "too_few_words" and not out[2].keep
+    assert out[2].n_words < GOPHER_MIN_WORDS
+    assert out[3].reason == "word_length" and out[3].mwl_x100 == 200
+    assert out[4].reason == "repetition" and out[4].dup_ngram_frac > 0.05
+    assert out[5].reason == "no_stopwords" and out[5].stop_hits < 2
+
+
+def test_gopher_filter_first_failing_rule_wins(spark):
+    # 2 words AND no stopwords AND bad mwl: reason must be the FIRST rule
+    docs = spark.createDataFrame([(1, "zz zz")], "doc_id long, text string")
+    assert gopher_filter(docs).collect()[0].reason == "too_few_words"
+
+
+def test_topk_terms_rank_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "alpha alpha alpha beta beta gamma"),
+            (2, "a", "beta delta delta"),
+            (3, "b", "omega"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = topk_terms(docs, "source", k=2, min_len=4).collect()
+    a = sorted((r.term, r.tf, r.rank) for r in rows if r.grp == "a")
+    # alpha tf=3 rank1; beta tf=3 rank2 (tie broken alphabetically)
+    assert a == [("alpha", 3, 1), ("beta", 3, 2)]
+    b = [(r.term, r.tf, r.rank) for r in rows if r.grp == "b"]
+    assert b == [("omega", 1, 1)]
+
+
+def test_topk_terms_min_len_drops_short_words(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "to be or not longword longword")],
+        "doc_id long, source string, text string",
+    )
+    rows = topk_terms(docs, "source", k=5, min_len=4).collect()
+    assert [(r.term, r.tf) for r in rows] == [("longword", 2)]
+
+
+def test_balanced_sample_caps_big_class_keeps_small_whole(spark):
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 280, "en").otherwise("fr").alias("lang"),
+    )
+    out = balanced_sample(docs, "lang", cap=20, id_col="doc_id")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # fr (20 rows ≤ cap): kept whole. en (280 rows): hash-rate sampled at
+    # 20/280 — expected 20, binomial spread tolerated.
+    assert counts["fr"] == 20
+    assert 5 <= counts["en"] <= 45
+
+    # determinism + partition independence: same membership at 1 partition
+    one = balanced_sample(docs.coalesce(1), "lang", cap=20, id_col="doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in one.collect()
+    )
+
+
+def test_snapshot_diff_all_four_statuses(spark):
+    old = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "d2"), ("u3", "d3")], "url string, digest string"
+    )
+    new = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "dX"), ("u4", "d4")], "url string, digest string"
+    )
+    out = {r.url: r for r in snapshot_diff(old, new).collect()}
+    assert out["u1"].status == "unchanged"
+    assert out["u2"].status == "changed" and out["u2"].new_digest == "dX"
+    assert out["u3"].status == "deleted" and out["u3"].new_digest is None
+    assert out["u4"].status == "new" and out["u4"].old_digest is None
+    stats = {r.status: r.n_urls for r in snapshot_diff_stats(
+        snapshot_diff(old, new)).collect()}
+    assert stats == {"unchanged": 1, "changed": 1, "deleted": 1, "new": 1}

@@ -1,10 +1,13 @@
 """Text-analysis column builders for training-data pipelines — language ID,
-quality scoring, token counting, document fingerprinting. Pure
+quality scoring, token counting, document fingerprinting, composite quality
+gating, per-group term statistics, and class-balanced sampling. Pure
 ``pyspark.sql.functions`` expressions (whole-stage codegen; no Python)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..operators.textdedup import HASH32
 
 # BPE-ish token pattern: letter runs, digit runs, single punctuation marks.
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -181,4 +184,131 @@ def repetition_stats(
                 "top_ngram_frac"
             ),
         )
+    )
+
+# ---------------------------------------------------------------------------
+# composite quality gate (Gopher-style keep/drop), per-group term stats,
+# class-balanced sampling
+# ---------------------------------------------------------------------------
+
+# Gopher-style gate thresholds (Rae et al. 2021, table A1 — adapted to the
+# fixture corpus's ranges so every rule actually fires on some documents).
+# Single source of truth: the battery oracle SQL interpolates THESE constants.
+GOPHER_MIN_WORDS = 30
+GOPHER_MWL_MIN_X100 = 300   # mean word length ∈ [3, 10] chars, ×100 integer
+GOPHER_MWL_MAX_X100 = 1000
+GOPHER_MAX_DUP_FRAC = 0.05  # duplicate-bigram occupancy ceiling
+GOPHER_MIN_STOP_HITS = 2    # ≥2 hits of the en stopword list
+GOPHER_RULES = ("too_few_words", "word_length", "repetition", "no_stopwords")
+
+
+def gopher_filter(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite pre-training quality gate: ``(id, n_words, mwl_x100,
+    dup_ngram_frac, stop_hits, keep, reason)`` where ``reason`` is the FIRST
+    failing rule in GOPHER_RULES order ('ok' when all pass). Rules: word
+    count ≥ GOPHER_MIN_WORDS; mean word length (×100, integer division) in
+    [GOPHER_MWL_MIN_X100, GOPHER_MWL_MAX_X100]; duplicate-bigram fraction
+    (from :func:`repetition_stats`, 6-dp rounded) ≤ GOPHER_MAX_DUP_FRAC;
+    ≥ GOPHER_MIN_STOP_HITS English-stopword tokens.
+
+    100-TB shape: the per-row signals (word count, mean word length,
+    stopword hits) are zero-exchange codegen expressions; the only exchange
+    pair is repetition_stats' per-document bigram aggregation, whose keys
+    are uniform by construction (grouping is confined to one document).
+    Integer arithmetic + one 6-dp rounded double keep any engine bit-exact.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    stopw = list(LANG_STOPWORDS["en"])
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        ws_token_count(text_col).alias("n_words"),
+        F.expr(
+            f"div(length(regexp_replace({text_col}, '\\\\s+', '')) * 100, "
+            f"size(split(trim({text_col}), '\\\\s+')))"
+        ).alias("mwl_x100"),
+        F.size(F.filter(toks, lambda t: t.isin(*stopw))).alias("stop_hits"),
+    )
+    rep = repetition_stats(docs, n=2, text_col=text_col, id_col=id_col).select(
+        F.col(id_col).alias("id"), "dup_ngram_frac"
+    )
+    j = base.join(rep, "id")
+    reason = (
+        F.when(F.col("n_words") < GOPHER_MIN_WORDS, GOPHER_RULES[0])
+        .when(
+            (F.col("mwl_x100") < GOPHER_MWL_MIN_X100)
+            | (F.col("mwl_x100") > GOPHER_MWL_MAX_X100),
+            GOPHER_RULES[1],
+        )
+        .when(F.col("dup_ngram_frac") > GOPHER_MAX_DUP_FRAC, GOPHER_RULES[2])
+        .when(F.col("stop_hits") < GOPHER_MIN_STOP_HITS, GOPHER_RULES[3])
+        .otherwise("ok")
+    )
+    return j.select(
+        F.col("id").alias(id_col),
+        "n_words",
+        "mwl_x100",
+        "dup_ngram_frac",
+        "stop_hits",
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
+def topk_terms(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    min_len: int = 4,
+) -> DataFrame:
+    """Top-``k`` terms per group by frequency: ``(grp, term, tf, rank)``,
+    ties broken by term ascending. Terms are lower-cased whitespace tokens
+    of length ≥ ``min_len`` (drops stop-ish short words without a list).
+
+    100-TB shape: the explode is followed by a (grp, term) hash aggregate
+    with map-side partial combine — the shuffled row count is bounded by
+    |groups| × |vocabulary|, not corpus tokens. The row_number window runs
+    on that aggregated set, so a mega-group's partition holds at most its
+    distinct-term count (vocabulary-bounded, not document-bounded); for a
+    vocabulary-unbounded corpus swap the final exact window for a per-
+    partition top-k + merge (the politeness top-k pattern, operators/seq).
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.length("term") >= min_len)
+    tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("grp").orderBy(F.col("tf").desc(), F.col("term").asc())
+    return tf.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def balanced_sample(
+    docs: DataFrame, class_col: str, cap: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic class-balanced downsampling: keep each row iff
+    ``hash32(id) mod n_class < cap``, where ``n_class`` is the exact row
+    count of the row's class — i.e. sample every class at rate
+    ``min(1, cap/n_class)`` toward a per-class target of ``cap`` rows
+    (classes at or under the cap are kept whole). The training-mix
+    balancing pass: flatten a language/source-skewed corpus without an
+    order-dependent limit.
+
+    Deterministic and engine-independent: membership depends only on the
+    row id and the class size (md5-derived HASH32, the corpus-wide shared
+    base hash), never on partitioning or scan order — reruns and the
+    DuckDB oracle keep the identical set, unlike ``df.limit(cap)``.
+
+    100-TB shape: one small aggregate (|classes| rows) broadcast back onto
+    the corpus — the filter is map-side, zero exchange on the big side; no
+    window, no global sort, no skew sensitivity (a mega-class costs the
+    same map-side comparison as a tiny one).
+    """
+    counts = docs.groupBy(class_col).agg(F.count(F.lit(1)).alias("__n"))
+    h = F.expr(HASH32.format(col=f"cast({id_col} as string)"))
+    return (
+        docs.join(F.broadcast(counts), class_col)
+        .filter(F.pmod(h, F.col("__n")) < F.lit(cap))
+        .drop("__n")
     )

@@ -1,0 +1,52 @@
+"""Inter-crawl snapshot diff — the Common-Crawl-style "what changed since
+the last crawl" pass over two URL→content-digest snapshots.
+
+Web archives dedupe recrawls by content digest (CDX ``revisit`` records):
+a URL fetched again with an unchanged digest is stored as a pointer, not a
+copy. This operator computes that classification set-at-once for two crawl
+snapshots — the batch analog of the reference engine's per-URL seen/update
+decision (the seen set says *visited*; the digest says *changed*). Output
+feeds recrawl scheduling (prioritize ``changed`` hosts) and incremental
+training-corpus refresh (only ``new``/``changed`` rows re-enter the dedup
+and quality pipeline).
+
+100-TB shape: one full-outer sort-merge join on the URL key. URLs are
+unique within a snapshot, so the key space is uniform by construction — no
+skew, no hot key, nothing to salt. In a real deployment both snapshots are
+Iceberg tables bucketed by ``bucket(N, url)``, making this a
+storage-partitioned join with ZERO shuffle (PLANS.md documents the
+environment gap); un-bucketed, both sides exchange once on the join key
+and every downstream per-status consumer reuses that partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+NEW, DELETED, CHANGED, UNCHANGED = "new", "deleted", "changed", "unchanged"
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str = "url", digest_col: str = "digest"
+) -> DataFrame:
+    """Classify every URL across two crawl snapshots:
+    ``(key, status, old_digest, new_digest)`` with status ∈ {new, deleted,
+    changed, unchanged}. ``key`` must be unique per snapshot (a crawl
+    visits a URL once); duplicate keys would cross-join within the key.
+    """
+    o = old.select(F.col(key), F.col(digest_col).alias("old_digest"))
+    n = new.select(F.col(key), F.col(digest_col).alias("new_digest"))
+    j = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit(NEW))
+        .when(F.col("new_digest").isNull(), F.lit(DELETED))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit(UNCHANGED))
+        .otherwise(F.lit(CHANGED))
+    )
+    return j.select(key, status.alias("status"), "old_digest", "new_digest")
+
+
+def snapshot_diff_stats(diff: DataFrame) -> DataFrame:
+    """Per-status rollup ``(status, n_urls)`` — the crawl-freshness report
+    line (4-row aggregate; partial map-side combine, trivially scalable)."""
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_urls"))

@@ -35,6 +35,7 @@ from .kernels.links import extract_links_batch
 from .kernels.robots import build_rule_index, robots_allowed
 from .kernels.urlnorm import canonicalize
 from .operators import similarity as SIM
+from .operators import snapshot as SNAP
 from .operators import textdedup as TD
 from .operators.robotsparse import parse_robots
 from .operators.seq import shard_by_tokens
@@ -796,6 +797,90 @@ def q_decontaminate(spark, sf_dir):
         )
     )
     return TD.contamination_flags(docs, bench, n=DECON_N)
+
+
+def q_gopher_filter(spark, sf_dir):
+    """Composite Gopher-style quality gate (functions/textstats
+    .gopher_filter): word count, mean word length, duplicate-bigram
+    fraction, stopword presence — keep/drop with the first failing rule
+    as the reason. The oracle interpolates the SAME GOPHER_* constants,
+    so engine and gate can never drift apart (the lsh_bucket_stats
+    lesson, ADVICE r4)."""
+    g = TS.gopher_filter(_t(spark, sf_dir, "documents"))
+    return g.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("mwl_x100").cast("long").alias("mwl_x100"),
+        "dup_ngram_frac",
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        "reason",
+        "keep",
+    )
+
+
+TOPK_TERMS_K = 3
+TOPK_TERMS_MIN_LEN = 4
+
+
+def q_topk_terms(spark, sf_dir):
+    """Top-k terms per source (functions/textstats.topk_terms): the
+    corpus-profiling TF pass — frequency ties broken by term so the
+    top-3 is total-ordered and hash-exact."""
+    t = TS.topk_terms(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        k=TOPK_TERMS_K,
+        min_len=TOPK_TERMS_MIN_LEN,
+    )
+    return t.select(
+        "grp",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("rank").cast("long").alias("term_rank"),
+    )
+
+
+SAMPLE_CAP = 70  # per-language row target (engine AND oracle)
+
+
+def q_lang_balanced_sample(spark, sf_dir):
+    """Deterministic language-balanced downsampling (functions/textstats
+    .balanced_sample): keep a row iff hash32(doc_id) mod n_lang < cap —
+    rate min(1, cap/n_lang) per language, membership independent of
+    partitioning/scan order. At sf0.01 the corpus is en-heavy (218 en
+    vs 64 fr); cap=70 trims en/zh/es and keeps de/fr whole."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return TS.balanced_sample(d, "lang", SAMPLE_CAP).select("doc_id", "lang")
+
+
+SNAP_DEL_MOD = 7  # doc_id % 7 == 3 → url vanishes in snapshot B
+SNAP_CHG_MOD = 5  # doc_id % 5 == 0 → content (digest) changes
+SNAP_NEW_N = 40  # brand-new urls appearing only in snapshot B
+SNAP_NEW_OFS = 20000
+
+
+def q_crawl_snapshot_diff(spark, sf_dir):
+    """Inter-crawl snapshot diff (operators/snapshot.snapshot_diff):
+    classify every url across two crawl snapshots as new / deleted /
+    changed / unchanged by content digest — the CDX-revisit dedup pass
+    between monthly crawls. Snapshot B perturbs A deterministically:
+    every 7th-mod-3 url vanishes, every 5th-mod-0 re-digests, and
+    SNAP_NEW_N fresh urls appear."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.expr(SW.url_sql("doc_id"))
+    old = d.select(url.alias("url"), F.md5("text").alias("digest"))
+    new_digest = F.when(
+        (F.col("doc_id") % SNAP_CHG_MOD) == 0,
+        F.md5(F.concat(F.col("text"), F.lit("v2"))),
+    ).otherwise(F.md5("text"))
+    new_b = d.filter((F.col("doc_id") % SNAP_DEL_MOD) != 3).select(
+        url.alias("url"), new_digest.alias("digest")
+    )
+    extra = d.filter(F.col("doc_id") < SNAP_NEW_N).select(
+        F.expr(SW.url_sql(f"doc_id + {SNAP_NEW_OFS}")).alias("url"),
+        F.md5(F.concat(F.lit("fresh"), F.col("text"))).alias("digest"),
+    )
+    return SNAP.snapshot_diff(old, new_b.unionByName(extra))
 
 
 def q_dedup_minhash_sig(spark, sf_dir):
@@ -1605,6 +1690,81 @@ d{i + 1} AS (
 WITH d0 AS (SELECT doc_id, {_pii_text_sql("doc_id")} AS t FROM documents){pii_stages}
 SELECT doc_id, t AS text_clean, n_email, n_ip, n_phone
 FROM d{len(TS.PII_PATTERNS)}
+"""
+
+    # Gopher gate oracle: thresholds interpolated from the SAME TS.GOPHER_*
+    # constants the engine uses; dup fraction is the repetition_stats bigram
+    # formula (LEFT JOIN so a <2-word doc keeps NULL dup and falls through
+    # the repetition rule identically on both engines).
+    _stoplist = ", ".join(f"'{w}'" for w in TS.LANG_STOPWORDS["en"])
+    sql["gopher_filter"] = f"""
+WITH s AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+    CAST(length(regexp_replace(text, '\\s+', '', 'g')) * 100
+         // len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS mwl_x100,
+    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         t -> t IN ({_stoplist}))) AS BIGINT) AS stop_hits
+  FROM documents),
+w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+g AS (SELECT doc_id, unnest({_duck_all_ngrams("w", 2)}) AS gram FROM w),
+pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+st AS (SELECT doc_id,
+         ROUND((SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE), 6) AS dup
+       FROM pg GROUP BY 1),
+r AS (
+  SELECT s.doc_id, n_words, mwl_x100, st.dup AS dup_ngram_frac, stop_hits,
+    CASE WHEN n_words < {TS.GOPHER_MIN_WORDS} THEN '{TS.GOPHER_RULES[0]}'
+         WHEN mwl_x100 < {TS.GOPHER_MWL_MIN_X100}
+           OR mwl_x100 > {TS.GOPHER_MWL_MAX_X100} THEN '{TS.GOPHER_RULES[1]}'
+         WHEN st.dup > {TS.GOPHER_MAX_DUP_FRAC} THEN '{TS.GOPHER_RULES[2]}'
+         WHEN stop_hits < {TS.GOPHER_MIN_STOP_HITS} THEN '{TS.GOPHER_RULES[3]}'
+         ELSE 'ok' END AS reason
+  FROM s LEFT JOIN st ON st.doc_id = s.doc_id)
+SELECT doc_id, n_words, mwl_x100, dup_ngram_frac, stop_hits, reason,
+       reason = 'ok' AS keep
+FROM r
+"""
+
+    sql["topk_terms"] = f"""
+WITH toks AS (
+  SELECT source AS grp,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT grp, term, COUNT(*) AS tf FROM toks
+       WHERE length(term) >= {TOPK_TERMS_MIN_LEN} GROUP BY 1, 2),
+r AS (SELECT grp, term, CAST(tf AS BIGINT) AS tf,
+        ROW_NUMBER() OVER (PARTITION BY grp ORDER BY tf DESC, term ASC) AS rk
+      FROM tf)
+SELECT grp, term, tf, CAST(rk AS BIGINT) AS term_rank FROM r WHERE rk <= {TOPK_TERMS_K}
+"""
+
+    sql["lang_balanced_sample"] = f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c ON c.lang = d.lang
+WHERE {_duck_hash32("CAST(d.doc_id AS STRING)")} % c.n < {SAMPLE_CAP}
+"""
+
+    sql["crawl_snapshot_diff"] = f"""
+WITH old AS (
+  SELECT {SW.url_sql("doc_id")} AS url, md5(text) AS digest FROM documents),
+newb AS (
+  SELECT {SW.url_sql("doc_id")} AS url,
+         CASE WHEN doc_id % {SNAP_CHG_MOD} = 0 THEN md5(text || 'v2')
+              ELSE md5(text) END AS digest
+  FROM documents WHERE doc_id % {SNAP_DEL_MOD} != 3
+  UNION ALL
+  SELECT {SW.url_sql(f"doc_id + {SNAP_NEW_OFS}")} AS url,
+         md5('fresh' || text) AS digest
+  FROM documents WHERE doc_id < {SNAP_NEW_N})
+SELECT COALESCE(o.url, n.url) AS url,
+  CASE WHEN o.digest IS NULL THEN 'new'
+       WHEN n.digest IS NULL THEN 'deleted'
+       WHEN o.digest = n.digest THEN 'unchanged'
+       ELSE 'changed' END AS status,
+  o.digest AS old_digest, n.digest AS new_digest
+FROM old o FULL OUTER JOIN newb n ON o.url = n.url
 """
 
     mh_cols = ",\n  ".join(
@@ -2656,6 +2816,10 @@ QUERIES: dict[str, Callable] = {
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
     "shard_by_tokens": q_shard_by_tokens,
+    "gopher_filter": q_gopher_filter,
+    "topk_terms": q_topk_terms,
+    "lang_balanced_sample": q_lang_balanced_sample,
+    "crawl_snapshot_diff": q_crawl_snapshot_diff,
     "paragraph_dedup_incremental": q_paragraph_dedup_incremental,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
