@@ -10,7 +10,11 @@ from webcrawl_spark.functions.textstats import (
     gopher_filter,
     topk_terms,
 )
-from webcrawl_spark.operators.snapshot import snapshot_diff, snapshot_diff_stats
+from webcrawl_spark.operators.snapshot import (
+    recrawl_ranks,
+    snapshot_diff,
+    snapshot_diff_stats,
+)
 
 OK_TEXT = (
     "the quick brown fox jumps over the lazy dog and then runs far away "
@@ -107,3 +111,54 @@ def test_snapshot_diff_all_four_statuses(spark):
     stats = {r.status: r.n_urls for r in snapshot_diff_stats(
         snapshot_diff(old, new)).collect()}
     assert stats == {"unchanged": 1, "changed": 1, "deleted": 1, "new": 1}
+
+
+def test_recrawl_ranks_rate_boost_and_exclusions(spark):
+    # hot host: 2 changed / 1 unchanged + 1 new + 1 deleted
+    # cold host: 2 unchanged; fresh host: 1 new (no revisits → rate 0)
+    diff = spark.createDataFrame(
+        [
+            ("http://hot.test/a", "changed"),
+            ("http://hot.test/b", "changed"),
+            ("http://hot.test/c", "unchanged"),
+            ("http://hot.test/d", "new"),
+            ("http://hot.test/e", "deleted"),
+            ("http://cold.test/a", "unchanged"),
+            ("http://cold.test/b", "unchanged"),
+            ("http://fresh.test/a", "new"),
+        ],
+        "url string, status string",
+    )
+    out = {r.url: r.rank for r in recrawl_ranks(diff).collect()}
+    # hot rate = 2*1000 // 3 = 666; changed urls get +1000 on top
+    assert out["http://hot.test/a"] == 1666
+    assert out["http://hot.test/c"] == 666
+    assert out["http://hot.test/d"] == 666      # new inherits host rate
+    assert out["http://cold.test/a"] == 0
+    assert out["http://fresh.test/a"] == 0      # all-new host: rate 0
+    assert "http://hot.test/e" not in out       # deleted dropped
+
+
+def test_recrawl_ranks_feed_priority_fold(spark):
+    """The snapshot→rank loop closes: recrawl_ranks output is a valid
+    ranks table for the crawler's shared priority fold — a changed url
+    on a churny host sorts ahead of an unchanged same-class url."""
+    from webcrawl_spark.functions.rankprio import fold_rank_priority
+
+    diff = spark.createDataFrame(
+        [
+            ("http://h.test/chg", "changed"),
+            ("http://h.test/same", "unchanged"),
+        ],
+        "url string, status string",
+    )
+    frontier = spark.createDataFrame(
+        [("http://h.test/chg", 3), ("http://h.test/same", 3)],
+        "url string, priority long",
+    )
+    got = {
+        r.url: r.priority
+        for r in fold_rank_priority(frontier, recrawl_ranks(diff)).collect()
+    }
+    # same base class: higher rank → smaller folded priority → fetched first
+    assert got["http://h.test/chg"] < got["http://h.test/same"]

@@ -50,3 +50,54 @@ def snapshot_diff_stats(diff: DataFrame) -> DataFrame:
     """Per-status rollup ``(status, n_urls)`` — the crawl-freshness report
     line (4-row aggregate; partial map-side combine, trivially scalable)."""
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_urls"))
+
+
+# change-rate scale: host rates are integer thousandths (exact in any engine)
+RECRAWL_SCALE = 1000
+
+
+def recrawl_ranks(diff: DataFrame, scale: int = RECRAWL_SCALE) -> DataFrame:
+    """Turn a snapshot diff into the ``(url, rank)`` table the crawler's
+    rank-weighted priority consumes (``functions/rankprio.py`` /
+    ``config.rank_priority``) — the recrawl-scheduling loop: hosts that
+    churn get revisited sooner next crawl.
+
+    ``rank = host_rate + scale·[status = changed]`` where ``host_rate`` is
+    the host's change rate in integer ``scale``-ths over its revisited
+    (changed + unchanged) URLs — integer division, so any engine agrees
+    bit-exactly. A URL whose own content changed outranks every
+    rate-only URL (the strongest recrawl signal is the URL itself);
+    ``new`` URLs carry the host rate alone; ``deleted`` URLs are dropped
+    (nothing to recrawl). Hosts with no revisited URL (all-new) rank 0.
+
+    100-TB shape: one narrow host projection, one per-host aggregate
+    (partial map-side combine collapses a mega-host's URLs before the
+    exchange — the shuffled row count is |hosts|), and one join back on
+    the host key; the rank table is corpus-sized so the downstream
+    priority fold never assumes broadcast.
+    """
+    host = F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)
+    d = diff.filter(F.col("status") != DELETED).select(
+        "url", "status", host.alias("__host")
+    )
+    rates = d.groupBy("__host").agg(
+        F.sum(F.when(F.col("status") == CHANGED, 1).otherwise(0)).alias("__chg"),
+        F.sum(
+            F.when(F.col("status").isin(CHANGED, UNCHANGED), 1).otherwise(0)
+        ).alias("__rev"),
+    )
+    rate = F.when(
+        F.col("__rev") > 0, F.expr(f"div(__chg * {int(scale)}, __rev)")
+    ).otherwise(F.lit(0))
+    return (
+        d.join(rates, "__host")
+        .select(
+            "url",
+            (
+                rate
+                + F.when(F.col("status") == CHANGED, F.lit(int(scale))).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias("rank"),
+        )
+    )

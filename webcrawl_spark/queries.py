@@ -883,6 +883,16 @@ def q_crawl_snapshot_diff(spark, sf_dir):
     return SNAP.snapshot_diff(old, new_b.unionByName(extra))
 
 
+def q_recrawl_ranks(spark, sf_dir):
+    """Recrawl scheduling (operators/snapshot.recrawl_ranks): the snapshot
+    diff folded into the (url, rank) table config.rank_priority consumes —
+    host change-rate in integer thousandths plus a flat boost for urls
+    whose own digest changed; deleted urls dropped. Closes the loop
+    snapshot_diff's docstring promises: diff → next crawl's priorities."""
+    diff = q_crawl_snapshot_diff(spark, sf_dir)
+    return SNAP.recrawl_ranks(diff)
+
+
 def q_dedup_minhash_sig(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return TD.minhash_signatures(docs, num_hashes=8, k=5).select(
@@ -1746,8 +1756,8 @@ FROM documents d JOIN c ON c.lang = d.lang
 WHERE {_duck_hash32("CAST(d.doc_id AS STRING)")} % c.n < {SAMPLE_CAP}
 """
 
-    sql["crawl_snapshot_diff"] = f"""
-WITH old AS (
+    _snap_ctes = f"""
+old AS (
   SELECT {SW.url_sql("doc_id")} AS url, md5(text) AS digest FROM documents),
 newb AS (
   SELECT {SW.url_sql("doc_id")} AS url,
@@ -1757,14 +1767,39 @@ newb AS (
   UNION ALL
   SELECT {SW.url_sql(f"doc_id + {SNAP_NEW_OFS}")} AS url,
          md5('fresh' || text) AS digest
-  FROM documents WHERE doc_id < {SNAP_NEW_N})
-SELECT COALESCE(o.url, n.url) AS url,
-  CASE WHEN o.digest IS NULL THEN 'new'
-       WHEN n.digest IS NULL THEN 'deleted'
-       WHEN o.digest = n.digest THEN 'unchanged'
-       ELSE 'changed' END AS status,
-  o.digest AS old_digest, n.digest AS new_digest
-FROM old o FULL OUTER JOIN newb n ON o.url = n.url
+  FROM documents WHERE doc_id < {SNAP_NEW_N}),
+diff AS (
+  SELECT COALESCE(o.url, n.url) AS url,
+    CASE WHEN o.digest IS NULL THEN 'new'
+         WHEN n.digest IS NULL THEN 'deleted'
+         WHEN o.digest = n.digest THEN 'unchanged'
+         ELSE 'changed' END AS status,
+    o.digest AS old_digest, n.digest AS new_digest
+  FROM old o FULL OUTER JOIN newb n ON o.url = n.url)"""
+
+    sql["crawl_snapshot_diff"] = f"""
+WITH {_snap_ctes}
+SELECT url, status, old_digest, new_digest FROM diff
+"""
+
+    # recrawl ranks: same host regex, integer thousandths (DuckDB // is
+    # floor-div on BIGINTs, matching Spark's div()), scale from one constant
+    sql["recrawl_ranks"] = f"""
+WITH {_snap_ctes},
+d AS (
+  SELECT url, status,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1) AS host
+  FROM diff WHERE status != 'deleted'),
+r AS (
+  SELECT host,
+    SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS chg,
+    SUM(CASE WHEN status IN ('changed', 'unchanged') THEN 1 ELSE 0 END) AS rev
+  FROM d GROUP BY host)
+SELECT d.url,
+  CAST(CASE WHEN r.rev > 0 THEN (r.chg * {SNAP.RECRAWL_SCALE}) // r.rev ELSE 0 END
+       + CASE WHEN d.status = 'changed' THEN {SNAP.RECRAWL_SCALE} ELSE 0 END
+       AS BIGINT) AS rank
+FROM d JOIN r ON r.host = d.host
 """
 
     mh_cols = ",\n  ".join(
@@ -2820,6 +2855,7 @@ QUERIES: dict[str, Callable] = {
     "topk_terms": q_topk_terms,
     "lang_balanced_sample": q_lang_balanced_sample,
     "crawl_snapshot_diff": q_crawl_snapshot_diff,
+    "recrawl_ranks": q_recrawl_ranks,
     "paragraph_dedup_incremental": q_paragraph_dedup_incremental,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
