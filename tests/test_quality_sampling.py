@@ -9,6 +9,7 @@ from webcrawl_spark.functions.textstats import (
     balanced_sample,
     gopher_filter,
     topk_terms,
+    unigram_lm_score,
 )
 from webcrawl_spark.operators.snapshot import (
     recrawl_ranks,
@@ -94,6 +95,22 @@ def test_balanced_sample_caps_big_class_keeps_small_whole(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in one.collect()
     )
+
+
+def test_unigram_lm_score_hand_computed(spark):
+    # corpus: tf(a)=2 tf(b)=2 tf(c)=1, T=5
+    # lp(a)=lp(b)=round(ln(0.4)*1e6)=-916291; lp(c)=round(ln(0.2)*1e6)=-1609438
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in unigram_lm_score(docs).collect()}
+    assert (out[1].n_tokens, out[1].sum_lp_micronat) == (3, 3 * -916291)
+    assert out[1].avg_lp_micronat == -916291
+    assert (out[2].n_tokens, out[2].sum_lp_micronat) == (2, -916291 - 1609438)
+    # integer div truncates toward zero: -2525729 / 2 -> -1262864
+    assert out[2].avg_lp_micronat == -1262864
+    # common-word doc scores HIGHER (less negative) than the rare-token doc
+    assert out[1].avg_lp_micronat > out[2].avg_lp_micronat
 
 
 def test_snapshot_diff_all_four_statuses(spark):

@@ -284,6 +284,58 @@ def topk_terms(
     )
 
 
+def unigram_lm_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style language-model quality score with a corpus-fit unigram
+    LM as the deterministic KenLM stand-in: fit ``P(term) = tf/T`` on the
+    corpus itself, then score every document by its average token
+    log-probability — boilerplate built from common words scores high,
+    gibberish/rare-token soup scores low. Output ``(id, n_tokens,
+    sum_lp_micronat, avg_lp_micronat)``.
+
+    Engine-exactness: each token's log-prob is rounded ONCE to integer
+    micro-nats (``round(ln(tf/T)·1e6)``) and all downstream math is
+    integer (BIGINT sum + integer-div average) — float summation order
+    can never change the answer, so any engine agrees bit-exactly.
+
+    100-TB shape: one explode → (term) hash aggregate with map-side
+    partial combine (shuffled rows are vocabulary-bounded, not
+    token-bounded); the corpus total is an aggregate OVER the vocab table
+    (never a second corpus pass); the token→vocab lookup join keys on the
+    term — a web-scale vocab is broadcast when it fits and a uniform-key
+    shuffle join otherwise, with AQE splitting the inevitable hot terms
+    ("the") because the probe side skew sits in one key; the final
+    per-document aggregate is uniform by construction.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("T"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("tf") / F.col("T")) * 1e6)
+        .cast("long")
+        .alias("lp_micronat"),
+    )
+    return (
+        toks.join(lp, "term")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micronat").alias("sum_lp_micronat"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "sum_lp_micronat",
+            F.expr("div(sum_lp_micronat, n_tokens)").alias("avg_lp_micronat"),
+        )
+    )
+
+
 def balanced_sample(
     docs: DataFrame, class_col: str, cap: int, id_col: str = "doc_id"
 ) -> DataFrame:

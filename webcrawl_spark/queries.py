@@ -883,6 +883,20 @@ def q_crawl_snapshot_diff(spark, sf_dir):
     return SNAP.snapshot_diff(old, new_b.unionByName(extra))
 
 
+def q_unigram_lm_score(spark, sf_dir):
+    """Corpus-fit unigram LM quality score (functions/textstats
+    .unigram_lm_score): the CCNet/KenLM-filter stand-in — per-document
+    average token log-probability in integer micro-nats (one rounding
+    point, integer math after; float sum order can never flip a hash)."""
+    s = TS.unigram_lm_score(_t(spark, sf_dir, "documents"))
+    return s.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "sum_lp_micronat",
+        "avg_lp_micronat",
+    )
+
+
 def q_recrawl_ranks(spark, sf_dir):
     """Recrawl scheduling (operators/snapshot.recrawl_ranks): the snapshot
     diff folded into the (url, rank) table config.rank_priority consumes —
@@ -1776,6 +1790,26 @@ diff AS (
          ELSE 'changed' END AS status,
     o.digest AS old_digest, n.digest AS new_digest
   FROM old o FULL OUTER JOIN newb n ON o.url = n.url)"""
+
+    # unigram LM score: ln on doubles rounds ONCE to integer micro-nats in
+    # both engines (round = half away from zero in both; // on BIGINTs
+    # truncates toward zero in DuckDB, matching Spark's div — verified)
+    sql["unigram_lm_score"] = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+t2 AS (SELECT id, term FROM toks WHERE length(term) > 0),
+v AS (SELECT term, COUNT(*) AS tf FROM t2 GROUP BY term),
+tot AS (SELECT SUM(tf) AS T FROM v),
+lp AS (SELECT term,
+         CAST(round(ln(tf / CAST(T AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+       FROM v, tot)
+SELECT t2.id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lp.lp) AS BIGINT) AS sum_lp_micronat,
+       CAST(SUM(lp.lp) // COUNT(*) AS BIGINT) AS avg_lp_micronat
+FROM t2 JOIN lp ON lp.term = t2.term GROUP BY t2.id
+"""
 
     sql["crawl_snapshot_diff"] = f"""
 WITH {_snap_ctes}
@@ -2856,6 +2890,7 @@ QUERIES: dict[str, Callable] = {
     "lang_balanced_sample": q_lang_balanced_sample,
     "crawl_snapshot_diff": q_crawl_snapshot_diff,
     "recrawl_ranks": q_recrawl_ranks,
+    "unigram_lm_score": q_unigram_lm_score,
     "paragraph_dedup_incremental": q_paragraph_dedup_incremental,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
