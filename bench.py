@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     "dedup_exact", "paragraph_dedup", "paragraph_dedup_incremental",
     "pii_scrub", "decontaminate",
     "dedup_minhash_sig", "dedup_lsh_pairs", "lsh_bucket_stats",
-    "dedup_lsh_incremental",
+    "dedup_lsh_incremental", "dedup_exact_incremental",
     "dedup_clusters", "dedup_simhash", "simhash_hamming",
     "dedup_simhash_incremental",
     "ngram_jaccard", "lang_id", "quality_score", "repetition_stats", "token_count",

@@ -307,3 +307,58 @@ def test_paragraph_dedup_incremental_corpus_and_delta_dups(spark):
         )
     ).distinct()
     assert grown.count() == hashes.count() + 3  # fresh one, fresh two, delta-dup
+
+
+def test_dedup_exact_incremental_classification(spark):
+    from webcrawl_spark.operators.textdedup import (
+        corpus_digests,
+        dedup_exact_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "known body"), (2, "other body"), (3, None)],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "known body"),   # corpus hit → dropped
+            (11, "fresh body"),   # new → kept (first copy)
+            (12, "fresh body"),   # within-delta dup → dropped
+            (13, None),           # NULL text → always survives
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.keep for r in dedup_exact_incremental(
+        delta, corpus_digests(corpus)).collect()}
+    assert out == {10: False, 11: True, 12: False, 13: True}
+
+
+def test_dedup_exact_incremental_matches_batch_on_union(spark):
+    """Incremental(delta vs corpus) keeps exactly the delta rows a batch
+    exact-dedup over corpus∪delta would keep (corpus rows always win —
+    they came first)."""
+    from pyspark.sql import functions as F
+    from webcrawl_spark.operators.textdedup import (
+        corpus_digests,
+        dedup_exact_incremental,
+        exact_duplicates,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"body {i % 4}") for i in range(8)], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(100, "body 0"), (101, "body x"), (102, "body x"), (103, "body 9")],
+        "doc_id long, text string",
+    )
+    inc = {r.doc_id for r in dedup_exact_incremental(
+        delta, corpus_digests(corpus)).filter("keep").collect()}
+    # batch over the union: survivors = min doc_id per digest; delta-side
+    # survivors are those whose digest group min lies in the delta
+    union = corpus.unionByName(delta)
+    dups = exact_duplicates(union)
+    drop = union.join(dups, F.md5("text") == dups.digest).filter(
+        F.col("doc_id") != F.col("keeper"))
+    batch_kept = {r.doc_id for r in union.join(
+        drop.select("doc_id"), "doc_id", "left_anti").collect() if r.doc_id >= 100}
+    assert inc == batch_kept

@@ -186,6 +186,59 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def corpus_digests(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct content digests ``(digest)`` of a corpus — the persisted
+    side-table :func:`dedup_exact_incremental` probes (written once at
+    ingest; append each delta's NEW digests after cleaning). One 32-hex
+    row per distinct document body; NULL-text rows contribute nothing."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("digest"))
+        .distinct()
+    )
+
+
+def dedup_exact_incremental(
+    delta_docs: DataFrame,
+    corpus_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-digest member of the incremental family (LSH:
+    :func:`lsh_pairs_incremental`, SimHash: :func:`simhash_pairs_incremental`,
+    paragraphs: :func:`paragraph_dedup_incremental`, embeddings:
+    ``similarity.neardup_incremental``): classify TODAY'S DELTA against
+    yesterday's persisted digest table — ``(id, digest, keep)`` where a
+    delta row survives iff its digest is absent from the corpus AND it is
+    the delta's first copy (min id per digest). NULL-text rows have no
+    content to collide on and always survive (the streaming-dedup rule).
+
+    100-TB shape: the corpus's text is never read — only its digest
+    table; both probes (membership anti-join + within-delta min-id
+    group) shuffle on the uniform md5 key, and the delta side is small
+    by definition so AQE broadcasts it against the big stored table.
+    """
+    d = delta_docs.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("digest")
+    )
+    hits = corpus_digests.select("digest").distinct().withColumn("__hit", F.lit(True))
+    first = d.filter(F.col("digest").isNotNull()).groupBy("digest").agg(
+        F.min("id").alias("__first")
+    )
+    return (
+        d.join(hits, "digest", "left")
+        .join(first, "digest", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "digest",
+            (
+                F.col("digest").isNull()
+                | (F.col("__hit").isNull() & (F.col("id") == F.col("__first")))
+            ).alias("keep"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 8, k: int = 5, cache_key=None,

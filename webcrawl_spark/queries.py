@@ -926,6 +926,33 @@ def q_dedup_lsh_pairs(spark, sf_dir):
 LSH_STATS_CAP = 3
 
 
+def q_dedup_exact_incremental(spark, sf_dir):
+    """Exact-digest incremental dedup — the fifth member of the
+    delta-vs-corpus family (operators/textdedup.dedup_exact_incremental):
+    today's delta probes yesterday's persisted digest table (corpus text
+    never read). Delta synthesis: re-crawl copies of docs < 50 (corpus
+    hits, dropped), fresh ' v2' revisions of docs < 30 (survive), and a
+    second copy of each revision (within-delta dupes — min id keeps)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = (
+        d.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") < 30).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat("text", F.lit(" v2")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") < 30).select(
+                (F.col("doc_id") + 30000).alias("doc_id"),
+                F.concat("text", F.lit(" v2")).alias("text"),
+            )
+        )
+    )
+    return TD.dedup_exact_incremental(delta, TD.corpus_digests(d))
+
+
 def q_dedup_lsh_incremental(spark, sf_dir):
     """Incremental dedup — today's delta vs yesterday's persisted corpus
     (VERDICT r4 item 5). The aug corpus's injected duplicates (doc_id ≥
@@ -1571,6 +1598,23 @@ WITH aug AS ({_AUG_DOCS_SQL})
 SELECT md5(text) AS digest, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
 FROM aug WHERE text IS NOT NULL
 GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+    sql["dedup_exact_incremental"] = """
+WITH delta AS (
+  SELECT doc_id + 10000 AS id, text FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 20000 AS id, text || ' v2' FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 30000 AS id, text || ' v2' FROM documents WHERE doc_id < 30),
+dig AS (SELECT DISTINCT md5(text) AS digest FROM documents WHERE text IS NOT NULL),
+dd AS (SELECT id, md5(text) AS digest FROM delta),
+first AS (SELECT digest, MIN(id) AS f FROM dd WHERE digest IS NOT NULL GROUP BY digest)
+SELECT dd.id AS doc_id, dd.digest,
+       (dd.digest IS NULL
+        OR (g.digest IS NULL AND dd.id = first.f)) AS keep
+FROM dd LEFT JOIN dig g ON g.digest = dd.digest
+        LEFT JOIN first ON first.digest = dd.digest
 """
 
     # paragraph dedup oracle: paragraphs re-derived straight from the
@@ -2896,6 +2940,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "dedup_lsh_incremental": q_dedup_lsh_incremental,
+    "dedup_exact_incremental": q_dedup_exact_incremental,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "simhash_hamming": q_simhash_hamming,
