@@ -1,0 +1,211 @@
+"""Unit battery for C4 line-level cleaning, token-window chunking, BM25
+ranking (functions/textstats) and quality-aware dedup survivor selection
+(operators/textdedup.dedup_keep_best)."""
+
+import math
+
+import pytest
+
+from webcrawl_spark.functions.textstats import (
+    BM25_B,
+    BM25_K1,
+    bm25_rank,
+    c4_clean,
+    chunk_by_tokens,
+)
+from webcrawl_spark.operators.textdedup import dedup_keep_best
+
+GOOD = "this sentence has plenty of words and ends well."
+
+
+def test_c4_clean_line_rules(spark):
+    text = "\n".join(
+        [
+            GOOD,                                        # kept
+            "no terminal punctuation on this long line",  # dropped: terminal
+            "too short.",                                 # dropped: <5 words
+            "please enable javascript to view the page.",  # dropped: js
+            "a final question with enough words here?",    # kept
+        ]
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = c4_clean(docs).collect()[0]
+    assert row.lines_kept == 2 and row.lines_dropped == 3
+    assert row.reason == "too_few_lines" and not row.keep  # 2 < C4_MIN_LINES
+    assert row.text_clean == ""
+
+
+def test_c4_clean_doc_rules_first_match_wins(spark):
+    three_good = "\n".join([GOOD] * 3)
+    docs = spark.createDataFrame(
+        [
+            (1, three_good),                                   # ok
+            (2, three_good + "\nsome Lorem Ipsum filler."),    # lorem
+            (3, three_good + "\ncode { brace }"),              # brace
+            # both markers → FIRST rule (lorem) wins
+            (4, three_good + "\nlorem ipsum { x }"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in c4_clean(docs).collect()}
+    assert out[1].reason == "ok" and out[1].keep
+    assert out[1].text_clean == three_good
+    assert out[2].reason == "lorem_ipsum" and not out[2].keep
+    assert out[3].reason == "brace"
+    assert out[4].reason == "lorem_ipsum"
+
+
+def test_c4_clean_terminal_variants_and_trim(spark):
+    # each terminal mark counts; trailing spaces are trimmed first
+    text = "\n".join(
+        [
+            "an exclamation with five words total here!",
+            'a quoted sentence with enough words ends."',
+            "a padded sentence with enough words here.   ",
+        ]
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = c4_clean(docs).collect()[0]
+    assert row.lines_kept == 3 and row.keep
+
+
+def test_chunk_by_tokens_hand_computed(spark):
+    words = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_by_tokens(docs, size=4, stride=3).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # n_chunks = 1 + ceil((10-4)/3) = 3; starts 0, 3, 6
+    assert [r.start_tok for r in rows] == [0, 3, 6]
+    assert rows[0].chunk_text == "w0 w1 w2 w3"
+    assert rows[1].chunk_text == "w3 w4 w5 w6"
+    assert rows[2].chunk_text == "w6 w7 w8 w9"
+    assert all(r.n_tok == 4 for r in rows)
+
+
+def test_chunk_by_tokens_short_doc_single_chunk(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    rows = chunk_by_tokens(docs, size=8, stride=8).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_id == 0 and rows[0].n_tok == 3
+    assert rows[0].chunk_text == "a b c"
+
+
+def test_chunk_by_tokens_exact_tiling_reconstructs(spark):
+    words = [f"t{i}" for i in range(23)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_by_tokens(docs, size=5, stride=5).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert " ".join(r.chunk_text for r in rows) == " ".join(words)
+    assert rows[-1].n_tok == 23 % 5  # ragged tail chunk
+
+
+def test_chunk_by_tokens_every_token_covered_with_overlap(spark):
+    n, size, stride = 57, 16, 11
+    words = [f"t{i}" for i in range(n)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    rows = chunk_by_tokens(docs, size=size, stride=stride).collect()
+    covered = set()
+    for r in rows:
+        covered.update(range(r.start_tok, r.start_tok + r.n_tok))
+    assert covered == set(range(n))
+    assert len(rows) == 1 + math.ceil((n - size) / stride)
+
+
+def test_chunk_by_tokens_rejects_bad_params(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_by_tokens(docs, size=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_by_tokens(docs, size=0, stride=0)
+
+
+def _bm25_expected(tf, df, n_docs, dl, avgdl):
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return round(
+        idf * (tf * (BM25_K1 + 1)) / (tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl))
+        * 1e6
+    )
+
+
+def test_bm25_rank_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark streaming engine"),   # tf=2, dl=4
+            (2, "spark on a much longer document with many extra words"),
+            (3, "nothing relevant here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in bm25_rank(docs, ["spark"], k=10).collect()}
+    assert set(rows) == {1, 2}          # doc 3 has no hit → absent
+    dls = {1: 4, 2: 10, 3: 5}
+    avgdl = sum(dls.values()) / 3
+    assert rows[1].score_micro == _bm25_expected(2, 2, 3, 4, avgdl)
+    assert rows[2].score_micro == _bm25_expected(1, 2, 3, 10, avgdl)
+    assert rows[1].rank == 1 and rows[2].rank == 2  # higher tf, shorter doc
+
+
+def test_bm25_rank_length_normalization_and_topk(spark):
+    # same tf=1: the SHORTER document must outrank the longer one
+    docs = spark.createDataFrame(
+        [
+            (1, "merge now"),
+            (2, "merge inside a considerably longer document body text"),
+            (3, "merge here too"),
+            (4, "unrelated filler"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_rank(docs, ["merge"], k=2).collect()
+    assert len(rows) == 2               # top-k cap respected
+    assert [r.id for r in sorted(rows, key=lambda r: r.rank)] == [1, 3]
+
+
+def test_bm25_rank_multi_term_n_hits(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window merge"),
+            (2, "spark spark spark"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in
+            bm25_rank(docs, ["spark", "window", "merge"], k=10).collect()}
+    assert rows[1].n_hits == 3 and rows[2].n_hits == 1
+
+
+def test_dedup_keep_best_prefers_high_score(spark):
+    # docs 1 and 2 are exact duplicates → one LSH cluster; doc 3 singleton
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, dup), (2, dup), (3, "completely different text body")],
+        "doc_id long, text string",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 7)], "id long, score long"
+    )
+    out = {r.id: r for r in dedup_keep_best(docs, scores).collect()}
+    assert out[1].cluster_id == out[2].cluster_id == 1
+    assert out[1].best_id == 2 and not out[1].keep      # higher score wins
+    assert out[2].keep
+    assert out[3].best_id == 3 and out[3].keep          # singleton keeps self
+
+
+def test_dedup_keep_best_score_tie_takes_lowest_id(spark):
+    dup = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, dup), (2, dup)], "doc_id long, text string"
+    )
+    scores = spark.createDataFrame([(1, 7), (2, 7)], "id long, score long")
+    out = {r.id: r for r in dedup_keep_best(docs, scores).collect()}
+    assert out[1].keep and not out[2].keep

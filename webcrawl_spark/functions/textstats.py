@@ -364,3 +364,191 @@ def balanced_sample(
         .filter(F.pmod(h, F.col("__n")) < F.lit(cap))
         .drop("__n")
     )
+
+
+# C4 line-level cleaning thresholds (Raffel et al. 2020 §2.2, adapted):
+# a line survives iff it ends in terminal punctuation, has at least
+# C4_MIN_LINE_WORDS words, and does not mention "javascript"; a document
+# survives iff it contains no lorem-ipsum / curly-brace markers and keeps
+# at least C4_MIN_LINES lines. One constant set, interpolated into the
+# oracle SQL (the lsh_bucket_stats drift lesson).
+C4_MIN_LINE_WORDS = 5
+C4_MIN_LINES = 3
+C4_TERMINALS = (".", "!", "?", '"')
+C4_LINE_BAD = "javascript"
+C4_DOC_BAD_LOREM = "lorem ipsum"
+C4_DOC_BAD_BRACE = "{"
+C4_REASONS = ("lorem_ipsum", "brace", "too_few_lines")
+
+
+def c4_clean(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep a
+    newline-delimited line iff it ends with terminal punctuation
+    (C4_TERMINALS), has ≥ C4_MIN_LINE_WORDS whitespace words, and does not
+    contain "javascript" (case-insensitive); drop the whole document when
+    it contains "lorem ipsum" (case-insensitive) or "{", or keeps fewer
+    than C4_MIN_LINES lines. Output ``(id, lines_kept, lines_dropped,
+    reason, keep, text_clean)`` with ``reason`` the FIRST failing
+    document rule in C4_REASONS order ('ok' when kept) and ``text_clean``
+    the newline-join of surviving lines ('' for dropped docs).
+
+    100-TB shape: a single zero-exchange projection — the line split,
+    per-line predicates, counts, and re-join are all higher-order array
+    functions inside whole-stage codegen; no explode, no shuffle, no
+    Python. The whole pass is map-side over the corpus scan.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _line_ok(line):
+        t = F.trim(line)
+        return (
+            (t != "")
+            & F.substring(t, -1, 1).isin(*C4_TERMINALS)
+            & (F.size(F.split(t, r"\s+")) >= C4_MIN_LINE_WORDS)
+            & ~F.lower(line).contains(C4_LINE_BAD)
+        )
+
+    kept = F.filter(lines, _line_ok)
+    low = F.lower(F.col(text_col))
+    reason = (
+        F.when(low.contains(C4_DOC_BAD_LOREM), C4_REASONS[0])
+        .when(F.col(text_col).contains(C4_DOC_BAD_BRACE), C4_REASONS[1])
+        .when(F.size(kept) < C4_MIN_LINES, C4_REASONS[2])
+        .otherwise("ok")
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.size(kept).cast("long").alias("lines_kept"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("lines_dropped"),
+        reason.alias("reason"),
+        (reason == F.lit("ok")).alias("keep"),
+        F.when(reason == F.lit("ok"), F.array_join(kept, "\n"))
+        .otherwise("")
+        .alias("text_clean"),
+    )
+
+
+def chunk_by_tokens(
+    docs: DataFrame, size: int, stride: int,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Split every document into overlapping token windows for a model
+    context: chunk ``i`` covers whitespace tokens ``[i*stride,
+    i*stride+size)``; the last chunk starts at the final stride step that
+    still has unseen tokens, so every token lands in ≥1 chunk and docs at
+    or under ``size`` tokens yield exactly one chunk. Output ``(id,
+    chunk_id, start_tok, n_tok, chunk_text)``. ``stride < size`` gives
+    ``size - stride`` tokens of overlap between neighbors (the usual
+    training-window setup); ``stride == size`` is exact tiling.
+
+    Deterministic: chunk membership depends only on the document's own
+    token array — never on partitioning — so reruns and the DuckDB oracle
+    agree exactly. Complements ``operators/seq.shard_by_tokens``: shards
+    pack whole documents into files, chunks split one document into
+    model-sized windows.
+
+    100-TB shape: zero exchange — split, chunk-count arithmetic, the
+    sequence explode, and the per-chunk slice/join are all map-side
+    codegen over the corpus scan; output rows ≈ corpus tokens / stride,
+    produced without any shuffle.
+    """
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("w"),
+    ).select("id", "w", F.size("w").alias("n"))
+    base = base.withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= size, F.lit(1)).otherwise(
+            F.lit(1) + F.expr(f"div(n - {size} + {stride} - 1, {stride})")
+        ),
+    )
+    ci = F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("ci")
+    chunks = base.select("id", "w", ci)
+    tok = F.slice(F.col("w"), F.col("ci") * stride + 1, F.lit(size))
+    return chunks.select(
+        F.col("id"),
+        F.col("ci").cast("long").alias("chunk_id"),
+        (F.col("ci") * stride).cast("long").alias("start_tok"),
+        F.size(tok).cast("long").alias("n_tok"),
+        F.array_join(tok, " ").alias("chunk_text"),
+    )
+
+
+# BM25 parameters (Robertson/Spärck Jones; the standard k1/b defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_rank(
+    docs: DataFrame, query_terms: list[str], k: int = 20,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Full-text relevance ranking: score every document against a bag of
+    query terms with BM25 and return the total-ordered top ``k`` as
+    ``(id, n_hits, score_micro, rank)``. ``idf = ln(1 + (N - df + 0.5) /
+    (df + 0.5))``, per-term contribution ``idf · tf·(k1+1) / (tf + k1·(1
+    - b + b·dl/avgdl))`` — each contribution is rounded ONCE to integer
+    micro-units and summed as BIGINT (the unigram_lm_score recipe: float
+    summation order structurally cannot flip the hash; ln/round verified
+    identical across engines there).
+
+    100-TB shape: tokens are filtered to the |query|-bounded term set
+    BEFORE the tf aggregate, so the only corpus-sized exchanges are the
+    per-document tf/dl aggregates (uniform keys, map-side partial
+    combine); df and avgdl are scalar-sized broadcasts. The final top-k
+    is orderBy(score).limit(k) — Spark's distributed TakeOrdered, a
+    per-partition heap + driver merge of k·P rows, never a global sort.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("N"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*terms))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("c_micro"),
+        )
+    )
+    scored = contrib.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum("c_micro").alias("score_micro"),
+    )
+    top = scored.orderBy(F.desc("score_micro"), F.asc("id")).limit(k)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score_micro"), F.asc("id"))
+        ).cast("long"),
+    ).select("id", F.col("n_hits").cast("long").alias("n_hits"),
+             "score_micro", "rank")

@@ -926,3 +926,45 @@ def contamination_flags(
         )
         .select(F.col("id").alias(id_col), "n_gram_hits", "n_bench_docs")
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame, scores: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+    bands: int = 4, rows_per_band: int = 2, k: int = 5,
+    max_bucket_size: int | None = 1000,
+    cache_key=None,
+) -> DataFrame:
+    """Quality-aware survivor selection over near-duplicate clusters:
+    cluster the corpus with :func:`dedup_clusters`, then keep the member
+    with the HIGHEST score per cluster (ties → lowest id) instead of the
+    min-id canonical — the production dedup policy where near-duplicates
+    differ (one copy is the clean original, another is ad-wrapped) and
+    "first seen" is the wrong thing to keep. ``scores`` is any ``(id,
+    score)`` frame (e.g. ``textstats.quality_stats``). Output ``(id,
+    cluster_id, score, best_id, keep)``.
+
+    100-TB shape: the score join keys on the uniform doc id; the per-
+    cluster arg-max is a single ``min(struct(-score, id))`` hash aggregate
+    (map-side partial combine; the struct-min trick from
+    :func:`paragraph_dedup` — no window, so a mega-cluster never pins one
+    task); the labels-side of dedup_clusters stays pair-graph-sized.
+    """
+    cl = dedup_clusters(
+        docs, text_col, id_col, bands, rows_per_band, k, max_bucket_size,
+        cache_key,
+    )
+    j = cl.select("id", "cluster_id").join(
+        scores.select(F.col("id"), F.col("score")), "id"
+    )
+    best = j.groupBy("cluster_id").agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("id").alias("bid")))
+        .alias("m")
+    ).select("cluster_id", F.col("m.bid").alias("best_id"))
+    return (
+        j.join(best, "cluster_id")
+        .select(
+            "id", "cluster_id", "score", "best_id",
+            (F.col("id") == F.col("best_id")).alias("keep"),
+        )
+    )

@@ -897,6 +897,98 @@ def q_unigram_lm_score(spark, sf_dir):
     )
 
 
+def _c4_text_sql(d: str) -> str:
+    """Deterministic multi-line text per doc — ONE SQL string valid in
+    both Spark SQL and DuckDB, exercising every c4_clean rule: a clean
+    terminal-punctuated opener, an unterminated line (d%2=0), a too-short
+    line, a javascript line (d%5=0), a terminal question line, plus
+    doc-level lorem-ipsum (d%7=3) and curly-brace (d%11=6) poison."""
+    s = f"CAST({d} AS STRING)"
+    nl = "chr(10)"
+    return (
+        f"'Document ' || {s} || ' begins with a clean complete sentence.'"
+        f" || {nl} || CASE WHEN {d} % 2 = 0"
+        f" THEN 'this line has no terminal punctuation at all'"
+        f" ELSE 'another good sentence appears right here today!' END"
+        f" || {nl} || 'too short.'"
+        f" || CASE WHEN {d} % 5 = 0 THEN {nl} ||"
+        f" 'please enable javascript to view the comments.' ELSE '' END"
+        f" || {nl} || 'the crawler asks a question about '"
+        f" || substr(text, 1, 20) || ' now?'"
+        f" || CASE WHEN {d} % 7 = 3 THEN {nl} ||"
+        f" 'filler Lorem Ipsum filler text remains here.' ELSE '' END"
+        f" || CASE WHEN {d} % 11 = 6 THEN {nl} ||"
+        f" 'if (x) |BRACE| return; end.' ELSE '' END"
+    ).replace("|BRACE|", "{")
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4-style line-level cleaning (functions/textstats.c4_clean,
+    Raffel et al. 2020 §2.2): terminal-punctuation / min-words /
+    javascript line rules + lorem-ipsum / brace / min-lines document
+    rules, as one zero-exchange higher-order-function projection."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_c4_text_sql("doc_id")).alias("text")
+    )
+    return TS.c4_clean(docs).select(
+        F.col("id").alias("doc_id"), "lines_kept", "lines_dropped",
+        "reason", "keep", "text_clean",
+    )
+
+
+CHUNK_SIZE = 32    # tokens per context window (engine AND oracle)
+CHUNK_STRIDE = 24  # window step → 8 tokens of overlap
+
+
+def q_chunk_by_tokens(spark, sf_dir):
+    """Overlapping token-window chunking (functions/textstats
+    .chunk_by_tokens): every document split into model-context windows of
+    CHUNK_SIZE tokens at CHUNK_STRIDE steps — the doc→training-example
+    explode, zero exchanges. Complements shard_by_tokens (whole docs →
+    files; here one doc → many windows)."""
+    return TS.chunk_by_tokens(
+        _t(spark, sf_dir, "documents"), size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    ).select(
+        F.col("id").alias("doc_id"), "chunk_id", "start_tok", "n_tok",
+        "chunk_text",
+    )
+
+
+BM25_QUERY = ("spark", "window", "merge")  # engine AND oracle
+BM25_TOPK = 20
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 full-text relevance top-k (functions/textstats.bm25_rank):
+    score every document against the BM25_QUERY bag, keep the
+    total-ordered top BM25_TOPK. Per-term contributions round ONCE to
+    integer micro-units then sum as BIGINT (the unigram_lm_score
+    recipe), so the ranking is engine-exact."""
+    return TS.bm25_rank(
+        _t(spark, sf_dir, "documents"), list(BM25_QUERY), k=BM25_TOPK
+    ).select(
+        F.col("id").alias("doc_id"), "n_hits", "score_micro", "rank"
+    )
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup survivor selection (operators/textdedup
+    .dedup_keep_best): LSH clusters from the shared signature
+    materialization, survivor = highest quality_stats score per cluster
+    (ties → lowest id) — the production policy where 'first seen' keeps
+    the ad-wrapped copy and 'best' keeps the clean one."""
+    docs = _aug_docs(spark, sf_dir)
+    scores = TS.quality_stats(docs).select("id", "score")
+    r = TD.dedup_keep_best(
+        docs, scores, bands=4, rows_per_band=2, k=5,
+        cache_key=f"aug:{sf_dir}",
+    )
+    return r.select(
+        "id", "cluster_id", F.col("score").cast("long").alias("score"),
+        "best_id", "keep",
+    )
+
+
 def q_recrawl_ranks(spark, sf_dir):
     """Recrawl scheduling (operators/snapshot.recrawl_ranks): the snapshot
     diff folded into the (url, rank) table config.rank_priority consumes —
@@ -1814,6 +1906,82 @@ FROM documents d JOIN c ON c.lang = d.lang
 WHERE {_duck_hash32("CAST(d.doc_id AS STRING)")} % c.n < {SAMPLE_CAP}
 """
 
+    # c4_clean oracle: line/doc rules replayed in DuckDB list algebra
+    # over the SAME synthesis SQL; constants interpolated from textstats
+    _terminals = ", ".join("'" + t + "'" for t in TS.C4_TERMINALS)
+    sql["c4_clean"] = f"""
+WITH d AS (SELECT doc_id, {_c4_text_sql("doc_id")} AS text FROM documents),
+s AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM d),
+k AS (
+  SELECT doc_id, text, len(ls) AS n_lines,
+    list_filter(ls, l -> trim(l) <> ''
+      AND right(trim(l), 1) IN ({_terminals})
+      AND len(string_split_regex(trim(l), '\\s+')) >= {TS.C4_MIN_LINE_WORDS}
+      AND NOT contains(lower(l), '{TS.C4_LINE_BAD}')) AS kept
+  FROM s),
+r AS (
+  SELECT doc_id, n_lines, kept,
+    CASE WHEN contains(lower(text), '{TS.C4_DOC_BAD_LOREM}') THEN '{TS.C4_REASONS[0]}'
+         WHEN contains(text, '{TS.C4_DOC_BAD_BRACE}') THEN '{TS.C4_REASONS[1]}'
+         WHEN len(kept) < {TS.C4_MIN_LINES} THEN '{TS.C4_REASONS[2]}'
+         ELSE 'ok' END AS reason
+  FROM k)
+SELECT doc_id, CAST(len(kept) AS BIGINT) AS lines_kept,
+  CAST(n_lines - len(kept) AS BIGINT) AS lines_dropped,
+  reason, reason = 'ok' AS keep,
+  CASE WHEN reason = 'ok' THEN array_to_string(kept, chr(10)) ELSE '' END AS text_clean
+FROM r
+"""
+
+    sql["chunk_by_tokens"] = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+n AS (SELECT doc_id, w, len(w) AS n FROM w),
+c AS (
+  SELECT doc_id, w, n,
+    CASE WHEN n <= {CHUNK_SIZE} THEN 1
+         ELSE 1 + (n - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+    END AS n_chunks
+  FROM n),
+e AS (SELECT doc_id, w, n, unnest(range(0, n_chunks)) AS ci FROM c)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+  CAST(ci * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+  CAST(len(list_slice(w, CAST(ci * {CHUNK_STRIDE} + 1 AS INT),
+       CAST(least(ci * {CHUNK_STRIDE} + {CHUNK_SIZE}, n) AS INT))) AS BIGINT) AS n_tok,
+  array_to_string(list_slice(w, CAST(ci * {CHUNK_STRIDE} + 1 AS INT),
+       CAST(least(ci * {CHUNK_STRIDE} + {CHUNK_SIZE}, n) AS INT)), ' ') AS chunk_text
+FROM e
+"""
+
+    # bm25 oracle: identical formula text/parenthesization; one rounding
+    # point to BIGINT micro-units (the unigram_lm_score recipe)
+    _bm25_terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    _k1, _b = TS.BM25_K1, TS.BM25_B
+    sql["bm25_search"] = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+t2 AS (SELECT id, term FROM toks WHERE term <> ''),
+dl AS (SELECT id, COUNT(*) AS dl FROM t2 GROUP BY id),
+st AS (SELECT COUNT(*) AS N, SUM(dl) / COUNT(*) AS avgdl FROM dl),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM t2
+       WHERE term IN ({_bm25_terms}) GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+c AS (
+  SELECT tf.id,
+    CAST(ROUND(ln(1.0 + (st.N - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * ({_k1} + 1)) / (tf.tf + {_k1} * (1 - {_b} + {_b} * dl.dl / st.avgdl))
+      * 1e6) AS BIGINT) AS c_micro
+  FROM tf JOIN df USING (term) JOIN dl USING (id) CROSS JOIN st),
+s AS (SELECT id, COUNT(*) AS n_hits, SUM(c_micro) AS score_micro FROM c GROUP BY id),
+r AS (SELECT id, CAST(n_hits AS BIGINT) AS n_hits,
+        CAST(score_micro AS BIGINT) AS score_micro,
+        CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, id) AS BIGINT) AS rank
+      FROM s)
+SELECT id AS doc_id, n_hits, score_micro, rank FROM r WHERE rank <= {BM25_TOPK}
+"""
+
     _snap_ctes = f"""
 old AS (
   SELECT {SW.url_sql("doc_id")} AS url, md5(text) AS digest FROM documents),
@@ -1978,6 +2146,48 @@ SELECT a.doc_id AS id,
        COALESCE(l.cc, a.doc_id) AS cluster_id,
        a.doc_id = COALESCE(l.cc, a.doc_id) AS is_canonical
 FROM aug a LEFT JOIN labels l ON l.id = a.doc_id
+"""
+
+    # keep-best survivor policy: the dedup_clusters closure + the
+    # quality_score integer formula, arg-max per cluster
+    sql["dedup_keep_best"] = f"""
+WITH RECURSIVE aug AS ({_AUG_DOCS_SQL}),
+sigs AS (
+  SELECT doc_id AS id, {mh_cols}
+  FROM aug
+),
+buckets_all AS ({band_selects}),
+buckets AS (
+  SELECT id, bucket FROM buckets_all
+  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY id) <= 1000
+),
+pairs AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.id < r.id
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+reach(id, root) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.id
+),
+labels AS (SELECT id, MIN(root) AS cc FROM reach GROUP BY id),
+cl AS (
+  SELECT a.doc_id AS id, COALESCE(l.cc, a.doc_id) AS cluster_id
+  FROM aug a LEFT JOIN labels l ON l.id = a.doc_id),
+sc AS (
+  SELECT doc_id AS id,
+    CAST(least(len(string_split_regex(trim(text), '\\s+')), 256)
+      - greatest(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 4
+                 - len(string_split_regex(trim(text), '\\s+')), 0) AS BIGINT) AS score
+  FROM aug),
+j AS (SELECT cl.id, cl.cluster_id, sc.score FROM cl JOIN sc USING (id)),
+b AS (
+  SELECT cluster_id, id AS best_id
+  FROM j
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY score DESC, id) = 1)
+SELECT j.id, j.cluster_id, j.score, b.best_id, j.id = b.best_id AS keep
+FROM j JOIN b USING (cluster_id)
 """
 
     sql["ngram_jaccard_lsh"] = f"""
@@ -2935,6 +3145,10 @@ QUERIES: dict[str, Callable] = {
     "crawl_snapshot_diff": q_crawl_snapshot_diff,
     "recrawl_ranks": q_recrawl_ranks,
     "unigram_lm_score": q_unigram_lm_score,
+    "c4_clean": q_c4_clean,
+    "chunk_by_tokens": q_chunk_by_tokens,
+    "bm25_search": q_bm25_search,
+    "dedup_keep_best": q_dedup_keep_best,
     "paragraph_dedup_incremental": q_paragraph_dedup_incremental,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
