@@ -209,3 +209,77 @@ def test_dedup_keep_best_score_tie_takes_lowest_id(spark):
     scores = spark.createDataFrame([(1, 7), (2, 7)], "id long, score long")
     out = {r.id: r for r in dedup_keep_best(docs, scores).collect()}
     assert out[1].keep and not out[2].keep
+
+
+from webcrawl_spark.functions.textstats import inverted_index
+from webcrawl_spark.operators.textdedup import duplicate_spans
+
+
+def test_duplicate_spans_flags_shared_span_positions(spark):
+    shared = "one two three four five six seven eight"  # 8 words
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared),           # span opens at pos 3
+            (2, shared + " trailing tail"),              # span opens at pos 0
+            (3, "completely unrelated text body with many distinct words"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicate_spans(docs, n=8).collect()
+    flagged = {(r.id, r.pos) for r in rows}
+    assert (1, 3) in flagged and (2, 0) in flagged
+    assert all(r.id != 3 for r in rows)
+    by_doc1 = [r for r in rows if r.id == 1 and r.pos == 3][0]
+    assert by_doc1.n_docs == 2 and by_doc1.n_occurrences == 2
+
+
+def test_duplicate_spans_within_doc_repeat_not_cross_doc(spark):
+    # the gram repeats INSIDE doc 1 only → n_docs=1 → not flagged
+    rep = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, rep + " x " + rep), (2, "other words entirely here friend")],
+        "doc_id long, text string",
+    )
+    assert duplicate_spans(docs, n=8).count() == 0
+
+
+def test_duplicate_spans_short_docs_contribute_nothing(spark):
+    docs = spark.createDataFrame(
+        [(1, "only four words here"), (2, "only four words here")],
+        "doc_id long, text string",
+    )
+    assert duplicate_spans(docs, n=8).count() == 0
+
+
+def test_inverted_index_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta alpha"),
+            (20, "beta gamma"),
+            (30, "alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.term: r for r in inverted_index(docs, min_term_len=4).collect()}
+    assert out["alpha"].df == 2 and out["alpha"].tf == 3
+    # doc 10: first_pos 0, tf_d 2; doc 30: first_pos 0, tf_d 1
+    assert out["alpha"].postings == "10:0:2,30:0:1"
+    assert out["beta"].postings == "10:1:1,20:0:1"
+    assert out["gamma"].df == 1 and out["gamma"].postings == "20:1:1"
+
+
+def test_inverted_index_salt_invariant_and_capped(spark):
+    docs = spark.createDataFrame(
+        [(i, "common word" + str(i)) for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        inverted_index(docs, min_term_len=4, k_postings=3, salt=1).collect()
+    )
+    b = sorted(
+        inverted_index(docs, min_term_len=4, k_postings=3, salt=4).collect()
+    )
+    assert a == b  # the two-level top-k is exact, salt only re-shards
+    common = [r for r in a if r.term == "common"][0]
+    assert common.df == 8                      # df exact, not capped
+    assert common.postings == "1:0:1,2:0:1,3:0:1"  # postings capped at k

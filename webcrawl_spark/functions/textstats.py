@@ -552,3 +552,79 @@ def bm25_rank(
         ).cast("long"),
     ).select("id", F.col("n_hits").cast("long").alias("n_hits"),
              "score_micro", "rank")
+
+
+def inverted_index(
+    docs: DataFrame, min_term_len: int = 4, k_postings: int = 5,
+    salt: int = 8, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Build a capped inverted index: one row per term with ``(term, df,
+    tf, postings)`` where ``postings`` renders the ``k_postings``
+    LOWEST-id documents as ``id:first_pos:tf_d`` joined by ',' — the
+    search-index construction pass that pairs with :func:`bm25_rank`
+    (df/tf are exact over the whole corpus; the posting list is the
+    bounded per-term sample an index shard stores per segment).
+
+    The per-term top-k is exact and salt-invariant: documents are
+    pre-capped inside ``salt`` sub-groups (``pmod(id, salt)``), then the
+    ≤ salt·k survivors merge and re-cap — the two-level TakeOrdered that
+    avoids both an unbounded ``collect_list`` and a one-task window on a
+    stopword term. Raising ``salt`` with corpus size bounds the first
+    level's group width; the second level is ≤ salt·k rows per term.
+
+    100-TB shape: tokens explode once; the (term, id) aggregate and the
+    df/tf aggregate both partial-combine map-side on vocabulary-bounded
+    keys; no window over a raw term partition anywhere, so "the"-scale
+    terms cost salt parallel bounded sorts instead of one mega-task.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "term"),
+    ).filter(F.length("term") >= min_term_len)
+    per_doc = toks.groupBy("term", "id").agg(
+        F.count(F.lit(1)).alias("tf_d"), F.min("pos").alias("first_pos")
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf_d").alias("tf")
+    )
+    lvl1 = (
+        per_doc.withColumn("s", F.pmod("id", F.lit(salt)))
+        .groupBy("term", "s")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("id", "first_pos", "tf_d"))
+                ),
+                1,
+                k_postings,
+            ).alias("part")
+        )
+    )
+    top = (
+        lvl1.groupBy("term")
+        .agg(F.flatten(F.collect_list("part")).alias("allp"))
+        .select(
+            "term", F.slice(F.sort_array("allp"), 1, k_postings).alias("top")
+        )
+    )
+    postings = top.select(
+        "term",
+        F.array_join(
+            F.transform(
+                "top",
+                lambda x: F.concat_ws(
+                    ":",
+                    x["id"].cast("string"),
+                    x["first_pos"].cast("string"),
+                    x["tf_d"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return stats.join(postings, "term").select(
+        "term", F.col("df").cast("long").alias("df"),
+        F.col("tf").cast("long").alias("tf"), "postings",
+    )

@@ -968,3 +968,50 @@ def dedup_keep_best(
             (F.col("id") == F.col("best_id")).alias("keep"),
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Every word position opening a length-``n`` word gram that occurs in
+    MORE THAN ONE document: ``(id, pos, gram_hash, n_docs,
+    n_occurrences)`` — the spans ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") would cut
+    from the training set. The suffix-array construction of the paper is
+    a single-machine algorithm; this is its distributed anchor-gram
+    stand-in: any ≥n-token exact duplicate span is flagged at every
+    position it opens, and the caller cuts/audits the flagged windows.
+
+    100-TB shape: one narrow explode (corpus tokens × 1 row) → a gram-key
+    hash aggregate where boilerplate mega-grams collapse map-side (count
+    + countDistinct partials), then the duplicated-only gram table —
+    tiny relative to the corpus in web text, like paragraph_dedup's
+    duplicates-only back-join — joins back on the gram key (AQE
+    broadcasts it when small). Grams leave the scan as positions+hashes;
+    no all-pairs doc×doc stage exists at any point.
+    """
+    gram_expr = (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> array_join(slice(w, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
+    ).select("id", F.posexplode(F.expr(gram_expr)).alias("pos", "gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return grams.join(dup, "gram").select(
+        "id",
+        F.col("pos").cast("long").alias("pos"),
+        F.md5(F.col("gram")).alias("gram_hash"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+    )

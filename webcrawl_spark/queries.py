@@ -989,6 +989,36 @@ def q_dedup_keep_best(spark, sf_dir):
     )
 
 
+SPAN_N = 8  # duplicate-span gram width (engine AND oracle)
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """ExactSubstr-style duplicate-span flags (operators/textdedup
+    .duplicate_spans, Lee et al. 2022): every word position opening a
+    word-8-gram that occurs in >1 document — the spans a training-set
+    substring dedup would cut. Over the duplicate-injected corpus so real
+    cross-document spans exist."""
+    return TD.duplicate_spans(_aug_docs(spark, sf_dir), n=SPAN_N).select(
+        F.col("id").alias("doc_id"), "pos", "gram_hash", "n_docs",
+        "n_occurrences",
+    )
+
+
+INV_MIN_TERM_LEN = 4
+INV_K_POSTINGS = 5
+
+
+def q_inverted_index(spark, sf_dir):
+    """Capped inverted-index build (functions/textstats.inverted_index):
+    term → exact df/tf + the k lowest-id postings as id:first_pos:tf_d —
+    the search-index constructor pairing bm25_search. The salted two-level
+    top-k is exact, so the result is salt-invariant and hash-exact."""
+    return TS.inverted_index(
+        _t(spark, sf_dir, "documents"),
+        min_term_len=INV_MIN_TERM_LEN, k_postings=INV_K_POSTINGS,
+    )
+
+
 def q_recrawl_ranks(spark, sf_dir):
     """Recrawl scheduling (operators/snapshot.recrawl_ranks): the snapshot
     diff folded into the (url, rank) table config.rank_priority consumes —
@@ -1980,6 +2010,42 @@ r AS (SELECT id, CAST(n_hits AS BIGINT) AS n_hits,
         CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, id) AS BIGINT) AS rank
       FROM s)
 SELECT id AS doc_id, n_hits, score_micro, rank FROM r WHERE rank <= {BM25_TOPK}
+"""
+
+    # duplicate-span oracle: positional word n-grams via zipped unnests
+    sql["duplicate_spans"] = f"""
+WITH aug AS ({_AUG_DOCS_SQL}),
+w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM aug),
+g AS (SELECT doc_id, w, unnest(range(1, len(w) - {SPAN_N} + 2)) AS i
+      FROM w WHERE len(w) >= {SPAN_N}),
+g2 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(list_slice(w, CAST(i AS INT),
+                                    CAST(i + {SPAN_N - 1} AS INT)), ' ') AS gram
+       FROM g),
+d AS (SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM g2 GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT g2.doc_id, g2.pos, md5(g2.gram) AS gram_hash, d.n_docs, d.n_occurrences
+FROM g2 JOIN d USING (gram)
+"""
+
+    sql["inverted_index"] = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+toks AS (
+  SELECT doc_id AS id, unnest(w) AS term, unnest(range(0, len(w))) AS pos FROM w),
+t2 AS (SELECT id, term, pos FROM toks WHERE length(term) >= {INV_MIN_TERM_LEN}),
+pd AS (SELECT term, id, COUNT(*) AS tf_d, MIN(pos) AS first_pos
+       FROM t2 GROUP BY 1, 2),
+st AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(tf_d) AS BIGINT) AS tf FROM pd GROUP BY 1),
+top AS (SELECT term, id, first_pos, tf_d FROM pd
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY term ORDER BY id) <= {INV_K_POSTINGS}),
+p AS (SELECT term,
+        string_agg(CAST(id AS STRING) || ':' || CAST(first_pos AS STRING)
+                   || ':' || CAST(tf_d AS STRING), ',' ORDER BY id) AS postings
+      FROM top GROUP BY 1)
+SELECT st.term, st.df, st.tf, p.postings FROM st JOIN p USING (term)
 """
 
     _snap_ctes = f"""
@@ -3149,6 +3215,8 @@ QUERIES: dict[str, Callable] = {
     "chunk_by_tokens": q_chunk_by_tokens,
     "bm25_search": q_bm25_search,
     "dedup_keep_best": q_dedup_keep_best,
+    "duplicate_spans": q_duplicate_spans,
+    "inverted_index": q_inverted_index,
     "paragraph_dedup_incremental": q_paragraph_dedup_incremental,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
