@@ -1,0 +1,87 @@
+"""Inbound anchor-text aggregation — the classic web-search relevance /
+quality signal (anchor words describe the TARGET page better than the
+target's own boilerplate; see Brin & Page 1998 §2.2, and anchor-text
+features in modern quality classifiers).
+
+Pure ``pyspark.sql.functions`` expressions; the tag scan is a
+whole-stage-codegen ``regexp_extract_all`` + explode, NOT the crawl
+kernel's five-regex scanner (kernels/links.py) — that scanner feeds the
+frontier and deliberately drops the anchor TEXT (the reference crawler
+never reads it, Backend/Crawler.cs:2172-2182); this module exists for the
+analytics question the crawler does not ask.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# one full <a href="...">text</a> element, double-quoted href, no nested
+# tags inside the anchor body — (?i) case-insensitive, RE2-safe so the
+# DuckDB oracle runs the SAME pattern strings verbatim.
+ANCHOR_TAG_RE = '(?i)<a\\s[^>]*href="[^"]*"[^>]*>[^<]*</a>'
+ANCHOR_HREF_RE = '(?i)href="([^"]*)"'
+ANCHOR_TEXT_RE = ">([^<]*)<"
+
+
+def extract_anchors(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """One row per ``<a href>`` element: ``(src, target, anchor)`` with
+    ``anchor`` the trimmed inner text ('' for image-only/empty anchors).
+
+    100-TB shape: zero exchanges — tag scan, explode, and the two field
+    extractions are map-side codegen over the pages scan.
+    """
+    tags = F.regexp_extract_all(
+        F.col(html_col), F.lit(ANCHOR_TAG_RE), F.lit(0)
+    )
+    return pages.select(
+        F.col(url_col).alias("src"), F.explode(tags).alias("tag")
+    ).select(
+        "src",
+        F.regexp_extract("tag", ANCHOR_HREF_RE, 1).alias("target"),
+        F.trim(F.regexp_extract("tag", ANCHOR_TEXT_RE, 1)).alias("anchor"),
+    )
+
+
+def anchor_text_stats(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Per-target inbound anchor profile: ``(target, n_inbound,
+    n_sources, top_anchor, top_anchor_count)`` — total inbound anchors,
+    distinct linking pages, and the most frequent anchor text (ties →
+    lexicographically smallest), the signal a search index or a
+    link-quality classifier stores per URL.
+
+    100-TB shape: two hash aggregates on the uniform target / (target,
+    anchor) keys, both partial-combining map-side; the per-target arg-max
+    is ``min(struct(-count, anchor))`` (the struct-min trick — no window,
+    so a mega-target like a homepage never pins one task); the final join
+    keys on the uniform target.
+    """
+    a = extract_anchors(pages, html_col, url_col)
+    per = a.groupBy("target", "anchor").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = a.groupBy("target").agg(
+        F.count(F.lit(1)).alias("n_inbound"),
+        F.countDistinct("src").alias("n_sources"),
+    )
+    top = per.groupBy("target").agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("nc"),
+                F.col("anchor").alias("a"),
+                F.col("cnt").alias("c"),
+            )
+        ).alias("m")
+    ).select(
+        "target",
+        F.col("m.a").alias("top_anchor"),
+        F.col("m.c").alias("top_anchor_count"),
+    )
+    return tot.join(top, "target").select(
+        "target",
+        F.col("n_inbound").cast("long").alias("n_inbound"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        "top_anchor",
+        F.col("top_anchor_count").cast("long").alias("top_anchor_count"),
+    )

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions import anchors as ANC
 from .functions import multimodal as MM
 from .functions import textstats as TS
 from .kernels import surt as SURT
@@ -1017,6 +1018,42 @@ def q_inverted_index(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         min_term_len=INV_MIN_TERM_LEN, k_postings=INV_K_POSTINGS,
     )
+
+
+def _anchor_html_sql(d: str) -> str:
+    """Deterministic anchor-bearing HTML per doc — ONE SQL string valid
+    in both engines: a topical anchor to a sharded target, an upper-case
+    anchor to one hub page (every doc), an empty-text anchor (d%3=0), a
+    non-anchor img link that must be ignored, and a second hub anchor
+    variant (d%4=1) so top-anchor selection has real competition."""
+    s = f"CAST({d} AS STRING)"
+    return (
+        f"'<p>doc ' || {s} || '</p>'"
+        f" || '<a href=\"http://site' || CAST({d} % 7 AS STRING)"
+        f" || '.test/page' || CAST({d} % 13 AS STRING)"
+        f" || '.html\">guide to topic ' || CAST({d} % 5 AS STRING) || '</a>'"
+        f" || '<A HREF=\"http://hub.test/index.html\">home</A>'"
+        f" || CASE WHEN {d} % 3 = 0 THEN"
+        f" '<a href=\"http://site' || CAST({d} % 7 AS STRING)"
+        f" || '.test/page' || CAST(({d} + 1) % 13 AS STRING) || '.html\"></a>'"
+        f" ELSE '' END"
+        f" || '<img src=\"http://img.test/i' || {s} || '.png\">'"
+        f" || CASE WHEN {d} % 4 = 1 THEN"
+        f" '<a href=\"http://hub.test/index.html\">start here</a>' ELSE '' END"
+    )
+
+
+def q_anchor_text_stats(spark, sf_dir):
+    """Inbound anchor-text aggregation (functions/anchors
+    .anchor_text_stats): per-target inbound count, distinct sources, and
+    the most frequent anchor text — the search/quality signal the crawl
+    kernel deliberately drops. Struct-min arg-max, no window, so the hub
+    mega-target never pins one task."""
+    pages = _t(spark, sf_dir, "documents").select(
+        F.expr("'http://src' || CAST(doc_id AS STRING) || '.test/'").alias("url"),
+        F.expr(_anchor_html_sql("doc_id")).alias("html"),
+    )
+    return ANC.anchor_text_stats(pages)
 
 
 def q_recrawl_ranks(spark, sf_dir):
@@ -2046,6 +2083,34 @@ p AS (SELECT term,
                    || ':' || CAST(tf_d AS STRING), ',' ORDER BY id) AS postings
       FROM top GROUP BY 1)
 SELECT st.term, st.df, st.tf, p.postings FROM st JOIN p USING (term)
+"""
+
+    # anchor-text oracle: the SAME RE2 pattern constants replayed in
+    # DuckDB over the same synthesis SQL
+    sql["anchor_text_stats"] = f"""
+WITH pages AS (
+  SELECT 'http://src' || CAST(doc_id AS STRING) || '.test/' AS src,
+         {_anchor_html_sql("doc_id")} AS html
+  FROM documents),
+tags AS (
+  SELECT src, unnest(regexp_extract_all(html, '{ANC.ANCHOR_TAG_RE}')) AS tag
+  FROM pages),
+a AS (
+  SELECT src, regexp_extract(tag, '{ANC.ANCHOR_HREF_RE}', 1) AS target,
+         trim(regexp_extract(tag, '{ANC.ANCHOR_TEXT_RE}', 1)) AS anchor
+  FROM tags),
+per AS (SELECT target, anchor, COUNT(*) AS cnt FROM a GROUP BY 1, 2),
+tot AS (SELECT target, CAST(COUNT(*) AS BIGINT) AS n_inbound,
+          CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources
+        FROM a GROUP BY 1),
+top AS (SELECT target, anchor AS top_anchor,
+          CAST(cnt AS BIGINT) AS top_anchor_count
+        FROM per
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY target
+                                   ORDER BY cnt DESC, anchor) = 1)
+SELECT tot.target, tot.n_inbound, tot.n_sources,
+       top.top_anchor, top.top_anchor_count
+FROM tot JOIN top USING (target)
 """
 
     _snap_ctes = f"""
@@ -3217,6 +3282,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_keep_best": q_dedup_keep_best,
     "duplicate_spans": q_duplicate_spans,
     "inverted_index": q_inverted_index,
+    "anchor_text_stats": q_anchor_text_stats,
     "paragraph_dedup_incremental": q_paragraph_dedup_incremental,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
