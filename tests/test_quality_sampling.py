@@ -179,3 +179,42 @@ def test_recrawl_ranks_feed_priority_fold(spark):
     }
     # same base class: higher rank → smaller folded priority → fetched first
     assert got["http://h.test/chg"] < got["http://h.test/same"]
+
+
+def test_host_quality_rollup_rules_fire_in_order(spark):
+    from webcrawl_spark.functions.textstats import host_quality_rollup
+
+    good = OK_TEXT + " with extra padding words appended here"  # score > 40
+    poor = "tiny text"                  # score under 40
+    rows = []
+    rows += [(i, "few.test", good) for i in range(2)]          # too_few_docs
+    rows += [(10 + i, "low.test", poor) for i in range(4)]     # low_quality
+    # 4 docs, 2 of them the same fingerprint → 500 permille > 150
+    rows += [(20, "dup.test", good + " one"), (21, "dup.test", good + " one"),
+             (22, "dup.test", good + " two"), (23, "dup.test", good + " three")]
+    rows += [(30 + i, "ok.test", good + f" v{i}") for i in range(4)]  # ok
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {r.host: r for r in host_quality_rollup(docs).collect()}
+    assert out["few.test"].reason == "too_few_docs" and not out["few.test"].keep
+    assert out["low.test"].reason == "low_quality"
+    assert out["dup.test"].reason == "too_many_dups"
+    assert out["dup.test"].dup_permille == 500
+    assert out["ok.test"].reason == "ok" and out["ok.test"].keep
+
+
+def test_host_quality_rollup_charges_cross_host_dups(spark):
+    from webcrawl_spark.functions.textstats import host_quality_rollup
+
+    good = OK_TEXT + " with extra padding words appended here"
+    # the duplicate pair is SPLIT across hosts — both must be charged
+    docs = spark.createDataFrame(
+        [
+            (1, "a.test", good + " same"), (2, "b.test", good + " same"),
+            (3, "a.test", good + " ua1"), (4, "a.test", good + " ua2"),
+            (5, "b.test", good + " ub1"), (6, "b.test", good + " ub2"),
+        ],
+        "doc_id long, host string, text string",
+    )
+    out = {r.host: r for r in host_quality_rollup(docs).collect()}
+    assert out["a.test"].n_dups == 1 and out["b.test"].n_dups == 1
+    assert out["a.test"].dup_permille == 333  # div(1000, 3)

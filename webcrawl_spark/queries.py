@@ -1056,6 +1056,23 @@ def q_anchor_text_stats(spark, sf_dir):
     return ANC.anchor_text_stats(pages)
 
 
+def q_host_quality_rollup(spark, sf_dir):
+    """Domain-level quality gate (functions/textstats.host_quality_rollup,
+    RefinedWeb-style): per-host doc count, integer average quality,
+    corpus-wide duplication permille — whole hosts kept/dropped with the
+    first failing rule as the reason. Over the duplicate-injected corpus
+    with the synthetic host mapping (sources/synth_web.host_id_expr), so
+    the mega-host and real dup pressure both exist."""
+    docs = _aug_docs(spark, sf_dir).select(
+        "doc_id", "text",
+        F.expr(
+            "'site' || CAST(" + SW.host_id_expr("doc_id") + " AS STRING)"
+            " || '.test'"
+        ).alias("host"),
+    )
+    return TS.host_quality_rollup(docs)
+
+
 def q_recrawl_ranks(spark, sf_dir):
     """Recrawl scheduling (operators/snapshot.recrawl_ranks): the snapshot
     diff folded into the (url, rank) table config.rank_priority consumes —
@@ -2111,6 +2128,41 @@ top AS (SELECT target, anchor AS top_anchor,
 SELECT tot.target, tot.n_inbound, tot.n_sources,
        top.top_anchor, top.top_anchor_count
 FROM tot JOIN top USING (target)
+"""
+
+    # host rollup oracle: quality_score formula + fingerprint + host map
+    # replayed with the HOSTQ_* constants interpolated
+    sql["host_quality_rollup"] = f"""
+WITH aug AS ({_AUG_DOCS_SQL}),
+base AS (
+  SELECT 'site' || CAST({SW.host_id_expr("doc_id")} AS STRING) || '.test' AS host,
+    doc_id AS id,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+    CAST(least(len(string_split_regex(trim(text), '\\s+')), 256)
+      - greatest(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 4
+                 - len(string_split_regex(trim(text), '\\s+')), 0) AS BIGINT) AS score
+  FROM aug),
+dups AS (SELECT fp FROM base GROUP BY fp HAVING COUNT(*) > 1),
+marked AS (
+  SELECT host, score,
+         CASE WHEN fp IN (SELECT fp FROM dups) THEN 1 ELSE 0 END AS is_dup
+  FROM base),
+agg AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+    CAST(SUM(score) // COUNT(*) AS BIGINT) AS avg_score,
+    CAST(SUM(is_dup) * 1000 // COUNT(*) AS BIGINT) AS dup_permille
+  FROM marked GROUP BY host)
+SELECT host, n_docs, n_dups, avg_score, dup_permille,
+  CASE WHEN n_docs < {TS.HOSTQ_MIN_DOCS} THEN '{TS.HOSTQ_RULES[0]}'
+       WHEN avg_score < {TS.HOSTQ_MIN_AVG_SCORE} THEN '{TS.HOSTQ_RULES[1]}'
+       WHEN dup_permille > {TS.HOSTQ_MAX_DUP_PERMILLE} THEN '{TS.HOSTQ_RULES[2]}'
+       ELSE 'ok' END AS reason,
+  (CASE WHEN n_docs < {TS.HOSTQ_MIN_DOCS} THEN '{TS.HOSTQ_RULES[0]}'
+        WHEN avg_score < {TS.HOSTQ_MIN_AVG_SCORE} THEN '{TS.HOSTQ_RULES[1]}'
+        WHEN dup_permille > {TS.HOSTQ_MAX_DUP_PERMILLE} THEN '{TS.HOSTQ_RULES[2]}'
+        ELSE 'ok' END) = 'ok' AS keep
+FROM agg
 """
 
     _snap_ctes = f"""
@@ -3283,6 +3335,7 @@ QUERIES: dict[str, Callable] = {
     "duplicate_spans": q_duplicate_spans,
     "inverted_index": q_inverted_index,
     "anchor_text_stats": q_anchor_text_stats,
+    "host_quality_rollup": q_host_quality_rollup,
     "paragraph_dedup_incremental": q_paragraph_dedup_incremental,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
