@@ -667,12 +667,19 @@ def host_quality_rollup(
     rollup partial-combines map-side so a mega-host collapses before its
     exchange.
     """
+    # score inlined (same formula as quality_stats) rather than joined:
+    # a join would be a corpus×corpus self-join — two scans + a sort-merge
+    # exchange pair for values computable on the row being scanned
     base = docs.select(
         F.col(host_col).alias("host"),
         F.col(id_col).alias("id"),
         fingerprint(text_col).alias("fp"),
-    ).join(
-        quality_stats(docs, text_col, id_col).select("id", "score"), "id"
+        (
+            F.least(ws_token_count(text_col), F.lit(256))
+            - F.greatest(
+                punct_count(text_col) * 4 - ws_token_count(text_col), F.lit(0)
+            )
+        ).alias("score"),
     )
     dup_fps = (
         base.groupBy("fp")

@@ -1073,6 +1073,43 @@ def q_host_quality_rollup(spark, sf_dir):
     return TS.host_quality_rollup(docs)
 
 
+TSB_SIZE = 8   # training-set-build chunk window (engine AND oracle)
+TSB_STRIDE = 6
+TSB_MIN_AVG = 30  # domain-gate threshold tuned to the short c4 texts
+
+
+def q_training_set_build(spark, sf_dir):
+    """The round-5 operators COMPOSED as one declarative training-set
+    build (the 100-TB use case, not an operator demo): domain gate
+    (host_quality_rollup keep) → C4 line cleaning (c4_clean keep, cleaned
+    text) → token-window chunking (chunk_by_tokens) — one logical plan,
+    no driver round-trips; the domain gate's host table is
+    broadcast-sized, the C4 and chunk stages are zero-exchange map-side,
+    so the composition scales exactly like its parts."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "'site' || CAST(" + SW.host_id_expr("doc_id") + " AS STRING)"
+            " || '.test'"
+        ).alias("host"),
+        F.expr(_c4_text_sql("doc_id")).alias("text"),
+    )
+    kept_hosts = (
+        TS.host_quality_rollup(docs, min_avg_score=TSB_MIN_AVG)
+        .filter("keep").select("host")
+    )
+    survivors = docs.join(F.broadcast(kept_hosts), "host")
+    cleaned = (
+        TS.c4_clean(survivors)
+        .filter("keep")
+        .select(F.col("id").alias("doc_id"), F.col("text_clean").alias("text"))
+    )
+    return TS.chunk_by_tokens(cleaned, size=TSB_SIZE, stride=TSB_STRIDE).select(
+        F.col("id").alias("doc_id"), "chunk_id", "start_tok", "n_tok",
+        "chunk_text",
+    )
+
+
 def q_recrawl_ranks(spark, sf_dir):
     """Recrawl scheduling (operators/snapshot.recrawl_ranks): the snapshot
     diff folded into the (url, rank) table config.rank_priority consumes —
@@ -2163,6 +2200,66 @@ SELECT host, n_docs, n_dups, avg_score, dup_permille,
         WHEN dup_permille > {TS.HOSTQ_MAX_DUP_PERMILLE} THEN '{TS.HOSTQ_RULES[2]}'
         ELSE 'ok' END) = 'ok' AS keep
 FROM agg
+"""
+
+    # composed training-set build: host gate → C4 clean → chunk windows,
+    # each stage replaying its own oracle shape over the previous one
+    sql["training_set_build"] = f"""
+WITH d AS (
+  SELECT doc_id,
+    'site' || CAST({SW.host_id_expr("doc_id")} AS STRING) || '.test' AS host,
+    {_c4_text_sql("doc_id")} AS text
+  FROM documents),
+hb AS (
+  SELECT host,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+    CAST(least(len(string_split_regex(trim(text), '\\s+')), 256)
+      - greatest(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 4
+                 - len(string_split_regex(trim(text), '\\s+')), 0) AS BIGINT) AS score
+  FROM d),
+hd AS (SELECT fp FROM hb GROUP BY fp HAVING COUNT(*) > 1),
+ha AS (
+  SELECT host, COUNT(*) AS n_docs,
+    SUM(CASE WHEN fp IN (SELECT fp FROM hd) THEN 1 ELSE 0 END) AS n_dups,
+    SUM(score) // COUNT(*) AS avg_score,
+    SUM(CASE WHEN fp IN (SELECT fp FROM hd) THEN 1 ELSE 0 END) * 1000
+      // COUNT(*) AS dup_permille
+  FROM hb GROUP BY host),
+hkeep AS (
+  SELECT host FROM ha
+  WHERE n_docs >= {TS.HOSTQ_MIN_DOCS} AND avg_score >= {TSB_MIN_AVG}
+    AND dup_permille <= {TS.HOSTQ_MAX_DUP_PERMILLE}),
+s AS (SELECT doc_id, text FROM d JOIN hkeep USING (host)),
+s2 AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM s),
+k AS (
+  SELECT doc_id, text,
+    list_filter(ls, l -> trim(l) <> ''
+      AND right(trim(l), 1) IN ({_terminals})
+      AND len(string_split_regex(trim(l), '\\s+')) >= {TS.C4_MIN_LINE_WORDS}
+      AND NOT contains(lower(l), '{TS.C4_LINE_BAD}')) AS kept
+  FROM s2),
+clean AS (
+  SELECT doc_id, array_to_string(kept, chr(10)) AS text
+  FROM k
+  WHERE NOT contains(lower(text), '{TS.C4_DOC_BAD_LOREM}')
+    AND NOT contains(text, '{TS.C4_DOC_BAD_BRACE}')
+    AND len(kept) >= {TS.C4_MIN_LINES}),
+w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM clean),
+n AS (SELECT doc_id, w, len(w) AS n FROM w),
+c AS (
+  SELECT doc_id, w, n,
+    CASE WHEN n <= {TSB_SIZE} THEN 1
+         ELSE 1 + (n - {TSB_SIZE} + {TSB_STRIDE} - 1) // {TSB_STRIDE}
+    END AS n_chunks
+  FROM n),
+e AS (SELECT doc_id, w, n, unnest(range(0, n_chunks)) AS ci FROM c)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+  CAST(ci * {TSB_STRIDE} AS BIGINT) AS start_tok,
+  CAST(len(list_slice(w, CAST(ci * {TSB_STRIDE} + 1 AS INT),
+       CAST(least(ci * {TSB_STRIDE} + {TSB_SIZE}, n) AS INT))) AS BIGINT) AS n_tok,
+  array_to_string(list_slice(w, CAST(ci * {TSB_STRIDE} + 1 AS INT),
+       CAST(least(ci * {TSB_STRIDE} + {TSB_SIZE}, n) AS INT)), ' ') AS chunk_text
+FROM e
 """
 
     _snap_ctes = f"""
@@ -3336,6 +3433,7 @@ QUERIES: dict[str, Callable] = {
     "inverted_index": q_inverted_index,
     "anchor_text_stats": q_anchor_text_stats,
     "host_quality_rollup": q_host_quality_rollup,
+    "training_set_build": q_training_set_build,
     "paragraph_dedup_incremental": q_paragraph_dedup_incremental,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
