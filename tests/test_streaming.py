@@ -332,3 +332,53 @@ def test_stream_paragraph_dedup_equals_batch(spark, tmp_path):
     assert got[0][0] == "shared boilerplate line\ndoc 0 unique line"
     # doc 17 (batch 2): boilerplate kept by doc 0 in batch 1 → dropped
     assert got[17][0] == "doc 17 unique line\ngroup 1 footer" or got[17][0] == "doc 17 unique line"
+
+
+def test_stream_clean_chunk_equals_batch(spark, tmp_path):
+    """Stateless C4-clean + chunking at ingest: the drained stream must
+    equal the batch composition row-for-row — same expressions, no state,
+    so parity is structural."""
+    from webcrawl_spark.functions import textstats as TS
+
+    good = "this sentence has plenty of words and ends well."
+
+    def txt(i):
+        # docs with i%3==0 keep 3 good lines (pass), others keep 2 (drop)
+        lines = [good, f"doc {i} asks a question with enough words?"]
+        if i % 3 == 0:
+            lines.append("a third full sentence closes the document here.")
+        lines.append("no terminal punctuation on this line")
+        return "\n".join(lines)
+
+    docs = spark.createDataFrame(
+        [(i, txt(i)) for i in range(24)], "doc_id long, text string"
+    )
+    stage = tmp_path / "stage"
+    docs.repartition(3).write.parquet(str(stage))
+
+    schema = spark.read.parquet(str(stage)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    q = (
+        SE.clean_chunk_stream(stream, size=8, stride=6)
+        .writeStream.format("memory")
+        .queryName("clean_chunk_t")
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+
+    got = {
+        (r.doc_id, r.chunk_id): (r.start_tok, r.n_tok, r.chunk_text)
+        for r in spark.sql("select * from clean_chunk_t").collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_id): (r.start_tok, r.n_tok, r.chunk_text)
+        for r in SE.clean_chunk_stream(docs, size=8, stride=6).collect()
+    }
+    assert got == want and len(want) > 0
+    # only the i%3==0 docs survive the 3-kept-lines rule
+    assert {d for d, _ in want} == {i for i in range(24) if i % 3 == 0}

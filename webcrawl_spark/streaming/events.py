@@ -238,3 +238,30 @@ def stream_paragraph_dedup(
         .queryName(query_name)
         .start()
     )
+
+
+def clean_chunk_stream(
+    docs: DataFrame, size: int = 8, stride: int = 6,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """C4 line cleaning + token-window chunking AT INGEST: both stages
+    are stateless narrow projections (``functions/textstats.c4_clean`` /
+    ``chunk_by_tokens``), so they run INSIDE the streaming plan — no
+    ``foreachBatch``, no state store, no watermark (nothing aggregates) —
+    and the drained stream equals the batch composition by construction
+    (asserted in tests). The same expressions the batch path uses; one
+    source, no drift.
+
+    100-TB shape: per micro-batch this is the identical zero-exchange
+    map-side plan as batch; throughput is bounded by the source, never by
+    streaming state."""
+    from ..functions import textstats as TS
+
+    cleaned = (
+        TS.c4_clean(docs, text_col=text_col, id_col=id_col)
+        .filter("keep")
+        .select(F.col("id").alias(id_col), F.col("text_clean").alias(text_col))
+    )
+    return TS.chunk_by_tokens(
+        cleaned, size=size, stride=stride, text_col=text_col, id_col=id_col
+    ).withColumnRenamed("id", id_col)
