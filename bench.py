@@ -55,7 +55,7 @@ BENCH_QUERIES = [
     "recrawl_ranks", "unigram_lm_score",
     "c4_clean", "chunk_by_tokens", "bm25_search", "dedup_keep_best",
     "duplicate_spans", "inverted_index", "anchor_text_stats",
-    "host_quality_rollup", "training_set_build",
+    "host_quality_rollup", "training_set_build", "strip_boilerplate",
     "fingerprint", "corpus_clean_pipeline", "corpus_split_stats", "shard_by_tokens", "cosine_topk", "ann_ivf_topk", "ann_recall", "embed_neardup",
     "embed_neardup_ann", "embed_neardup_incremental",
     "embed_neardup_incr_recall", "neardup_recall", "multimodal_meta",

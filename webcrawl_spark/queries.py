@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import anchors as ANC
+from .functions import boilerplate as BP
 from .functions import multimodal as MM
 from .functions import textstats as TS
 from .kernels import surt as SURT
@@ -1110,6 +1111,42 @@ def q_training_set_build(spark, sf_dir):
     )
 
 
+def _boiler_html_sql(d: str) -> str:
+    """Deterministic chrome-wrapped HTML per doc — ONE SQL string valid
+    in both engines: a link-dense nav bar, a script block (must vanish),
+    the real content paragraph, an optional related-links list (d%3=0),
+    an optional mixed content+link paragraph (d%4=1, must be KEPT), and
+    a too-short block."""
+    s = f"CAST({d} AS STRING)"
+    return (
+        "'<div>home | <a href=\"/\">start</a> <a href=\"/a\">about us</a>"
+        " <a href=\"/b\">contact now</a></div>'"
+        f" || '<script>var x = ' || {s} || ';</script>'"
+        f" || '<p>doc ' || {s} || ' main content reads '"
+        " || substr(text, 1, 60) || ' end</p>'"
+        f" || CASE WHEN {d} % 3 = 0 THEN"
+        " '<div><a href=\"/x\">related one</a>"
+        " <a href=\"/y\">related two</a></div>' ELSE '' END"
+        f" || CASE WHEN {d} % 4 = 1 THEN"
+        " '<p>a second paragraph with <a href=\"/z\">one inline link</a>"
+        " and more plain words here</p>' ELSE '' END"
+        " || '<p>short.</p>'"
+    )
+
+
+def q_strip_boilerplate(spark, sf_dir):
+    """Main-content extraction (functions/boilerplate.strip_boilerplate,
+    JusText/Kohlschütter-style): block split + word-count / link-density
+    keep rule, zero exchanges — the HTML→clean-text step before any text
+    filter. The nav/related/footer chrome must drop, the content and the
+    mixed content+link paragraph must survive."""
+    pages = _t(spark, sf_dir, "documents").select(
+        F.expr("'http://src' || CAST(doc_id AS STRING) || '.test/'").alias("url"),
+        F.expr(_boiler_html_sql("doc_id")).alias("html"),
+    )
+    return BP.strip_boilerplate(pages)
+
+
 def q_recrawl_ranks(spark, sf_dir):
     """Recrawl scheduling (operators/snapshot.recrawl_ranks): the snapshot
     diff folded into the (url, rank) table config.rank_priority consumes —
@@ -2165,6 +2202,54 @@ top AS (SELECT target, anchor AS top_anchor,
 SELECT tot.target, tot.n_inbound, tot.n_sources,
        top.top_anchor, top.top_anchor_count
 FROM tot JOIN top USING (target)
+"""
+
+    # boilerplate oracle: the block heuristic replayed in DuckDB list
+    # algebra with the SAME pattern/threshold constants; DuckDB's
+    # regexp_replace needs the explicit 'g' flag (Spark's is global)
+    def _bp_txt(b: str) -> str:
+        return (
+            f"trim(regexp_replace(regexp_replace({b}, '{BP.BP_TAG_RE}', ' ', 'g'),"
+            f" '\\s+', ' ', 'g'))"
+        )
+
+    def _bp_words(b: str) -> str:
+        t = _bp_txt(b)
+        return f"(CASE WHEN {t} = '' THEN 0 ELSE len(string_split({t}, ' ')) END)"
+
+    def _bp_linkwords(b: str) -> str:
+        # DuckDB array_to_string(empty) is NULL (Spark: ''): coalesce
+        j = (
+            f"coalesce(array_to_string(regexp_extract_all({b},"
+            f" '{BP.BP_ANCHOR_BODY_RE}', 1), ' '), '')"
+        )
+        return _bp_words(j)
+
+    def _bp_keep(b: str) -> str:
+        return (
+            f"({_bp_words(b)} >= {BP.BP_MIN_WORDS}"
+            f" AND ({_bp_linkwords(b)} * 1000) // greatest({_bp_words(b)}, 1)"
+            f" <= {BP.BP_MAX_LINK_PERMILLE})"
+        )
+
+    sql["strip_boilerplate"] = f"""
+WITH pages AS (
+  SELECT 'http://src' || CAST(doc_id AS STRING) || '.test/' AS url,
+         {_boiler_html_sql("doc_id")} AS html
+  FROM documents),
+c AS (
+  SELECT url,
+    regexp_replace(regexp_replace(html, '{BP.BP_SCRIPT_RE}', ' ', 'g'),
+                   '{BP.BP_STYLE_RE}', ' ', 'g') AS cleaned
+  FROM pages),
+b AS (SELECT url, string_split_regex(cleaned, '{BP.BP_BLOCK_SPLIT_RE}') AS blocks FROM c)
+SELECT url,
+  CAST(len(list_filter(blocks, x -> {_bp_txt("x")} <> '')) AS BIGINT) AS n_blocks,
+  CAST(len(list_filter(blocks, x -> {_bp_keep("x")})) AS BIGINT) AS blocks_kept,
+  coalesce(array_to_string(
+    list_transform(list_filter(blocks, x -> {_bp_keep("x")}),
+                   x -> {_bp_txt("x")}), chr(10)), '') AS text_main
+FROM b
 """
 
     # host rollup oracle: quality_score formula + fingerprint + host map
@@ -3434,6 +3519,7 @@ QUERIES: dict[str, Callable] = {
     "anchor_text_stats": q_anchor_text_stats,
     "host_quality_rollup": q_host_quality_rollup,
     "training_set_build": q_training_set_build,
+    "strip_boilerplate": q_strip_boilerplate,
     "paragraph_dedup_incremental": q_paragraph_dedup_incremental,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
