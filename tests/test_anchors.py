@@ -55,3 +55,68 @@ def test_anchor_text_stats_tie_breaks_lexicographically(spark):
     )
     row = anchor_text_stats(pages).collect()[0]
     assert row.top_anchor == "alpha" and row.top_anchor_count == 1
+
+
+def test_anchor_stats_incremental_merges_counts_and_sources(spark):
+    from webcrawl_spark.functions.anchors import (
+        anchor_counts,
+        anchor_stats_incremental,
+        anchor_text_stats,
+    )
+
+    t = "http://hub.test/"
+    corpus = spark.createDataFrame(
+        [("s1", f'<a href="{t}">home</a>'), ("s2", f'<a href="{t}">start</a>')],
+        "url string, html string",
+    )
+    # delta: s1 RE-links (count merges into the same (t, home, s1) row),
+    # s3 is a brand-new source, and a new target appears
+    delta = spark.createDataFrame(
+        [
+            ("s1", f'<a href="{t}">home</a><a href="http://new.test/">n</a>'),
+            ("s3", f'<a href="{t}">home</a>'),
+        ],
+        "url string, html string",
+    )
+    got = {
+        r.target: r
+        for r in anchor_stats_incremental(delta, anchor_counts(corpus)).collect()
+    }
+    hub = got[t]
+    assert hub.n_inbound == 4 and hub.n_sources == 3
+    assert hub.top_anchor == "home" and hub.top_anchor_count == 3
+    assert got["http://new.test/"].n_inbound == 1
+    # merged state must equal the batch answer over corpus ∪ delta
+    want = {
+        r.target: r
+        for r in anchor_text_stats(corpus.unionByName(delta)).collect()
+    }
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in want.items()
+    }
+
+
+def test_url_alias_groups_shortest_url_wins(spark):
+    from webcrawl_spark.operators.textdedup import url_alias_groups
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.test/x.html", "same content body"),
+            ("http://a-very-long-mirror.example/x.html", "same content body"),
+            ("http://b.test/y.html", "unique content body"),
+            # equal length → lexicographic tie-break
+            ("http://c.test/z1.html", "tied content body"),
+            ("http://c.test/z0.html", "tied content body"),
+        ],
+        "url string, text string",
+    )
+    out = {r.url: r for r in url_alias_groups(pages).collect()}
+    assert out["http://a.test/x.html"].is_canonical
+    assert not out["http://a-very-long-mirror.example/x.html"].is_canonical
+    assert out["http://a-very-long-mirror.example/x.html"].canonical_url == (
+        "http://a.test/x.html"
+    )
+    assert out["http://b.test/y.html"].is_canonical
+    assert out["http://b.test/y.html"].group_size == 1
+    assert out["http://c.test/z0.html"].is_canonical
+    assert not out["http://c.test/z1.html"].is_canonical

@@ -85,3 +85,71 @@ def anchor_text_stats(
         "top_anchor",
         F.col("top_anchor_count").cast("long").alias("top_anchor_count"),
     )
+
+
+def anchor_counts(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """The PERSISTABLE anchor state: ``(target, anchor, src, cnt)`` —
+    the smallest granularity from which every :func:`anchor_text_stats`
+    output is derivable AND which merges additively across crawls (counts
+    sum; distinct-source sets are unions of the src column). A deployment
+    writes this once per crawl; it is orders of magnitude smaller than
+    the HTML it summarizes."""
+    return (
+        extract_anchors(pages, html_col, url_col)
+        .groupBy("target", "anchor", "src")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def anchor_stats_incremental(
+    delta_pages: DataFrame, stored_counts: DataFrame,
+    html_col: str = "html", url_col: str = "url",
+) -> DataFrame:
+    """Incremental anchor-profile maintenance — the ADDITIVE-STATE member
+    of the delta-vs-corpus family (the six dedup members probe a stored
+    table; here the stored table is a mergeable aggregate): extract
+    anchors from ONLY the delta's HTML, merge the delta's counts into the
+    persisted :func:`anchor_counts` state by summing, and recompute the
+    :func:`anchor_text_stats` rollup from the merged state. The corpus
+    HTML is never re-read; unit/battery checks assert the result equals
+    the whole-corpus ``anchor_text_stats`` over corpus ∪ delta.
+
+    100-TB shape: the merge is one uniform-key (target, anchor, src)
+    aggregate over state-table-sized inputs (the delta side is small by
+    definition, AQE broadcasts it); the rollup is the same two
+    partial-combining aggregates + struct-min as the batch operator.
+    """
+    merged = (
+        stored_counts.unionByName(
+            anchor_counts(delta_pages, html_col, url_col)
+        )
+        .groupBy("target", "anchor", "src")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    per = merged.groupBy("target", "anchor").agg(F.sum("cnt").alias("cnt"))
+    tot = merged.groupBy("target").agg(
+        F.sum("cnt").alias("n_inbound"),
+        F.countDistinct("src").alias("n_sources"),
+    )
+    top = per.groupBy("target").agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("nc"),
+                F.col("anchor").alias("a"),
+                F.col("cnt").alias("c"),
+            )
+        ).alias("m")
+    ).select(
+        "target",
+        F.col("m.a").alias("top_anchor"),
+        F.col("m.c").alias("top_anchor_count"),
+    )
+    return tot.join(top, "target").select(
+        "target",
+        F.col("n_inbound").cast("long").alias("n_inbound"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        "top_anchor",
+        F.col("top_anchor_count").cast("long").alias("top_anchor_count"),
+    )

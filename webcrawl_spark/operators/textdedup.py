@@ -1015,3 +1015,44 @@ def duplicate_spans(
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_occurrences").cast("long").alias("n_occurrences"),
     )
+
+
+def url_alias_groups(
+    pages: DataFrame, text_col: str = "text", url_col: str = "url"
+) -> DataFrame:
+    """Mirror / URL-alias detection: group pages by exact content digest
+    and pick ONE canonical URL per group — shortest URL first, then
+    lexicographic (the Common-Crawl-style canonicalization heuristic:
+    mirrors and tracking-parameter variants are longer than the clean
+    original). Output ``(url, digest, group_size, canonical_url,
+    is_canonical)``; filter ``is_canonical`` to materialize the
+    alias-collapsed corpus, or ``group_size > 1`` to audit mirrors.
+
+    Differs from :func:`exact_dedup` in the SURVIVOR POLICY dimension:
+    that operator keeps the first-seen id, :func:`dedup_keep_best` keeps
+    the best-quality near-duplicate, and this one keeps the shortest URL
+    of byte-identical content — three policies, one groupBy shape.
+
+    100-TB shape: one md5-keyed hash aggregate (uniform keys, map-side
+    combine) computing size + ``min(struct(length(url), url))`` together,
+    then one join back on the digest; no window, no skew sensitivity.
+    """
+    d = pages.select(
+        F.col(url_col).alias("url"), F.md5(F.col(text_col)).alias("digest")
+    )
+    groups = d.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min(
+            F.struct(
+                F.length("url").alias("l"), F.col("url").alias("u")
+            )
+        ).alias("m"),
+    ).select(
+        "digest",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("m.u").alias("canonical_url"),
+    )
+    return d.join(groups, "digest").select(
+        "url", "digest", "group_size", "canonical_url",
+        (F.col("url") == F.col("canonical_url")).alias("is_canonical"),
+    )

@@ -1147,6 +1147,55 @@ def q_strip_boilerplate(spark, sf_dir):
     return BP.strip_boilerplate(pages)
 
 
+ANCHOR_SPLIT = 250  # delta = doc_id < ANCHOR_SPLIT; corpus = the rest
+
+
+def q_anchor_stats_incremental(spark, sf_dir):
+    """Incremental anchor-profile maintenance (functions/anchors
+    .anchor_stats_incremental): the ADDITIVE-STATE member of the
+    delta-vs-corpus family — the delta's HTML is the only HTML scanned;
+    yesterday's persisted (target, anchor, src, cnt) state merges by sum
+    and the rollup recomputes from the merged state. The oracle is the
+    WHOLE-CORPUS anchor_text_stats SQL, so a hash match proves the merge
+    reconstructs the batch answer exactly."""
+    def pages(pred):
+        return _t(spark, sf_dir, "documents").where(pred).select(
+            F.expr("'http://src' || CAST(doc_id AS STRING) || '.test/'")
+            .alias("url"),
+            F.expr(_anchor_html_sql("doc_id")).alias("html"),
+        )
+
+    stored = ANC.anchor_counts(
+        pages(f"doc_id >= {ANCHOR_SPLIT}")
+    ).localCheckpoint(eager=True)  # the persisted state table stand-in
+    return ANC.anchor_stats_incremental(
+        pages(f"doc_id < {ANCHOR_SPLIT}"), stored
+    )
+
+
+ALIAS_N = 50  # docs with a longer mirror URL serving identical content
+
+
+def q_url_alias_groups(spark, sf_dir):
+    """Mirror / URL-alias canonicalization (operators/textdedup
+    .url_alias_groups): group by content digest, canonical = shortest
+    URL then lexicographic — the third survivor policy next to
+    first-seen (dedup_exact) and best-quality (dedup_keep_best)."""
+    base = _t(spark, sf_dir, "documents")
+    pages = base.select(
+        F.expr(SW.url_sql("doc_id")).alias("url"), "text"
+    ).unionByName(
+        base.where(f"doc_id < {ALIAS_N}").select(
+            F.expr(
+                "'http://mirror-of-the-original.example/copy'"
+                " || CAST(doc_id AS STRING) || '.html'"
+            ).alias("url"),
+            "text",
+        )
+    )
+    return TD.url_alias_groups(pages)
+
+
 def q_recrawl_ranks(spark, sf_dir):
     """Recrawl scheduling (operators/snapshot.recrawl_ranks): the snapshot
     diff folded into the (url, rank) table config.rank_priority consumes —
@@ -2202,6 +2251,29 @@ top AS (SELECT target, anchor AS top_anchor,
 SELECT tot.target, tot.n_inbound, tot.n_sources,
        top.top_anchor, top.top_anchor_count
 FROM tot JOIN top USING (target)
+"""
+
+    # incremental anchor maintenance: the oracle is the WHOLE-CORPUS
+    # anchor profile — a hash match proves the merge is exact
+    sql["anchor_stats_incremental"] = sql["anchor_text_stats"]
+
+    sql["url_alias_groups"] = f"""
+WITH pages AS (
+  SELECT {SW.url_sql("doc_id")} AS url, text FROM documents
+  UNION ALL
+  SELECT 'http://mirror-of-the-original.example/copy'
+         || CAST(doc_id AS STRING) || '.html' AS url, text
+  FROM documents WHERE doc_id < {ALIAS_N}),
+d AS (SELECT url, md5(text) AS digest FROM pages),
+r AS (
+  SELECT url, digest,
+    CAST(COUNT(*) OVER (PARTITION BY digest) AS BIGINT) AS group_size,
+    ROW_NUMBER() OVER (PARTITION BY digest ORDER BY length(url), url) AS rn
+  FROM d),
+canon AS (SELECT digest, url AS canonical_url FROM r WHERE rn = 1)
+SELECT r.url, r.digest, r.group_size, canon.canonical_url,
+       r.url = canon.canonical_url AS is_canonical
+FROM r JOIN canon USING (digest)
 """
 
     # boilerplate oracle: the block heuristic replayed in DuckDB list
@@ -3520,6 +3592,8 @@ QUERIES: dict[str, Callable] = {
     "host_quality_rollup": q_host_quality_rollup,
     "training_set_build": q_training_set_build,
     "strip_boilerplate": q_strip_boilerplate,
+    "anchor_stats_incremental": q_anchor_stats_incremental,
+    "url_alias_groups": q_url_alias_groups,
     "paragraph_dedup_incremental": q_paragraph_dedup_incremental,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_lsh_pairs": q_dedup_lsh_pairs,
