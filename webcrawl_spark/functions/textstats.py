@@ -714,3 +714,158 @@ def host_quality_rollup(
         reason.alias("reason"),
         (reason == F.lit("ok")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier + DSIR importance weights
+# ---------------------------------------------------------------------------
+
+# fastText-style hashing trick: the "model" is a CLS_BUCKETS-dimensional
+# weight vector; a term's feature index is hash32(term) mod CLS_BUCKETS and
+# the weight at index b derives deterministically from hash32('w#'||b) —
+# an engine-independent stand-in for trained parameters, so the classifier
+# PLUMBING (hashing, bucket lookup, per-doc accumulation, thresholding) is
+# real and oracle-checkable while the weights stay synthetic.
+CLS_BUCKETS = 4096
+CLS_W_SPAN = 2001          # integer weights in [-1000, 1000]
+CLS_W_TAG = "w#"           # weight-derivation salt
+
+
+def hash_classifier_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet/fastText-style linear quality classifier over hashed
+    bag-of-words features: ``(id, n_tokens, score, label)`` where
+    ``score = sum over tokens of W[hash32(term) mod CLS_BUCKETS]`` with the
+    deterministic integer weight vector W described above, and
+    ``label = score > 0``. This is the quality-filter shape used by CCNet /
+    LLaMA / RefinedWeb (a fastText linear model over the raw corpus, keep
+    the positive class); the weights here are hash-derived so both engines
+    reproduce the decision bit-exactly without a training artifact.
+
+    100-TB shape: the bucket index and its weight are MAP-SIDE codegen
+    expressions per token (two md5s — no vocabulary table, no join: the
+    hashing trick's whole point is O(1) parameter lookup); the only
+    exchange is the per-document aggregate on the uniform doc-id key with
+    map-side partial combine. Integer weights summed as BIGINT — no float
+    anywhere, any engine bit-exact.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    b = toks.withColumn(
+        "b", F.expr(f"pmod({HASH32.format(col='term')}, {CLS_BUCKETS})")
+    )
+    w_hash = HASH32.format(
+        col=f"concat('{CLS_W_TAG}', cast(b as string))"
+    )
+    w = b.withColumn(
+        "w", F.expr(f"pmod({w_hash}, {CLS_W_SPAN}) - {(CLS_W_SPAN - 1) // 2}")
+    )
+    agg = w.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("w").cast("long").alias("score"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "score",
+        (F.col("score") > 0).alias("label"),
+    )
+
+
+# DSIR (Data Selection via Importance Resampling, Xie et al. 2023): score
+# every raw document by the log-likelihood ratio of a TARGET hashed-unigram
+# LM over a RAW one, then keep the top-k. The target here is the corpus's
+# own heuristic-clean subset (Gopher's two map-side rules), standing in for
+# "Wikipedia-like" — the published method's target is any small trusted
+# corpus, and the fit/score plumbing is identical.
+DSIR_BUCKETS = 512
+DSIR_TOPK = 200
+DSIR_TGT_MIN_WORDS = GOPHER_MIN_WORDS
+DSIR_TGT_MIN_STOP = GOPHER_MIN_STOP_HITS
+
+
+def dsir_weights(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = DSIR_TOPK,
+) -> DataFrame:
+    """DSIR importance weights + top-k selection: ``(id, n_tokens,
+    dsir_micronat)`` for the ``k`` documents with the highest
+    ``sum over tokens of [log p_target(bucket) - log p_raw(bucket)]``,
+    features hashed into DSIR_BUCKETS buckets with add-1 smoothing, the
+    target LM fit on documents passing the two cheap Gopher rules
+    (word count >= DSIR_TGT_MIN_WORDS, stopword hits >= DSIR_TGT_MIN_STOP).
+
+    Engine-exactness: each bucket's two log-probs round ONCE each to
+    integer micro-nats (the unigram_lm_score recipe); lambda and every doc
+    weight are BIGINT, and the top-k orders by (weight desc, id) so ties
+    at the boundary are deterministic.
+
+    100-TB shape: one corpus pass computes the target flag map-side and
+    explodes tokens; BOTH LM fits are bucket aggregates whose shuffled
+    rows are DSIR_BUCKETS-bounded (not token-bounded) after map-side
+    partial combine; the lambda table (DSIR_BUCKETS rows) broadcasts back
+    onto the token stream; the per-doc weight is one uniform-key aggregate;
+    selection is orderBy+limit — Spark plans TakeOrdered (per-partition
+    heap + driver merge of k*P rows), never a global sort.
+    """
+    stopw = list(LANG_STOPWORDS["en"])
+    toks_arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    flagged = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        (
+            (ws_token_count(text_col) >= DSIR_TGT_MIN_WORDS)
+            & (F.size(F.filter(toks_arr, lambda t: t.isin(*stopw)))
+               >= DSIR_TGT_MIN_STOP)
+        ).alias("is_target"),
+    )
+    toks = flagged.select(
+        "id",
+        "is_target",
+        F.explode(F.split(F.lower(F.trim(F.col("__text"))), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    bt = toks.withColumn(
+        "b", F.expr(f"pmod({HASH32.format(col='term')}, {DSIR_BUCKETS})")
+    )
+    raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = bt.filter("is_target").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    allb = docs.sparkSession.range(DSIR_BUCKETS).select(
+        F.col("id").cast("long").alias("b")
+    )
+    counts = (
+        allb.join(raw, "b", "left")
+        .join(tgt, "b", "left")
+        .select(
+            "b",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    tot = counts.agg(
+        (F.sum("cr") + DSIR_BUCKETS).alias("Tr"),
+        (F.sum("ct") + DSIR_BUCKETS).alias("Tt"),
+    )
+    lp = lambda c, t: F.round(F.log((F.col(c) + 1) / F.col(t)) * 1e6).cast("long")
+    lam = counts.crossJoin(F.broadcast(tot)).select(
+        "b", (lp("ct", "Tt") - lp("cr", "Tr")).alias("lam")
+    )
+    w = (
+        bt.join(F.broadcast(lam), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lam").alias("dsir_micronat"),
+        )
+    )
+    return (
+        w.orderBy(F.col("dsir_micronat").desc(), F.col("id"))
+        .limit(k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("dsir_micronat").cast("long").alias("dsir_micronat"),
+        )
+    )

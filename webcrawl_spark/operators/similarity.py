@@ -547,3 +547,93 @@ def neardup_pairs(
         .filter(F.col("cos") > threshold)
         .select("a", "b", F.round("cos", round_to).alias("cos"))
     )
+
+
+# SemDeDup (Abbas et al. 2023): semantic deduplication inside k-means
+# clusters of the embedding space — within each cluster, documents whose
+# pairwise cosine exceeds the threshold are duplicates, and the group
+# keeps its member with the LOWEST similarity to the cluster centroid
+# (the published keep rule: the most "peripheral" exemplar survives).
+SEMDEDUP_TAU = 0.3
+
+
+def semdedup(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    tau: float = SEMDEDUP_TAU, k_clusters: int = 4, iters: int = 2,
+    scale: int = 1000, salt: int = 16, cache_key=None,
+) -> DataFrame:
+    """(id, cid, cent_cos, kept): SemDeDup over the shared integer k-means
+    quantizer. A vector is DROPPED iff some same-cluster neighbor with
+    pairwise cosine > ``tau`` precedes it in (centroid-cosine, id) order —
+    the pairwise-adjacent form of the published keep-lowest-centroid-sim
+    rule (deterministic: ties break on id; no iteration needed).
+
+    Engine-exactness: the centroid cosine is computed in the QUANTIZED
+    integer space — dot, |x|^2, |c|^2 are exact BIGINTs (64-dim scaled
+    values: products stay far below 2^63), so the one float expression
+    ``dot / sqrt(nx * nc)`` is a fixed three-op IEEE sequence on exact
+    integer inputs that any engine reproduces bit-identically; pair
+    cosines reuse :func:`neardup_pairs_bucketed`'s fold, already
+    oracle-proven by the embed_neardup battery entries.
+
+    100-TB shape: the quantizer is the fit-once cached model
+    (:func:`kmeans_model_cached`); the centroid-similarity pass is one
+    quantized-long scan joined to the BROADCAST k x dims centroid table and
+    aggregated on the uniform (id) key; candidate pairs come from the
+    salted bucketed self-join (parallelism k_clusters x salt, no
+    all-pairs); the loser rule is a projection over pairs plus one
+    distinct on ids — no connected components, no window over a cluster.
+    """
+    cent, ranked = kmeans_model_cached(
+        emb, id_col, vec_col, k_clusters, iters, scale, cache_key=cache_key
+    )
+    assign = ranked.filter(F.col("__rn") == 1).select("id", "cid")
+    ve = _quantized_long(emb, id_col, vec_col, scale)
+    cn = cent.groupBy("cid").agg(
+        F.sum(F.col("cval") * F.col("cval")).alias("nc")
+    )
+    dx = (
+        ve.join(assign, "id")
+        .join(F.broadcast(cent), ["cid", "pos"])
+        .groupBy("id", "cid")
+        .agg(
+            F.sum(F.col("val") * F.col("cval")).alias("dot"),
+            F.sum(F.col("val") * F.col("val")).alias("nx"),
+        )
+    )
+    cs = dx.join(F.broadcast(cn), "cid").select(
+        "id",
+        "cid",
+        (F.col("dot") / F.sqrt((F.col("nx") * F.col("nc")).cast("double"))
+         ).alias("cent_cos"),
+    )
+    pairs = neardup_pairs_bucketed(
+        emb, id_col, vec_col, threshold=tau, k_clusters=k_clusters,
+        iters=iters, scale=scale, salt=salt, ranked=ranked, probes=1,
+    ).select("a", "b")
+    ca = cs.select(F.col("id").alias("a"), F.col("cent_cos").alias("cs_a"))
+    cb = cs.select(F.col("id").alias("b"), F.col("cent_cos").alias("cs_b"))
+    losers = (
+        pairs.join(ca, "a")
+        .join(cb, "b")
+        .select(
+            F.when(
+                (F.col("cs_a") > F.col("cs_b"))
+                | ((F.col("cs_a") == F.col("cs_b")) & (F.col("a") > F.col("b"))),
+                F.col("a"),
+            )
+            .otherwise(F.col("b"))
+            .alias("id")
+        )
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        cs.join(losers, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cid",
+            F.round("cent_cos", 4).alias("cent_cos"),
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -3260,6 +3260,92 @@ JOIN page_bytes p
 GROUP BY 1
 """
 
+    # hash_classifier oracle: the same two md5-derived expressions — the
+    # bucket index and the bucket's integer weight — replayed verbatim;
+    # all-integer accumulation, so the hash match is structural.
+    _cls_w = _duck_hash32(f"'{TS.CLS_W_TAG}' || CAST(b AS VARCHAR)")
+    sql["hash_classifier"] = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+t2 AS (SELECT id, term FROM toks WHERE length(term) > 0),
+wb AS (SELECT id, {_duck_hash32('term')} % {TS.CLS_BUCKETS} AS b FROM t2),
+ww AS (SELECT id, {_cls_w} % {TS.CLS_W_SPAN} - {(TS.CLS_W_SPAN - 1) // 2} AS w
+       FROM wb)
+SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(w) AS BIGINT) AS score, SUM(w) > 0 AS label
+FROM ww GROUP BY id
+"""
+
+    # dsir_weights oracle: both hashed-unigram LMs re-fit from scratch —
+    # target flag from the two map-side Gopher rules, add-1 smoothing over
+    # the full DSIR_BUCKETS range, each log-prob rounded once to integer
+    # micro-nats (the unigram_lm_score recipe), BIGINT from there on.
+    sql["dsir_weights"] = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+t2 AS (SELECT id, term FROM toks WHERE length(term) > 0),
+flg AS (
+  SELECT doc_id AS id,
+    (CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       >= {TS.DSIR_TGT_MIN_WORDS}
+     AND CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+          t -> t IN ({_stoplist}))) AS BIGINT) >= {TS.DSIR_TGT_MIN_STOP})
+    AS is_target
+  FROM documents),
+bt AS (SELECT t2.id, f.is_target, {_duck_hash32('term')} % {TS.DSIR_BUCKETS} AS b
+       FROM t2 JOIN flg f ON f.id = t2.id),
+allb AS (SELECT CAST(range AS BIGINT) AS b FROM range({TS.DSIR_BUCKETS})),
+rc AS (SELECT b, COUNT(*) AS cr FROM bt GROUP BY b),
+tc AS (SELECT b, COUNT(*) AS ct FROM bt WHERE is_target GROUP BY b),
+cnt AS (SELECT allb.b, COALESCE(rc.cr, 0) AS cr, COALESCE(tc.ct, 0) AS ct
+        FROM allb LEFT JOIN rc USING (b) LEFT JOIN tc USING (b)),
+tot AS (SELECT SUM(cr) + {TS.DSIR_BUCKETS} AS tr,
+               SUM(ct) + {TS.DSIR_BUCKETS} AS tt FROM cnt),
+lam AS (SELECT b,
+    CAST(round(ln((ct + 1) / CAST(tt AS DOUBLE)) * 1e6) AS BIGINT)
+  - CAST(round(ln((cr + 1) / CAST(tr AS DOUBLE)) * 1e6) AS BIGINT) AS lam
+  FROM cnt, tot),
+wt AS (SELECT bt.id, COUNT(*) AS n_tokens, SUM(lam.lam) AS dw
+       FROM bt JOIN lam USING (b) GROUP BY bt.id)
+SELECT id AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(dw AS BIGINT) AS dsir_micronat
+FROM wt QUALIFY ROW_NUMBER() OVER (ORDER BY dw DESC, id) <= {TS.DSIR_TOPK}
+"""
+
+    # semdedup oracle: the k-means replay CTE chain (same as the ANN
+    # entries), centroid cosine in the exact quantized-integer space
+    # (dot/nx/nc are exact BIGINTs; one fixed 3-op IEEE expression), pair
+    # cosines via the fold-parity _duck_cos64, and the keep-lowest-
+    # centroid-sim loser rule as a row-value comparison.
+    sql["semdedup"] = f"""
+WITH {_kmeans_ctes},
+asg AS (SELECT id, cid FROM ranked WHERE rn = 1),
+cn AS (SELECT cid, SUM(cval * cval) AS nc FROM c2 GROUP BY cid),
+dx AS (SELECT ve.id, a.cid,
+              SUM(ve.val * c.cval) AS dot, SUM(ve.val * ve.val) AS nx
+       FROM ve JOIN asg a USING (id)
+       JOIN c2 c ON c.cid = a.cid AND c.pos = ve.pos
+       GROUP BY ve.id, a.cid),
+cs AS (SELECT id, cid, dot / sqrt(CAST(nx * nc AS DOUBLE)) AS cent_cos
+       FROM dx JOIN cn USING (cid)),
+p AS (SELECT x.id AS a, y.id AS b
+      FROM asg x JOIN asg y ON x.cid = y.cid AND x.id < y.id
+      JOIN embeddings ea ON ea.vec_id = x.id
+      JOIN embeddings eb ON eb.vec_id = y.id
+      WHERE {_duck_cos64('ea.embedding', 'eb.embedding')} > {SIM.SEMDEDUP_TAU}),
+losers AS (SELECT DISTINCT
+             CASE WHEN (ca.cent_cos, p.a) > (cb.cent_cos, p.b)
+                  THEN p.a ELSE p.b END AS id
+           FROM p JOIN cs ca ON ca.id = p.a JOIN cs cb ON cb.id = p.b)
+SELECT cs.id AS vec_id, CAST(cs.cid AS BIGINT) AS cid,
+       ROUND(cent_cos, 4) AS cent_cos, l.id IS NULL AS kept
+FROM cs LEFT JOIN losers l ON l.id = cs.id
+"""
+
     return sql
 
 
@@ -3546,6 +3632,36 @@ def q_redirect_resolve(spark, sf_dir):
     )
 
 
+def q_hash_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality classifier
+    (functions/textstats.hash_classifier_score): the CCNet/LLaMA/RefinedWeb
+    quality-filter shape — score = sum of W[hash32(term) mod CLS_BUCKETS]
+    with a deterministic md5-derived integer weight vector, keep the
+    positive class. All-integer; hashing/lookup is map-side, the one
+    exchange is the per-doc aggregate."""
+    return TS.hash_classifier_score(_t(spark, sf_dir, "documents"))
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance resampling (functions/textstats.dsir_weights, Xie
+    et al. 2023): hashed-unigram target/raw LMs (target = the corpus's own
+    Gopher-clean subset), per-doc log-likelihood-ratio weight in integer
+    micro-nats, deterministic top-k selection via TakeOrdered."""
+    return TS.dsir_weights(_t(spark, sf_dir, "documents"))
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (operators/similarity.semdedup, Abbas et al. 2023):
+    semantic dedup inside the shared k-means quantizer's clusters — pairs
+    over tau keep the member with the LOWEST centroid cosine. Centroid
+    similarity is exact-integer quantized math; candidates come from the
+    salted bucketed self-join, never all-pairs."""
+    out = SIM.semdedup(
+        _t(spark, sf_dir, "embeddings"), cache_key=("semdedup", sf_dir)
+    )
+    return out.withColumn("cid", F.col("cid").cast("long"))
+
+
 QUERIES: dict[str, Callable] = {
     "crawl_reach_seen": q_crawl_reach_seen,
     "crawl_frontier_round1": q_crawl_frontier_round1,
@@ -3629,6 +3745,9 @@ QUERIES: dict[str, Callable] = {
     "embed_neardup_incremental": q_embed_neardup_incremental,
     "embed_neardup_incr_recall": q_embed_neardup_incr_recall,
     "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
+    "hash_classifier": q_hash_classifier,
+    "dsir_weights": q_dsir_weights,
+    "semdedup": q_semdedup,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
