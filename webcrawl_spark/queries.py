@@ -36,6 +36,7 @@ from .kernels import surt as SURT
 from .kernels.links import extract_links_batch
 from .kernels.robots import build_rule_index, robots_allowed
 from .kernels.urlnorm import canonicalize
+from .operators import bpe as BPE
 from .operators import similarity as SIM
 from .operators import snapshot as SNAP
 from .operators import textdedup as TD
@@ -3346,6 +3347,64 @@ SELECT cs.id AS vec_id, CAST(cs.cid AS BIGINT) AS cid,
 FROM cs LEFT JOIN losers l ON l.id = cs.id
 """
 
+    # BPE learn/encode oracles: the k merge iterations unrolled into
+    # static CTE stages (the link_pagerank pattern). Each stage re-derives
+    # the pair counts from the previous symbol table, picks the argmax
+    # pair by (count DESC, left, right), and applies it with the SAME
+    # greedy left-to-right fold the engine uses (list_reduce over wrapped
+    # symbols — DuckDB's accumulator must be a LIST, hence the
+    # list_transform(sym, x -> [x]) wrap; the fold from a first-element
+    # seed equals Spark's fold from an empty array because the head can
+    # never merge with an empty accumulator). Parallel unnests of the two
+    # shifted slices zip adjacent pairs positionally.
+    _bpe_iter = """
+p{i} AS (
+  SELECT l, r, SUM(wc) AS cnt FROM (
+    SELECT wc, unnest(sym[1:-2]) AS l, unnest(sym[2:-1]) AS r
+    FROM w{p} WHERE len(sym) > 1) GROUP BY l, r),
+b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+w{i} AS (
+  SELECT w, wc,
+    list_reduce(list_transform(sym, x -> [x]),
+      (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+                       THEN list_concat(acc[1:-2], [acc[-1] || x[1]])
+                       ELSE list_concat(acc, x) END) AS sym
+  FROM w{p}, b{i} b)"""
+    _n_bpe = BPE.BPE_MERGES
+    _bpe_ctes = ",".join(
+        _bpe_iter.format(i=i, p=i - 1) for i in range(1, _n_bpe + 1)
+    )
+    _bpe_base = """
+vraw AS (
+  SELECT w, COUNT(*) AS wc FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents) WHERE length(w) > 0 GROUP BY w),
+w0 AS (SELECT w, wc, list_filter(string_split(w, ''), x -> x <> '') AS sym
+       FROM vraw)"""
+    _bpe_merges_union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, l AS \"left\", r AS \"right\","
+        f" l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, _n_bpe + 1)
+    )
+    sql["bpe_learn"] = f"""
+WITH {_bpe_base},{_bpe_ctes}
+{_bpe_merges_union}
+"""
+
+    sql["bpe_encode"] = f"""
+WITH {_bpe_base},{_bpe_ctes},
+toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents),
+t2 AS (SELECT id, w FROM toks WHERE length(w) > 0)
+SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(t2.w)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(v.sym)) AS BIGINT) AS n_subwords
+FROM t2 JOIN w{_n_bpe} v ON v.w = t2.w
+GROUP BY id
+"""
+
     return sql
 
 
@@ -3662,6 +3721,24 @@ def q_semdedup(spark, sf_dir):
     return out.withColumn("cid", F.col("cid").cast("long"))
 
 
+def q_bpe_learn(spark, sf_dir):
+    """BPE tokenizer TRAINING (operators/bpe.bpe_learn, Sennrich et al.
+    2016): learn the 8 most frequent adjacent-symbol merges from the
+    corpus word-frequency table. One corpus pass (the checkpointed vocab);
+    each iteration is a vocabulary-bounded pair aggregate + TakeOrdered
+    argmax + 1-row broadcast merge fold — the whole learn is one DAG, no
+    merge decision round-trips through the driver."""
+    return BPE.bpe_learn(_t(spark, sf_dir, "documents"))
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Per-document subword counts under the corpus-fitted BPE
+    (operators/bpe.bpe_encode_stats): documents encode by joining their
+    words to the learn's final encoded VOCABULARY on the uniform word key
+    — the text is never re-folded per merge."""
+    return BPE.bpe_encode_stats(_t(spark, sf_dir, "documents"))
+
+
 QUERIES: dict[str, Callable] = {
     "crawl_reach_seen": q_crawl_reach_seen,
     "crawl_frontier_round1": q_crawl_frontier_round1,
@@ -3748,6 +3825,8 @@ QUERIES: dict[str, Callable] = {
     "hash_classifier": q_hash_classifier,
     "dsir_weights": q_dsir_weights,
     "semdedup": q_semdedup,
+    "bpe_learn": q_bpe_learn,
+    "bpe_encode": q_bpe_encode,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
