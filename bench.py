@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "multimodal_frame_patches", "warc_roundtrip", "cdx_index",
     "redirect_resolve",
     "fatal_error_routing", "ngram_jaccard_lsh",
+    "hash_classifier", "dsir_weights", "semdedup",
+    "bpe_learn", "bpe_encode",
 ]
 
 

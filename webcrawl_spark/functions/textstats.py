@@ -803,10 +803,12 @@ def dsir_weights(
     weight are BIGINT, and the top-k orders by (weight desc, id) so ties
     at the boundary are deterministic.
 
-    100-TB shape: one corpus pass computes the target flag map-side and
-    explodes tokens; BOTH LM fits are bucket aggregates whose shuffled
-    rows are DSIR_BUCKETS-bounded (not token-bounded) after map-side
-    partial combine; the lambda table (DSIR_BUCKETS rows) broadcasts back
+    100-TB shape: the target flag is computed map-side and tokens explode
+    in the same projection; BOTH LM fits are ONE conditional bucket
+    aggregate (count + count-if-target) whose shuffled rows are
+    DSIR_BUCKETS-bounded (not token-bounded) after map-side partial
+    combine — so the corpus is scanned twice total (fit, score), never
+    once per LM; the lambda table (DSIR_BUCKETS rows) broadcasts back
     onto the token stream; the per-doc weight is one uniform-key aggregate;
     selection is orderBy+limit — Spark plans TakeOrdered (per-partition
     heap + driver merge of k*P rows), never a global sort.
@@ -830,19 +832,19 @@ def dsir_weights(
     bt = toks.withColumn(
         "b", F.expr(f"pmod({HASH32.format(col='term')}, {DSIR_BUCKETS})")
     )
-    raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = bt.filter("is_target").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    # BOTH LM fits in one conditional aggregate — a single corpus pass
+    # (raw count + target count per bucket), not one pass per LM
+    both = bt.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+    )
     allb = docs.sparkSession.range(DSIR_BUCKETS).select(
         F.col("id").cast("long").alias("b")
     )
-    counts = (
-        allb.join(raw, "b", "left")
-        .join(tgt, "b", "left")
-        .select(
-            "b",
-            F.coalesce("cr", F.lit(0)).alias("cr"),
-            F.coalesce("ct", F.lit(0)).alias("ct"),
-        )
+    counts = allb.join(both, "b", "left").select(
+        "b",
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+        F.coalesce("ct", F.lit(0)).alias("ct"),
     )
     tot = counts.agg(
         (F.sum("cr") + DSIR_BUCKETS).alias("Tr"),

@@ -20,9 +20,11 @@ Spark-first shape (100 TB):
   (Spark plans TakeOrdered: per-partition heap + driver merge of P rows,
   never a global sort) → a **1-row broadcast crossJoin** carries the
   winning pair back onto the vocabulary, where one whole-stage-codegen
-  ``aggregate`` fold applies the merge greedily left-to-right. No merge
-  decision ever round-trips through the driver as data — the whole
-  k-merge learn is ONE DAG.
+  ``aggregate`` fold applies the merge greedily left-to-right. The argmax
+  row is checkpointed per iteration (k 1-row materializations — the
+  Observation-style fixpoint pattern the crawl loop uses), which keeps
+  the plan tree LINEAR in k; no merge decision ever round-trips through
+  the driver as data.
 - Greedy left-to-right application is the fold
   ``acc, x -> if last(acc)=left and x=right then replace-last else
   append`` — non-overlapping by construction ("aaaa" under (a,a) →
@@ -113,6 +115,12 @@ def _learn(docs: DataFrame, text_col: str, n_merges: int):
         pairs = words.select(
             "wc", F.explode(_adjacent_pairs("sym")).alias("p")
         ).select("wc", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        # materialize the 1-row argmax: without this, words_i's plan would
+        # embed words_{i-1} TWICE (directly and under best_i), doubling the
+        # plan tree per merge — 2^k nodes by k merges. Checkpointing the
+        # single winning row keeps the lineage linear in k; the row stays
+        # on executors (driver only schedules, the merge decision never
+        # round-trips through it as data).
         best = (
             pairs.groupBy("l", "r")
             .agg(F.sum("wc").alias("cnt"))
@@ -123,6 +131,7 @@ def _learn(docs: DataFrame, text_col: str, n_merges: int):
                 F.col("r").alias("__br"),
                 F.col("cnt").alias("__bcnt"),
             )
+            .localCheckpoint()
         )
         merge_rows.append(
             best.select(

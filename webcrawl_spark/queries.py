@@ -3726,8 +3726,8 @@ def q_bpe_learn(spark, sf_dir):
     2016): learn the 8 most frequent adjacent-symbol merges from the
     corpus word-frequency table. One corpus pass (the checkpointed vocab);
     each iteration is a vocabulary-bounded pair aggregate + TakeOrdered
-    argmax + 1-row broadcast merge fold — the whole learn is one DAG, no
-    merge decision round-trips through the driver."""
+    argmax (checkpointed: plan stays linear in k) + 1-row broadcast merge
+    fold — no merge decision round-trips through the driver as data."""
     return BPE.bpe_learn(_t(spark, sf_dir, "documents"))
 
 
