@@ -76,6 +76,23 @@ def test_bpe_greedy_nonoverlapping(spark):
     assert e[1].n_subwords == 2 + 2 + 2 and e[1].n_chars == 10
 
 
+def test_bpe_model_cache_shared_and_clear(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    m1, v1 = B.bpe_model_cached(docs, cache_key=("t-bpe", SF))
+    m2, v2 = B.bpe_model_cached(docs, cache_key=("t-bpe", SF))
+    assert m1 is m2 and v1 is v2          # fit-once memo hit
+    # encode consumes the SAME model object (no refit)
+    enc = B.bpe_encode_stats(docs, cache_key=("t-bpe", SF))
+    assert enc.count() == docs.count()
+    B.bpe_cache_clear()
+    # m1/v1 are invalid after clear (blocks released); a fresh request
+    # refits and must be fully usable
+    m3, _ = B.bpe_model_cached(docs, cache_key=("t-bpe", SF))
+    assert m3 is not m1
+    assert m3.count() == B.BPE_MERGES
+    B.bpe_cache_clear()
+
+
 def test_bpe_squeeze_and_determinism(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     a = sorted(map(tuple, B.bpe_learn(docs).collect()))

@@ -3727,16 +3727,23 @@ def q_bpe_learn(spark, sf_dir):
     corpus word-frequency table. One corpus pass (the checkpointed vocab);
     each iteration is a vocabulary-bounded pair aggregate + TakeOrdered
     argmax (checkpointed: plan stays linear in k) + 1-row broadcast merge
-    fold — no merge decision round-trips through the driver as data."""
-    return BPE.bpe_learn(_t(spark, sf_dir, "documents"))
+    fold — no merge decision round-trips through the driver as data.
+    The fitted model is the shared fit-once cache (bpe_model_cached)
+    both BPE entries consume."""
+    return BPE.bpe_learn(
+        _t(spark, sf_dir, "documents"), cache_key=("bpe", sf_dir)
+    )
 
 
 def q_bpe_encode(spark, sf_dir):
     """Per-document subword counts under the corpus-fitted BPE
     (operators/bpe.bpe_encode_stats): documents encode by joining their
     words to the learn's final encoded VOCABULARY on the uniform word key
-    — the text is never re-folded per merge."""
-    return BPE.bpe_encode_stats(_t(spark, sf_dir, "documents"))
+    — the text is never re-folded per merge; the model comes from the
+    shared fit-once cache."""
+    return BPE.bpe_encode_stats(
+        _t(spark, sf_dir, "documents"), cache_key=("bpe", sf_dir)
+    )
 
 
 QUERIES: dict[str, Callable] = {
