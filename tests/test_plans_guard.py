@@ -25,6 +25,17 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def _nodes(plan: str, kind: str) -> int:
+    """Count physical nodes of a kind via the formatted detail section
+    ("(N) Kind" lines) — the tree section prints every node a second
+    time, so a raw substring count double-counts."""
+    return sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and kind in line.split(")", 1)[-1]
+    )
+
+
 def test_dedup_pipelines_are_jvm_only(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     for df in (
@@ -198,3 +209,54 @@ def test_incremental_simhash_never_resignatures_the_corpus(spark):
         assert "GreaterThanOrEqual(doc_id,100)" in p
     finally:
         TD.minhash_cache_clear()
+
+
+def test_hash_classifier_single_exchange_jvm_only(spark):
+    """The hashing trick's point is O(1) map-side parameter lookup: no
+    vocabulary join exists, the only exchange is the per-doc aggregate."""
+    from webcrawl_spark.functions import textstats as TS
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(TS.hash_classifier_score(docs))
+    assert "EvalPython" not in p
+    # node-count via the detail section (the tree lists each node twice)
+    assert _nodes(p, "Exchange") == 1
+    assert "Join" not in p
+
+
+def test_dsir_fits_both_lms_in_one_corpus_pass(spark):
+    """Raw and target LMs come from ONE conditional aggregate — the corpus
+    (token explode) is scanned exactly twice overall: fit + score."""
+    from webcrawl_spark.functions import textstats as TS
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(TS.dsir_weights(docs))
+    assert "EvalPython" not in p
+    assert _nodes(p, "Scan parquet") == 2
+
+
+def test_semdedup_salted_candidates_and_broadcast_centroids(spark):
+    from webcrawl_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(SIM.semdedup(emb, cache_key=("plan-guard-semdedup", SF)))
+    assert "EvalPython" not in p
+    assert "__salt" in p                      # candidate join is salted
+    assert "BroadcastHashJoin" in p           # centroids broadcast
+    SIM.kmeans_cache_clear()
+
+
+def test_bpe_encode_consumes_cached_model_no_refit(spark):
+    """With the fit-once model cache, encode's plan must start from the
+    checkpointed vocabulary (ExistingRDD) — no merge-learning aggregate,
+    no argmax, no fold re-runs in the consumer plan."""
+    from webcrawl_spark.operators import bpe as B
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    B.bpe_model_cached(docs, cache_key=("plan-guard-bpe", SF))  # fit
+    p = _plan(B.bpe_encode_stats(docs, cache_key=("plan-guard-bpe", SF)))
+    assert "EvalPython" not in p
+    assert "ExistingRDD" in p
+    # consumer never re-aggregates pair counts (no TakeOrdered argmax)
+    assert "TakeOrderedAndProject" not in p
+    B.bpe_cache_clear()

@@ -846,14 +846,15 @@ def dsir_weights(
         F.coalesce("cr", F.lit(0)).alias("cr"),
         F.coalesce("ct", F.lit(0)).alias("ct"),
     )
-    tot = counts.agg(
-        (F.sum("cr") + DSIR_BUCKETS).alias("Tr"),
-        (F.sum("ct") + DSIR_BUCKETS).alias("Tt"),
-    )
-    lp = lambda c, t: F.round(F.log((F.col(c) + 1) / F.col(t)) * 1e6).cast("long")
-    lam = counts.crossJoin(F.broadcast(tot)).select(
-        "b", (lp("ct", "Tt") - lp("cr", "Tr")).alias("lam")
-    )
+    # totals via a global window over the DSIR_BUCKETS-row table — NOT a
+    # second aggregate branch off `counts`, which would recompute the
+    # LM-fit corpus pass (the 512-row single-task window is free; a third
+    # corpus scan at 100 TB is not). Plan-guarded: exactly 2 corpus scans.
+    wall = Window.partitionBy(F.lit(1))
+    tr = F.sum("cr").over(wall) + DSIR_BUCKETS
+    tt = F.sum("ct").over(wall) + DSIR_BUCKETS
+    lp = lambda c, t: F.round(F.log((F.col(c) + 1) / t) * 1e6).cast("long")
+    lam = counts.select("b", (lp("ct", tt) - lp("cr", tr)).alias("lam"))
     w = (
         bt.join(F.broadcast(lam), "b")
         .groupBy("id")
