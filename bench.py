@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "fatal_error_routing", "ngram_jaccard_lsh",
     "hash_classifier", "dsir_weights", "semdedup",
     "bpe_learn", "bpe_encode",
+    "ann_pq_topk", "ann_pq_rerank", "ann_pq_recall",
 ]
 
 

@@ -3347,6 +3347,110 @@ SELECT cs.id AS vec_id, CAST(cs.cid AS BIGINT) AS cid,
 FROM cs LEFT JOIN losers l ON l.id = cs.id
 """
 
+    # PQ-ADC oracle: the M per-subspace Lloyd fits unrolled (two
+    # iterations), the corpus encoded to (id, m, code), queries scored
+    # against the code table through the broadcast ADC lookup — the exact
+    # replay of operators/similarity.pq_fit/pq_encode/pq_topk. All-integer
+    # until the one 3-op IEEE acos expression (the semdedup recipe).
+    _pq_assign = """
+  SELECT sv.id, sv.m, c.cid,
+         SUM((sv.val - c.cval) * (sv.val - c.cval)) AS dist
+  FROM sv JOIN {cent} c ON c.m = sv.m AND c.pl = sv.pl
+  GROUP BY sv.id, sv.m, c.cid"""
+    _pq_update = """
+  SELECT a.m, a.cid, sv.pl,
+         CAST(floor(SUM(sv.val) * 1.0 / COUNT(*) + 0.5) AS BIGINT) AS cval
+  FROM sv JOIN {assign} a ON a.id = sv.id AND a.m = sv.m
+  GROUP BY a.m, a.cid, sv.pl"""
+    _pq_ctes = f"""
+sv AS (
+  SELECT vec_id AS id, CAST((pos - 1) // 8 AS INT) AS m,
+         CAST((pos - 1) % 8 AS INT) AS pl,
+         CAST(floor(CAST(val AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS val
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings)),
+pc0 AS (SELECT m, CAST(id AS INT) AS cid, pl, val AS cval
+        FROM sv WHERE id < {SIM.PQ_KS}),
+pd0 AS ({_pq_assign.format(cent='pc0')}),
+pa0 AS (SELECT id, m, cid FROM pd0
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY dist, cid) = 1),
+pc1 AS ({_pq_update.format(assign='pa0')}),
+pd1 AS ({_pq_assign.format(cent='pc1')}),
+pa1 AS (SELECT id, m, cid FROM pd1
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY dist, cid) = 1),
+pc2 AS ({_pq_update.format(assign='pa1')}),
+pdf AS ({_pq_assign.format(cent='pc2')}),
+codes AS (SELECT id, m, cid AS code FROM pdf
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY dist, cid) = 1),
+qsub AS (SELECT * FROM sv WHERE id < 8),
+dotq AS (SELECT q.id AS qid, c.m, c.cid, SUM(q.val * c.cval) AS dot
+         FROM qsub q JOIN pc2 c ON c.m = q.m AND c.pl = q.pl
+         GROUP BY q.id, c.m, c.cid),
+cn AS (SELECT m, cid, SUM(cval * cval) AS cn2 FROM pc2 GROUP BY m, cid),
+qn AS (SELECT id AS qid, SUM(val * val) AS qn2 FROM qsub GROUP BY id),
+sc AS (SELECT d.qid, k.id AS nid, SUM(d.dot) AS dot, SUM(cn.cn2) AS nx
+       FROM codes k
+       JOIN dotq d ON d.m = k.m AND d.cid = k.code
+       JOIN cn ON cn.m = k.m AND cn.cid = k.code
+       WHERE k.id <> d.qid GROUP BY d.qid, k.id),
+pq AS (SELECT qid AS query_id, nid AS neighbor_id,
+              ROUND(dot / sqrt(CAST(nx * qn2 AS DOUBLE)), 4) AS acos,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                dot / sqrt(CAST(nx * qn2 AS DOUBLE)) DESC, nid) AS rk
+       FROM sc JOIN qn USING (qid))"""
+    sql["ann_pq_topk"] = f"""
+WITH {_pq_ctes}
+SELECT query_id, neighbor_id, acos FROM pq WHERE rk <= 5
+"""
+
+    # the ADC shortlist re-ranked by EXACT cosine from raw vectors — the
+    # production IVFADC pipeline's second stage (shortlist bounds the raw
+    # vector reads; _duck_cos64 is the oracle-proven float fold)
+    _pq_rerank = f"""
+short AS (SELECT query_id, neighbor_id FROM pq WHERE rk <= {SIM.PQ_SHORTLIST}),
+rr AS (SELECT s.query_id, s.neighbor_id,
+              {_duck_cos64('q.embedding', 'e.embedding')} AS cos
+       FROM short s
+       JOIN embeddings q ON q.vec_id = s.query_id
+       JOIN embeddings e ON e.vec_id = s.neighbor_id),
+rrk AS (SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rk2 FROM rr)"""
+    sql["ann_pq_rerank"] = f"""
+WITH {_pq_ctes},
+{_pq_rerank}
+SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos FROM rrk WHERE rk2 <= 5
+"""
+
+    sql["ann_pq_recall"] = f"""
+WITH {_pq_ctes},
+{_pq_rerank},
+e2 AS (SELECT vec_id, embedding FROM embeddings),
+bs AS (
+  SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+         {_duck_cos64('q.embedding', 'e2.embedding')} AS cos
+  FROM (SELECT * FROM e2 WHERE vec_id < 8) q CROSS JOIN e2
+  WHERE e2.vec_id <> q.vec_id
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+    FROM bs) WHERE rk <= 5
+)
+SELECT b.query_id, 'adc' AS path, COUNT(p.neighbor_id) AS hits,
+       ROUND(COUNT(p.neighbor_id) / 5.0, 4) AS recall_at_5
+FROM bf b LEFT JOIN (SELECT query_id, neighbor_id FROM pq WHERE rk <= 5) p
+  ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+UNION ALL
+SELECT b.query_id, 'rerank' AS path, COUNT(r.neighbor_id) AS hits,
+       ROUND(COUNT(r.neighbor_id) / 5.0, 4) AS recall_at_5
+FROM bf b LEFT JOIN (SELECT query_id, neighbor_id FROM rrk WHERE rk2 <= 5) r
+  ON r.query_id = b.query_id AND r.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
+
     # BPE learn/encode oracles: the k merge iterations unrolled into
     # static CTE stages (the link_pagerank pattern). Each stage re-derives
     # the pair counts from the previous symbol table, picks the argmax
@@ -3721,6 +3825,56 @@ def q_semdedup(spark, sf_dir):
     return out.withColumn("cid", F.col("cid").cast("long"))
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.pq_topk, Jégou et
+    al. 2011): M per-subspace integer codebooks fitted FUSED in two Lloyd
+    jobs, the corpus compressed to M codes per vector (8 B vs 256 B raw —
+    the index that fits in memory at 100 TB), queries scored by ADC
+    against a broadcast lookup table — corpus vectors are never read at
+    query time."""
+    return SIM.pq_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ann_pq_rerank(spark, sf_dir):
+    """The production PQ pipeline (operators/similarity.pq_topk_rerank):
+    the byte-scale code index prunes the corpus to a constant-size ADC
+    shortlist per query, then exact cosine re-ranks from raw vectors —
+    raw vector reads are shortlist-bounded, never corpus-bounded."""
+    return SIM.pq_topk_rerank(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ann_pq_recall(spark, sf_dir):
+    """Recall@5 of BOTH PQ paths against the brute-force exact ground
+    truth — one row per (query, path): 'adc' (code-only scoring, recall
+    bounded by the 2-bit code resolution) and 'rerank' (exact-cosine
+    shortlist rerank, recall bounded by the shortlist). The
+    compression/recall trade measured, not asserted."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bf = SIM.brute_force_topk(emb, n_queries=8, k=5).select(
+        "query_id", "neighbor_id"
+    )
+
+    def _recall(found, path):
+        f = found.select("query_id", "neighbor_id").withColumn(
+            "hit", F.lit(1)
+        )
+        return (
+            bf.join(f, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("hit").alias("hits"))
+            .select(
+                "query_id",
+                F.lit(path).alias("path"),
+                "hits",
+                F.round(F.col("hits") / 5.0, 4).alias("recall_at_5"),
+            )
+        )
+
+    return _recall(SIM.pq_topk(emb), "adc").unionByName(
+        _recall(SIM.pq_topk_rerank(emb), "rerank")
+    )
+
+
 def q_bpe_learn(spark, sf_dir):
     """BPE tokenizer TRAINING (operators/bpe.bpe_learn, Sennrich et al.
     2016): learn the 8 most frequent adjacent-symbol merges from the
@@ -3834,6 +3988,9 @@ QUERIES: dict[str, Callable] = {
     "semdedup": q_semdedup,
     "bpe_learn": q_bpe_learn,
     "bpe_encode": q_bpe_encode,
+    "ann_pq_topk": q_ann_pq_topk,
+    "ann_pq_rerank": q_ann_pq_rerank,
+    "ann_pq_recall": q_ann_pq_recall,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
