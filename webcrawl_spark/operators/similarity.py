@@ -737,19 +737,68 @@ def pq_encode(sub: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+_PQ_CACHE: dict = {}
+_PQ_EVICTED: list = []
+
+
+def pq_model_cached(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    m_sub: int = PQ_M, ks: int = PQ_KS, iters: int = 2, scale: int = 1000,
+    dims: int = 64, cache_key=None,
+) -> tuple:
+    """(sub, cent, codes) — the persisted PQ artifacts: the quantized long
+    form, the M codebooks, and the corpus CODE table. In a deployment
+    cent+codes are written once at ingest (the whole point of PQ: the code
+    table is the in-memory serving index); here the bounded cache stands
+    in so the three battery consumers fit once (same deferred-unpersist
+    discipline as the other model caches)."""
+    def _build():
+        sd = dims // m_sub
+        sub = _pq_sub(emb, id_col, vec_col, scale, sd).localCheckpoint(
+            eager=True
+        )
+        cent = pq_fit(
+            emb, id_col, vec_col, m_sub, ks, iters, scale, dims, _sub=sub
+        )
+        codes = pq_encode(sub, cent).localCheckpoint(eager=True)
+        return sub, cent, codes
+
+    if cache_key is None:
+        return _build()
+    full_key = (
+        emb.sparkSession.sparkContext.applicationId,
+        cache_key, id_col, vec_col, m_sub, ks, iters, scale, dims,
+    )
+    if full_key not in _PQ_CACHE:
+        while len(_PQ_CACHE) >= _KMEANS_CACHE_MAX:
+            _PQ_EVICTED.extend(_PQ_CACHE.pop(next(iter(_PQ_CACHE))))
+        _PQ_CACHE[full_key] = _build()
+    return _PQ_CACHE[full_key]
+
+
+def pq_cache_clear() -> None:
+    """Drop every memoized PQ model (live AND evicted), release blocks."""
+    for triple in _PQ_CACHE.values():
+        _PQ_EVICTED.extend(triple)
+    _PQ_CACHE.clear()
+    while _PQ_EVICTED:
+        try:
+            _PQ_EVICTED.pop().unpersist()
+        except Exception:
+            pass
+
+
 def _pq_adc_scores(
     emb: DataFrame, id_col: str, vec_col: str, n_queries: int,
     m_sub: int, ks: int, iters: int, scale: int, dims: int,
+    cache_key=None,
 ) -> DataFrame:
     """(qid, nid, acos): every (query, corpus) pair's ADC approximate
     cosine — the shared scoring core of :func:`pq_topk` and
     :func:`pq_topk_rerank`."""
-    sd = dims // m_sub
-    sub = _pq_sub(emb, id_col, vec_col, scale, sd).localCheckpoint(eager=True)
-    cent = pq_fit(
-        emb, id_col, vec_col, m_sub, ks, iters, scale, dims, _sub=sub
+    sub, cent, codes = pq_model_cached(
+        emb, id_col, vec_col, m_sub, ks, iters, scale, dims, cache_key
     )
-    codes = pq_encode(sub, cent)
     qsub = sub.filter(F.col("id") < n_queries)
     dotq = (
         qsub.join(F.broadcast(cent), ["m", "pl"])
@@ -795,6 +844,7 @@ def pq_topk(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     n_queries: int = 8, k: int = 5, m_sub: int = PQ_M, ks: int = PQ_KS,
     iters: int = 2, scale: int = 1000, dims: int = 64, round_to: int = 4,
+    cache_key=None,
 ) -> DataFrame:
     """(query_id, neighbor_id, acos): top-k by PQ-ADC approximate cosine.
 
@@ -808,7 +858,8 @@ def pq_topk(
     exact integers (the semdedup recipe), ties rank by neighbor_id.
     """
     scored = _pq_adc_scores(
-        emb, id_col, vec_col, n_queries, m_sub, ks, iters, scale, dims
+        emb, id_col, vec_col, n_queries, m_sub, ks, iters, scale, dims,
+        cache_key=cache_key,
     )
     w = Window.partitionBy("qid").orderBy(F.col("acos").desc(), F.col("nid"))
     return (
@@ -826,7 +877,7 @@ def pq_topk_rerank(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     n_queries: int = 8, k: int = 5, shortlist: int = PQ_SHORTLIST,
     m_sub: int = PQ_M, ks: int = PQ_KS, iters: int = 2, scale: int = 1000,
-    dims: int = 64, round_to: int = 4,
+    dims: int = 64, round_to: int = 4, cache_key=None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cos): the production PQ pipeline — the code
     index prunes the corpus to an ADC ``shortlist`` per query, then EXACT
@@ -837,7 +888,8 @@ def pq_topk_rerank(
     the final scores are EXACT cosines, and recall is governed by the
     shortlist size instead of the code resolution."""
     scored = _pq_adc_scores(
-        emb, id_col, vec_col, n_queries, m_sub, ks, iters, scale, dims
+        emb, id_col, vec_col, n_queries, m_sub, ks, iters, scale, dims,
+        cache_key=cache_key,
     )
     w = Window.partitionBy("qid").orderBy(F.col("acos").desc(), F.col("nid"))
     short = (

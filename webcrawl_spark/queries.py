@@ -3831,8 +3831,11 @@ def q_ann_pq_topk(spark, sf_dir):
     jobs, the corpus compressed to M codes per vector (8 B vs 256 B raw —
     the index that fits in memory at 100 TB), queries scored by ADC
     against a broadcast lookup table — corpus vectors are never read at
-    query time."""
-    return SIM.pq_topk(_t(spark, sf_dir, "embeddings"))
+    query time. The fitted model (codebooks + code table) comes from the
+    shared fit-once cache all three PQ entries consume."""
+    return SIM.pq_topk(
+        _t(spark, sf_dir, "embeddings"), cache_key=("pq", sf_dir)
+    )
 
 
 def q_ann_pq_rerank(spark, sf_dir):
@@ -3840,7 +3843,9 @@ def q_ann_pq_rerank(spark, sf_dir):
     the byte-scale code index prunes the corpus to a constant-size ADC
     shortlist per query, then exact cosine re-ranks from raw vectors —
     raw vector reads are shortlist-bounded, never corpus-bounded."""
-    return SIM.pq_topk_rerank(_t(spark, sf_dir, "embeddings"))
+    return SIM.pq_topk_rerank(
+        _t(spark, sf_dir, "embeddings"), cache_key=("pq", sf_dir)
+    )
 
 
 def q_ann_pq_recall(spark, sf_dir):
@@ -3870,8 +3875,10 @@ def q_ann_pq_recall(spark, sf_dir):
             )
         )
 
-    return _recall(SIM.pq_topk(emb), "adc").unionByName(
-        _recall(SIM.pq_topk_rerank(emb), "rerank")
+    return _recall(
+        SIM.pq_topk(emb, cache_key=("pq", sf_dir)), "adc"
+    ).unionByName(
+        _recall(SIM.pq_topk_rerank(emb, cache_key=("pq", sf_dir)), "rerank")
     )
 
 
