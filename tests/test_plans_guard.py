@@ -260,3 +260,24 @@ def test_bpe_encode_consumes_cached_model_no_refit(spark):
     # consumer never re-aggregates pair counts (no TakeOrdered argmax)
     assert "TakeOrderedAndProject" not in p
     B.bpe_cache_clear()
+
+
+def test_incremental_pq_never_refits_or_reencodes_the_corpus(spark):
+    """pq_delta_topk over the persisted model must start from ExistingRDD
+    model tables and quantize ONLY the delta: one parquet scan, no Lloyd
+    re-fit (a re-fit would show the iterated mean aggregates)."""
+    from webcrawl_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.filter("vec_id % 5 <> 4")
+    delta = emb.filter("vec_id % 5 = 4")
+    _, cent, codes = SIM.pq_model_cached(
+        corpus, cache_key=("plan-guard-pq-incr", SF)
+    )
+    p = _plan(SIM.pq_delta_topk(delta, cent, codes))
+    assert "EvalPython" not in p
+    assert "ExistingRDD" in p
+    # the model tables AND the once-materialized delta are ExistingRDD —
+    # nothing re-reads parquet, nothing re-fits (no Lloyd mean aggregates)
+    assert _nodes(p, "Scan parquet") == 0
+    SIM.pq_cache_clear()

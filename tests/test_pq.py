@@ -128,3 +128,33 @@ def test_pq_rerank_with_full_shortlist_equals_brute_force(spark):
         )
     )
     assert rr == bf
+
+
+def test_pq_delta_equals_whole_corpus_modulo_self(spark):
+    """Scoring a 'delta' that IS the query set against the full-corpus
+    persisted model must reproduce pq_topk exactly once self-matches are
+    removed — pinning the incremental path to the whole-corpus path."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    _, cent, codes = SIM.pq_model_cached(emb, ks=KS)
+    full = {
+        q: rows
+        for q, rows in _group(
+            SIM.pq_topk(emb, n_queries=NQ, k=K, ks=KS).collect()
+        ).items()
+    }
+    delta_rows = SIM.pq_delta_topk(
+        emb.filter(f"vec_id < {NQ}"), cent, codes, k=K + 1
+    ).collect()
+    for q, rows in _group(delta_rows).items():
+        no_self = [(n, a) for n, a in rows if n != q][:K]
+        assert no_self == full[q], q
+
+
+def _group(rows):
+    out = {}
+    for r in rows:
+        val = r.acos if hasattr(r, "acos") else r.cos
+        out.setdefault(r.query_id, []).append((r.neighbor_id, val))
+    for q in out:
+        out[q].sort(key=lambda t: (-t[1], t[0]))
+    return out

@@ -800,6 +800,16 @@ def _pq_adc_scores(
         emb, id_col, vec_col, m_sub, ks, iters, scale, dims, cache_key
     )
     qsub = sub.filter(F.col("id") < n_queries)
+    return _adc_core(qsub, cent, codes, exclude_self=True)
+
+
+def _adc_core(
+    qsub: DataFrame, cent: DataFrame, codes: DataFrame,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """(qid, nid, acos): ADC cosine of every query sub-vector row set
+    against a CODE table — shared by the whole-corpus and the
+    delta-vs-persisted-model paths."""
     dotq = (
         qsub.join(F.broadcast(cent), ["m", "pl"])
         .groupBy("id", "m", "cid")
@@ -826,7 +836,9 @@ def _pq_adc_scores(
         )
         .groupBy("qid", F.col("id").alias("nid"))
         .agg(F.sum("dot").alias("dot"), F.sum("cn2").alias("nx"))
-        .filter(F.col("nid") != F.col("qid"))
+        .filter(
+            (F.col("nid") != F.col("qid")) if exclude_self else F.lit(True)
+        )
         .join(F.broadcast(qn), "qid")
         .select(
             "qid",
@@ -916,5 +928,42 @@ def pq_topk_rerank(
             F.col("qid").alias("query_id"),
             F.col("nid").alias("neighbor_id"),
             F.round("cos", round_to).alias("cos"),
+        )
+    )
+
+
+def pq_delta_topk(
+    delta: DataFrame, cent: DataFrame, codes: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5,
+    m_sub: int = PQ_M, scale: int = 1000, dims: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """(query_id, neighbor_id, acos): the INCREMENTAL PQ mode — today's
+    delta vectors searched against yesterday's persisted model (the sixth
+    member of the delta-vs-corpus family: exact digests, paragraphs,
+    MinHash-LSH, SimHash, embedding ANN, and now PQ).
+
+    Only the DELTA is quantized and folded into the ADC lookup (one
+    broadcast codebook join over delta·M·ks rows); the corpus side is the
+    persisted CODE table — the corpus's raw vectors and its codes are
+    never recomputed, exactly as the 100-TB serving path requires. No
+    Lloyd pass, no self-exclusion (delta and corpus ids are disjoint by
+    construction; a re-crawled id SHOULD match its stored self)."""
+    sd = dims // m_sub
+    # materialize the delta's quantized form once: both ADC branches (the
+    # lookup dot and the query norm) read it, and the delta is the small
+    # side by definition — mirrors the whole-corpus path's cached `sub`
+    qsub = _pq_sub(delta, id_col, vec_col, scale, sd).localCheckpoint(
+        eager=True
+    )
+    scored = _adc_core(qsub, cent, codes, exclude_self=False)
+    w = Window.partitionBy("qid").orderBy(F.col("acos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.round("acos", round_to).alias("acos"),
         )
     )

@@ -3362,14 +3362,17 @@ FROM cs LEFT JOIN losers l ON l.id = cs.id
          CAST(floor(SUM(sv.val) * 1.0 / COUNT(*) + 0.5) AS BIGINT) AS cval
   FROM sv JOIN {assign} a ON a.id = sv.id AND a.m = sv.m
   GROUP BY a.m, a.cid, sv.pl"""
-    _pq_ctes = f"""
-sv AS (
+    def _pq_fit_block(where: str = "") -> str:
+        """sv → codebooks (pc2) → corpus code table, parameterized by the
+        fit population (the incremental oracle fits on the corpus split
+        only — same device as _kmeans_block)."""
+        return f"""sv AS (
   SELECT vec_id AS id, CAST((pos - 1) // 8 AS INT) AS m,
          CAST((pos - 1) % 8 AS INT) AS pl,
          CAST(floor(CAST(val AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS val
   FROM (SELECT vec_id, unnest(embedding) AS val,
                generate_subscripts(embedding, 1) AS pos
-        FROM embeddings)),
+        FROM embeddings{where})),
 pc0 AS (SELECT m, CAST(id AS INT) AS cid, pl, val AS cval
         FROM sv WHERE id < {SIM.PQ_KS}),
 pd0 AS ({_pq_assign.format(cent='pc0')}),
@@ -3382,7 +3385,10 @@ pa1 AS (SELECT id, m, cid FROM pd1
 pc2 AS ({_pq_update.format(assign='pa1')}),
 pdf AS ({_pq_assign.format(cent='pc2')}),
 codes AS (SELECT id, m, cid AS code FROM pdf
-          QUALIFY ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY dist, cid) = 1),
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY dist, cid) = 1)"""
+
+    _pq_ctes = f"""
+{_pq_fit_block()},
 qsub AS (SELECT * FROM sv WHERE id < 8),
 dotq AS (SELECT q.id AS qid, c.m, c.cid, SUM(q.val * c.cval) AS dot
          FROM qsub q JOIN pc2 c ON c.m = q.m AND c.pl = q.pl
@@ -3449,6 +3455,38 @@ SELECT b.query_id, 'rerank' AS path, COUNT(r.neighbor_id) AS hits,
 FROM bf b LEFT JOIN (SELECT query_id, neighbor_id FROM rrk WHERE rk2 <= 5) r
   ON r.query_id = b.query_id AND r.neighbor_id = b.neighbor_id
 GROUP BY b.query_id
+"""
+
+    # incremental PQ oracle: codebooks + code table fit on the CORPUS
+    # split only; the delta is quantized and ADC-scored against them —
+    # the delta-vs-persisted-model replay (no self-exclusion: the id
+    # spaces are disjoint by construction)
+    sql["ann_pq_incremental"] = f"""
+WITH {_pq_fit_block(f" WHERE vec_id % {EMB_DELTA_MOD} <> {EMB_DELTA_MOD - 1}")},
+dsv AS (
+  SELECT vec_id AS id, CAST((pos - 1) // 8 AS INT) AS m,
+         CAST((pos - 1) % 8 AS INT) AS pl,
+         CAST(floor(CAST(val AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS val
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+        WHERE vec_id % {EMB_DELTA_MOD} = {EMB_DELTA_MOD - 1})),
+ddot AS (SELECT d.id AS qid, c.m, c.cid, SUM(d.val * c.cval) AS dot
+         FROM dsv d JOIN pc2 c ON c.m = d.m AND c.pl = d.pl
+         GROUP BY d.id, c.m, c.cid),
+cn AS (SELECT m, cid, SUM(cval * cval) AS cn2 FROM pc2 GROUP BY m, cid),
+dqn AS (SELECT id AS qid, SUM(val * val) AS qn2 FROM dsv GROUP BY id),
+sc AS (SELECT d.qid, k.id AS nid, SUM(d.dot) AS dot, SUM(cn.cn2) AS nx
+       FROM codes k
+       JOIN ddot d ON d.m = k.m AND d.cid = k.code
+       JOIN cn ON cn.m = k.m AND cn.cid = k.code
+       GROUP BY d.qid, k.id),
+pqd AS (SELECT qid AS query_id, nid AS neighbor_id,
+               ROUND(dot / sqrt(CAST(nx * qn2 AS DOUBLE)), 4) AS acos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                 dot / sqrt(CAST(nx * qn2 AS DOUBLE)) DESC, nid) AS rk
+        FROM sc JOIN dqn USING (qid))
+SELECT query_id, neighbor_id, acos FROM pqd WHERE rk <= 5
 """
 
     # BPE learn/encode oracles: the k merge iterations unrolled into
@@ -3882,6 +3920,22 @@ def q_ann_pq_recall(spark, sf_dir):
     )
 
 
+def q_ann_pq_incremental(spark, sf_dir):
+    """Incremental PQ (operators/similarity.pq_delta_topk) — the SIXTH
+    member of the delta-vs-corpus family: today's delta vectors are
+    quantized and ADC-scored against YESTERDAY'S persisted codebooks +
+    code table (pq_model_cached fit on the corpus split only); the
+    corpus's raw vectors and codes are never recomputed. Plan-guarded:
+    the consumer starts from the ExistingRDD model tables."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % EMB_DELTA_MOD != EMB_DELTA_MOD - 1)
+    delta = emb.filter(F.col("vec_id") % EMB_DELTA_MOD == EMB_DELTA_MOD - 1)
+    _, cent, codes = SIM.pq_model_cached(
+        corpus, cache_key=("pq-incr", sf_dir)
+    )
+    return SIM.pq_delta_topk(delta, cent, codes)
+
+
 def q_bpe_learn(spark, sf_dir):
     """BPE tokenizer TRAINING (operators/bpe.bpe_learn, Sennrich et al.
     2016): learn the 8 most frequent adjacent-symbol merges from the
@@ -3998,6 +4052,7 @@ QUERIES: dict[str, Callable] = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_rerank": q_ann_pq_rerank,
     "ann_pq_recall": q_ann_pq_recall,
+    "ann_pq_incremental": q_ann_pq_incremental,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
