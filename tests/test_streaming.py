@@ -382,3 +382,45 @@ def test_stream_clean_chunk_equals_batch(spark, tmp_path):
     assert got == want and len(want) > 0
     # only the i%3==0 docs survive the 3-kept-lines rule
     assert {d for d, _ in want} == {i for i in range(24) if i % 3 == 0}
+
+
+def test_stream_pq_topk_equals_batch(spark, tmp_path):
+    """PQ-similarity-at-ingest: a delta arriving as THREE micro-batches
+    must produce exactly the one-shot incremental operator's rows — a
+    vector's top-k depends only on its own embedding and the static
+    model, so batch-split invariance holds by construction."""
+    from webcrawl_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.filter("vec_id % 5 <> 4")
+    delta = emb.filter("vec_id % 5 = 4")
+    SIM.pq_cache_clear()
+    try:
+        _, cent, codes = SIM.pq_model_cached(
+            corpus, cache_key=("stream-pq", SF)
+        )
+
+        stage = tmp_path / "emb_stage"
+        stage.mkdir()
+        for i in range(3):
+            delta.filter(f"vec_id % 3 = {i}").coalesce(1).write.mode(
+                "append"
+            ).parquet(str(stage))
+
+        out = tmp_path / "topk_out"
+        q = SE.stream_pq_topk(
+            spark, str(stage), cent, codes, str(out), "pq_stream_t", k=3
+        )
+        _drain(q)
+
+        got = {
+            tuple(r) for r in spark.read.parquet(str(out)).collect()
+        }
+        want = {
+            tuple(r)
+            for r in SIM.pq_delta_topk(delta, cent, codes, k=3).collect()
+        }
+        assert got == want
+        assert want and len(want) == delta.count() * 3
+    finally:
+        SIM.pq_cache_clear()

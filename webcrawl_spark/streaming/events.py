@@ -132,6 +132,45 @@ def stream_neardup_flags(
     )
 
 
+def stream_pq_topk(
+    spark: SparkSession, stage_dir: str, cent: DataFrame, codes: DataFrame,
+    out_dir: str, query_name: str, k: int = 5,
+) -> "StreamingQuery":
+    """Streaming similarity-at-ingest over the persisted PQ model: each
+    micro-batch of arriving embedding rows is quantized and ADC-scored
+    against yesterday's codebooks + code table
+    (``similarity.pq_delta_topk``), appending its top-k corpus neighbors
+    to ``out_dir`` — the streaming form of the battery's
+    `ann_pq_incremental`, for pipelines where the delta arrives
+    continuously.
+
+    Same design argument as :func:`stream_neardup_flags`: ``foreachBatch``
+    against STATIC state (the model tables), no streaming join state. A
+    vector's top-k depends only on its own embedding and the static model,
+    so per-document results are batch-split-invariant BY CONSTRUCTION (no
+    cap caveat needed) — the drained stream exactly equals the one-shot
+    incremental operator (asserted in tests)."""
+    from ..operators import similarity as SIM
+
+    schema = spark.read.parquet(stage_dir).schema
+    emb = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+
+    def _probe(batch_df: DataFrame, _batch_id: int) -> None:
+        SIM.pq_delta_topk(batch_df, cent, codes, k=k).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return (
+        emb.writeStream.foreachBatch(_probe)
+        .queryName(query_name)
+        .start()
+    )
+
+
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str, query_name: str) -> "StreamingQuery":
     """1-hour tumbling windows, 2-hour watermark, memory sink."""
     ev = events_stream(spark, sf_dir)
