@@ -102,3 +102,18 @@ def test_bpe_squeeze_and_determinism(spark):
         "n_subwords > n_chars OR n_subwords < n_words"
     ).count()
     assert bad == 0
+
+
+def test_bpe_learn_partition_invariant(spark):
+    """The learned merges must not depend on parallelism: the argmax
+    orders by (count desc, left, right) and pair counts are exact
+    BIGINTs, so shuffle.partitions=1 and =8 must agree exactly."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = []
+    try:
+        for n in ("1", "8"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            got.append(sorted(map(tuple, B.bpe_learn(docs).collect())))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert got[0] == got[1]

@@ -158,3 +158,24 @@ def _group(rows):
     for q in out:
         out[q].sort(key=lambda t: (-t[1], t[0]))
     return out
+
+
+def test_pq_partition_invariant(spark):
+    """Codebooks, codes, and the ADC ranking must not depend on
+    parallelism — integer Lloyd + deterministic tie-breaks everywhere."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = []
+    try:
+        for n in ("1", "8"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            got.append(
+                sorted(
+                    map(
+                        tuple,
+                        SIM.pq_topk(emb, n_queries=4, k=3, ks=KS).collect(),
+                    )
+                )
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert got[0] == got[1]
