@@ -69,7 +69,7 @@ BENCH_QUERIES = [
     "hash_classifier", "dsir_weights", "semdedup",
     "bpe_learn", "bpe_encode",
     "ann_pq_topk", "ann_pq_rerank", "ann_pq_recall",
-    "ann_pq_incremental",
+    "ann_pq_incremental", "curation_pipeline",
 ]
 
 

@@ -3265,30 +3265,40 @@ GROUP BY 1
     # bucket index and the bucket's integer weight — replayed verbatim;
     # all-integer accumulation, so the hash match is structural.
     _cls_w = _duck_hash32(f"'{TS.CLS_W_TAG}' || CAST(b AS VARCHAR)")
-    sql["hash_classifier"] = f"""
-WITH toks AS (
+    def _cls_block(src: str) -> str:
+        """Hashed-linear-classifier CTE chain over ``src`` (doc_id, text),
+        ending in clsagg(id, n_tokens, score) — shared by the standalone
+        entry and the composed curation pipeline."""
+        return f"""ctoks AS (
   SELECT doc_id AS id,
          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
-  FROM documents),
-t2 AS (SELECT id, term FROM toks WHERE length(term) > 0),
-wb AS (SELECT id, {_duck_hash32('term')} % {TS.CLS_BUCKETS} AS b FROM t2),
+  FROM {src}),
+ct2 AS (SELECT id, term FROM ctoks WHERE length(term) > 0),
+wb AS (SELECT id, {_duck_hash32('term')} % {TS.CLS_BUCKETS} AS b FROM ct2),
 ww AS (SELECT id, {_cls_w} % {TS.CLS_W_SPAN} - {(TS.CLS_W_SPAN - 1) // 2} AS w
-       FROM wb)
-SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       CAST(SUM(w) AS BIGINT) AS score, SUM(w) > 0 AS label
-FROM ww GROUP BY id
+       FROM wb),
+clsagg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                  CAST(SUM(w) AS BIGINT) AS score
+           FROM ww GROUP BY id)"""
+
+    sql["hash_classifier"] = f"""
+WITH {_cls_block('documents')}
+SELECT id AS doc_id, n_tokens, score, score > 0 AS label FROM clsagg
 """
 
     # dsir_weights oracle: both hashed-unigram LMs re-fit from scratch —
     # target flag from the two map-side Gopher rules, add-1 smoothing over
     # the full DSIR_BUCKETS range, each log-prob rounded once to integer
     # micro-nats (the unigram_lm_score recipe), BIGINT from there on.
-    sql["dsir_weights"] = f"""
-WITH toks AS (
+    def _dsir_block(src: str, k: int) -> str:
+        """DSIR CTE chain over ``src`` (doc_id, text), ending in
+        dtop(doc_id, n_tokens, dsir_micronat) — the top-k selection.
+        Shared by the standalone entry and the curation pipeline."""
+        return f"""dtoks AS (
   SELECT doc_id AS id,
          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
-  FROM documents),
-t2 AS (SELECT id, term FROM toks WHERE length(term) > 0),
+  FROM {src}),
+dt2 AS (SELECT id, term FROM dtoks WHERE length(term) > 0),
 flg AS (
   SELECT doc_id AS id,
     (CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
@@ -3296,9 +3306,9 @@ flg AS (
      AND CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
           t -> t IN ({_stoplist}))) AS BIGINT) >= {TS.DSIR_TGT_MIN_STOP})
     AS is_target
-  FROM documents),
-bt AS (SELECT t2.id, f.is_target, {_duck_hash32('term')} % {TS.DSIR_BUCKETS} AS b
-       FROM t2 JOIN flg f ON f.id = t2.id),
+  FROM {src}),
+bt AS (SELECT dt2.id, f.is_target, {_duck_hash32('term')} % {TS.DSIR_BUCKETS} AS b
+       FROM dt2 JOIN flg f ON f.id = dt2.id),
 allb AS (SELECT CAST(range AS BIGINT) AS b FROM range({TS.DSIR_BUCKETS})),
 rc AS (SELECT b, COUNT(*) AS cr FROM bt GROUP BY b),
 tc AS (SELECT b, COUNT(*) AS ct FROM bt WHERE is_target GROUP BY b),
@@ -3311,10 +3321,31 @@ lam AS (SELECT b,
   - CAST(round(ln((cr + 1) / CAST(tr AS DOUBLE)) * 1e6) AS BIGINT) AS lam
   FROM cnt, tot),
 wt AS (SELECT bt.id, COUNT(*) AS n_tokens, SUM(lam.lam) AS dw
-       FROM bt JOIN lam USING (b) GROUP BY bt.id)
-SELECT id AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(dw AS BIGINT) AS dsir_micronat
-FROM wt QUALIFY ROW_NUMBER() OVER (ORDER BY dw DESC, id) <= {TS.DSIR_TOPK}
+       FROM bt JOIN lam USING (b) GROUP BY bt.id),
+dtop AS (
+  SELECT id AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(dw AS BIGINT) AS dsir_micronat
+  FROM wt QUALIFY ROW_NUMBER() OVER (ORDER BY dw DESC, id) <= {k})"""
+
+    sql["dsir_weights"] = f"""
+WITH {_dsir_block('documents', TS.DSIR_TOPK)}
+SELECT * FROM dtop
+"""
+
+    # curation_pipeline oracle: the LLaMA/RefinedWeb-style selection
+    # chain composed from the three proven blocks — exact dedup (keep the
+    # lowest id per md5 digest, over the duplicate-injected corpus), the
+    # hashed-linear-classifier gate (keep score > 0), then DSIR top-k
+    # fitted on the GATED survivors.
+    sql["curation_pipeline"] = f"""
+WITH aug AS ({_AUG_DOCS_SQL}),
+keep AS (SELECT doc_id, text FROM aug WHERE text IS NOT NULL
+         QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))),
+{_cls_block('keep')},
+g AS (SELECT k.doc_id, k.text FROM keep k
+      JOIN clsagg c ON c.id = k.doc_id WHERE c.score > 0),
+{_dsir_block('g', CURATION_TOPK)}
+SELECT * FROM dtop
 """
 
     # semdedup oracle: the k-means replay CTE chain (same as the ANN
@@ -3920,6 +3951,33 @@ def q_ann_pq_recall(spark, sf_dir):
     )
 
 
+CURATION_TOPK = 150
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The LLaMA/RefinedWeb-style data-selection chain COMPOSED as one
+    declarative job over the duplicate-injected corpus: exact dedup (keep
+    the lowest id per md5 digest — min-agg + semi-join, no window on a
+    hot digest), the hashed-linear-classifier gate (keep the positive
+    class), then DSIR importance selection fitted on the gated survivors.
+    Every stage is an already-oracle-proven operator; the composition
+    stays three uniform-key exchanges + the DSIR passes — nothing
+    collects, nothing refits twice."""
+    docs = _aug_docs(spark, sf_dir)
+    nn = docs.filter(F.col("text").isNotNull())
+    keepers = (
+        nn.groupBy(F.md5("text").alias("__d"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    dd = nn.join(keepers, "doc_id", "left_semi").unionByName(
+        docs.filter(F.col("text").isNull())
+    )
+    gate = TS.hash_classifier_score(dd).filter("label").select("doc_id")
+    gated = dd.join(gate, "doc_id")
+    return TS.dsir_weights(gated, k=CURATION_TOPK)
+
+
 def q_ann_pq_incremental(spark, sf_dir):
     """Incremental PQ (operators/similarity.pq_delta_topk) — the SIXTH
     member of the delta-vs-corpus family: today's delta vectors are
@@ -4053,6 +4111,7 @@ QUERIES: dict[str, Callable] = {
     "ann_pq_rerank": q_ann_pq_rerank,
     "ann_pq_recall": q_ann_pq_recall,
     "ann_pq_incremental": q_ann_pq_incremental,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
