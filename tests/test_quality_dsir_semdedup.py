@@ -138,3 +138,39 @@ def test_semdedup_loser_rule_consistent(spark):
     losers = {max(a, b, key=lambda i: cs[i]) for a, b in pairs}
     assert losers == dropped
     assert kept == set(cs) - losers
+
+
+def test_selection_ops_degenerate_inputs(spark):
+    """Empty corpora yield empty results (never a crash); NULL-text rows
+    contribute no tokens to the classifier; a single-char corpus learns
+    zero merges but still encodes."""
+    from webcrawl_spark.operators import bpe as B
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert B.bpe_learn(empty).count() == 0
+    assert B.bpe_encode_stats(empty).count() == 0
+    assert TS.hash_classifier_score(empty).count() == 0
+    assert TS.dsir_weights(empty).count() == 0
+
+    one = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert B.bpe_learn(one).count() == 0  # no adjacent pair exists
+    e = B.bpe_encode_stats(one).collect()
+    assert [(r.doc_id, r.n_words, r.n_chars, r.n_subwords) for r in e] == [
+        (1, 1, 1, 1)
+    ]
+
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "x y")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_tokens for r in TS.hash_classifier_score(nulls).collect()}
+    assert got == {2: 2}  # NULL-text row contributes nothing
+
+    # pairs exhaust before n_merges: remaining iterations must be no-ops
+    # (the vocabulary survives; earlier merges are kept)
+    tiny = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
+    m = B.bpe_learn(tiny).collect()
+    assert [(r.rank, r.merged, r.pair_count) for r in m] == [(1, "ab", 3)]
+    e2 = B.bpe_encode_stats(tiny).collect()
+    assert [(r.doc_id, r.n_words, r.n_chars, r.n_subwords) for r in e2] == [
+        (1, 3, 6, 3)
+    ]

@@ -142,7 +142,12 @@ def _learn(docs: DataFrame, text_col: str, n_merges: int):
                 F.col("__bcnt").cast("long").alias("pair_count"),
             )
         )
-        words = words.crossJoin(F.broadcast(best)).select(
+        # LEFT join on TRUE, not a crossJoin: if the corpus exhausts its
+        # mergeable pairs before n_merges (best = 0 rows), a crossJoin
+        # would EMPTY the vocabulary; the left join keeps it with NULL
+        # __bl/__br, which makes the fold's merge condition NULL → the
+        # iteration is a no-op (identity fold), as BPE semantics require.
+        words = words.join(F.broadcast(best), F.lit(True), "left").select(
             "w",
             "wc",
             _apply_merge(

@@ -3542,7 +3542,7 @@ w{i} AS (
       (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
                        THEN list_concat(acc[1:-2], [acc[-1] || x[1]])
                        ELSE list_concat(acc, x) END) AS sym
-  FROM w{p}, b{i} b)"""
+  FROM w{p} LEFT JOIN b{i} b ON TRUE)"""
     _n_bpe = BPE.BPE_MERGES
     _bpe_ctes = ",".join(
         _bpe_iter.format(i=i, p=i - 1) for i in range(1, _n_bpe + 1)
