@@ -179,3 +179,15 @@ def test_pq_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "4")
     assert got[0] == got[1]
+
+
+def test_pq_degenerate_inputs(spark):
+    """Empty deltas yield empty results; a corpus smaller than ks still
+    fits (fewer centroids) and ranks."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    _, cent, codes = SIM.pq_model_cached(emb.filter("vec_id < 40"), ks=KS)
+    assert SIM.pq_delta_topk(
+        emb.filter("vec_id < 0"), cent, codes
+    ).count() == 0
+    tiny = SIM.pq_topk(emb.filter("vec_id < 5"), n_queries=2, k=2, ks=8)
+    assert tiny.count() == 4  # 2 queries x top-2 of the other 4 vectors
