@@ -117,3 +117,18 @@ def test_bpe_learn_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "4")
     assert got[0] == got[1]
+
+
+def test_bpe_vocab_mass_equals_encode_mass(spark):
+    """Σ vocab n_occurrences must equal Σ per-doc n_subwords — the two
+    artifacts describe the same tokenized corpus."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    B.bpe_cache_clear()
+    try:
+        v = B.bpe_vocab(docs, cache_key=("t-vocab", SF))
+        e = B.bpe_encode_stats(docs, cache_key=("t-vocab", SF))
+        vm = v.agg({"n_occurrences": "sum"}).collect()[0][0]
+        em = e.agg({"n_subwords": "sum"}).collect()[0][0]
+        assert vm == em and vm > 0
+    finally:
+        B.bpe_cache_clear()

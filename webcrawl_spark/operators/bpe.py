@@ -18,8 +18,9 @@ Spark-first shape (100 TB):
   partial-combining pair-count aggregate (keys uniform: symbol pairs in a
   per-word keyspace) → the argmax pair via ``orderBy(...).limit(1)``
   (Spark plans TakeOrdered: per-partition heap + driver merge of P rows,
-  never a global sort) → a **1-row broadcast crossJoin** carries the
-  winning pair back onto the vocabulary, where one whole-stage-codegen
+  never a global sort) → a **1-row broadcast left-join-on-TRUE** carries
+  the winning pair back onto the vocabulary (an exhausted-pairs empty
+  argmax is a no-op, not a wipe), where one whole-stage-codegen
   ``aggregate`` fold applies the merge greedily left-to-right. The argmax
   row is checkpointed per iteration (k 1-row materializations — the
   Observation-style fixpoint pattern the crawl loop uses), which keeps
@@ -96,9 +97,10 @@ def _learn(docs: DataFrame, text_col: str, n_merges: int):
 
     merges_df: (rank, left, right, merged, pair_count) — one row per
     learned merge, rank 1-based in learn order.
-    encoded_vocab_df: (w, sym) — every corpus word with its symbol
-    sequence AFTER all n_merges merges (the fitted tokenizer applied to
-    the vocabulary, which is how documents encode: join on w).
+    encoded_vocab_df: (w, wc, sym) — every corpus word with its corpus
+    frequency and its symbol sequence AFTER all n_merges merges (the
+    fitted tokenizer applied to the vocabulary, which is how documents
+    encode: join on w).
     """
     # materialize the vocabulary ONCE: every iteration's pair aggregate
     # hangs off this table, and without the checkpoint Spark would re-run
@@ -157,7 +159,7 @@ def _learn(docs: DataFrame, text_col: str, n_merges: int):
     merges = merge_rows[0]
     for m in merge_rows[1:]:
         merges = merges.unionByName(m)
-    return merges, words.select("w", "sym")
+    return merges, words.select("w", "wc", "sym")
 
 
 _BPE_CACHE: dict = {}
@@ -264,4 +266,31 @@ def bpe_encode_stats(
             "n_chars",
             "n_subwords",
         )
+    )
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = BPE_MERGES,
+    cache_key=None,
+) -> DataFrame:
+    """(token, n_words, n_occurrences): the fitted tokenizer's SYMBOL
+    vocabulary — the second persisted artifact alongside the merges table
+    (merges + vocab = the deployable tokenizer). ``n_words`` counts the
+    distinct corpus words containing the symbol; ``n_occurrences`` is the
+    corpus-frequency-weighted occurrence count.
+
+    Rides the fit-once cached model: one vocabulary-bounded explode +
+    aggregate — the corpus is never re-read."""
+    _, vocab = bpe_model_cached(docs, text_col, n_merges, cache_key)
+    return (
+        vocab.select("w", "wc", F.explode("sym").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("w").alias("n_words"),
+            F.sum("wc").cast("long").alias("n_occurrences"),
+        )
+        .select("token", F.col("n_words").cast("long").alias("n_words"),
+                "n_occurrences")
     )

@@ -3564,6 +3564,14 @@ WITH {_bpe_base},{_bpe_ctes}
 {_bpe_merges_union}
 """
 
+    sql["bpe_vocab"] = f"""
+WITH {_bpe_base},{_bpe_ctes},
+st AS (SELECT w, wc, unnest(sym) AS token FROM w{_n_bpe})
+SELECT token, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+       CAST(SUM(wc) AS BIGINT) AS n_occurrences
+FROM st GROUP BY token
+"""
+
     sql["bpe_encode"] = f"""
 WITH {_bpe_base},{_bpe_ctes},
 toks AS (
@@ -4008,6 +4016,16 @@ def q_bpe_learn(spark, sf_dir):
     )
 
 
+def q_bpe_vocab(spark, sf_dir):
+    """The fitted tokenizer's symbol vocabulary (operators/bpe.bpe_vocab)
+    — merges + vocab are the two persisted tokenizer artifacts. One
+    vocabulary-bounded explode+aggregate over the fit-once cached model;
+    the corpus is never re-read."""
+    return BPE.bpe_vocab(
+        _t(spark, sf_dir, "documents"), cache_key=("bpe", sf_dir)
+    )
+
+
 def q_bpe_encode(spark, sf_dir):
     """Per-document subword counts under the corpus-fitted BPE
     (operators/bpe.bpe_encode_stats): documents encode by joining their
@@ -4106,6 +4124,7 @@ QUERIES: dict[str, Callable] = {
     "dsir_weights": q_dsir_weights,
     "semdedup": q_semdedup,
     "bpe_learn": q_bpe_learn,
+    "bpe_vocab": q_bpe_vocab,
     "bpe_encode": q_bpe_encode,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_rerank": q_ann_pq_rerank,
