@@ -122,3 +122,52 @@ def test_integer_pagerank_hand_computed():
         con.execute(ORACLE_SQL["link_pagerank"]).fetchall()
     )
     assert got == r
+
+
+def test_integer_hits_hand_computed():
+    """Independent expectation for the link_hits arithmetic: replay the
+    integer HITS recurrence (2 iterations, L1 renormalization to 10^6 by
+    truncating division) in plain Python on the generator formula and
+    compare the full vector against the DuckDB oracle. Hand-written spec,
+    not derived from either engine."""
+    n = 300
+    edges = {d: [(d * 31 + 7 * k + 1) % n for k in range(2 + d % 4)]
+             for d in range(n)}
+    h = {d: 1_000_000 for d in range(n)}
+    for _ in range(2):
+        a_raw = {d: 0 for d in range(n)}
+        for src, outs in edges.items():
+            for dst in outs:
+                a_raw[dst] += h[src]
+        a_tot = sum(a_raw.values())
+        a = {d: (a_raw[d] * 1_000_000) // a_tot for d in range(n)}
+        h_raw = {d: 0 for d in range(n)}
+        for src, outs in edges.items():
+            for dst in outs:
+                h_raw[src] += a[dst]
+        h_tot = sum(h_raw.values())
+        h = {d: (h_raw[d] * 1_000_000) // h_tot for d in range(n)}
+    # L1 renormalization keeps each vector's mass at ~10^6 (truncation
+    # only loses < 1 per node)
+    assert 1_000_000 - n <= sum(a.values()) <= 1_000_000
+    assert 1_000_000 - n <= sum(h.values()) <= 1_000_000
+    # the generator graph is class-regular (out-degree = 2 + d % 4, and 31
+    # is invertible mod 300, so in-mass depends on the residue class):
+    # authorities collapse to exactly 4 classes; hubs must still differ
+    # from authorities and show >1 class
+    assert len(set(a.values())) >= 4 and len(set(h.values())) >= 4
+    assert a != h
+
+    from webcrawl_spark.queries import ORACLE_SQL
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    got = {
+        row[0]: (row[1], row[2])
+        for row in con.execute(ORACLE_SQL["link_hits"]).fetchall()
+    }
+    assert got == {d: (a[d], h[d]) for d in range(n)}

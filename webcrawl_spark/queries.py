@@ -207,6 +207,73 @@ def q_link_pagerank(spark, sf_dir):
     return ranks.select(F.col("id").alias("doc_id"), F.col("r").alias("pagerank"))
 
 
+def q_link_hits(spark, sf_dir):
+    """Integer HITS (hubs & authorities, 2 iterations) over the same
+    synthetic link graph as ``link_pagerank`` — the second classic
+    crawl-priority signal (Kleinberg): authorities rank pages worth
+    fetching, hubs rank pages worth re-scanning for links. All-integer
+    arithmetic again: scores start at 10^6 and each half-step L1-normalizes
+    back to ~10^6 via truncating division by the global sum, so every
+    engine computes bit-identical scores (no float fold ordering, no L2
+    sqrt). Per half-step the plan is one uniform-key shuffle (groupBy
+    dst or src) plus a broadcast of the 1-row global sum — at 100 TB the
+    only exchanges are the two groupBys; the normalizer is a scalar."""
+    from .sources.synth_web import LINK_MULT, LINK_STEP
+
+    n = 300
+    docs = _t(spark, sf_dir, "documents").filter(f"doc_id < {n}").select("doc_id")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, 1 + cast(doc_id % 4 as int)), "
+                f"k -> (doc_id * {LINK_MULT} + {LINK_STEP} * k + 1) % {n})"
+            )
+        ).alias("dst"),
+    )
+
+    def _normalized(raw, key):
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        return (
+            docs.select(F.col("doc_id").alias("id"))
+            .join(raw.withColumnRenamed(key, "id"), "id", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "id",
+                F.expr("(coalesce(raw, 0) * 1000000) div tot")
+                .cast("long").alias("v"),
+            )
+        )
+
+    h = docs.select(
+        F.col("doc_id").alias("id"), F.lit(1000000).cast("long").alias("v")
+    )
+    a = None
+    for _ in range(2):
+        a_raw = (
+            edges.join(
+                h.select(F.col("id").alias("src"), F.col("v").alias("hv")), "src"
+            )
+            .groupBy("dst").agg(F.sum("hv").alias("raw"))
+        )
+        a = _normalized(a_raw, "dst")
+        h_raw = (
+            edges.join(
+                a.select(F.col("id").alias("dst"), F.col("v").alias("av")), "dst"
+            )
+            .groupBy("src").agg(F.sum("av").alias("raw"))
+        )
+        h = _normalized(h_raw, "src")
+    return (
+        a.select(F.col("id").alias("doc_id"), F.col("v").alias("authority"))
+        .join(
+            h.select(F.col("id").alias("doc_id"), F.col("v").alias("hub")),
+            "doc_id",
+        )
+        .select("doc_id", "authority", "hub")
+    )
+
+
 _CANON_SCHEMA = "doc_id long, url string, host string, url_key string"
 
 
@@ -1630,6 +1697,30 @@ r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r FROM docs),
 {_pr_iter.format(i=2, p=1)},
 {_pr_iter.format(i=3, p=2)}
 SELECT id AS doc_id, r AS pagerank FROM r3
+"""
+
+    # one HITS iteration = authority half-step (sum of hub mass over
+    # inlinks, L1-renormalized by truncating division) then hub half-step
+    # (sum of authority mass over outlinks, renormalized); DuckDB's
+    # SUM(BIGINT) widens to HUGEINT, the CAST narrows back after //
+    _hits_half = """
+{r}{i}_raw AS (
+  SELECT e.{key} AS id, SUM({src}.v) AS raw
+  FROM edges e JOIN {src} ON {src}.id = e.{other} GROUP BY e.{key}),
+{r}{i} AS (
+  SELECT d.doc_id AS id,
+         CAST((COALESCE(x.raw, 0) * 1000000)
+              // (SELECT SUM(raw) FROM {r}{i}_raw) AS BIGINT) AS v
+  FROM docs d LEFT JOIN {r}{i}_raw x ON x.id = d.doc_id)"""
+    sql["link_hits"] = f"""
+WITH {SW.edges_sql(300)},
+h0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS v FROM docs),
+{_hits_half.format(r='a', i=1, key='dst', other='src', src='h0')},
+{_hits_half.format(r='h', i=1, key='src', other='dst', src='a1')},
+{_hits_half.format(r='a', i=2, key='dst', other='src', src='h1')},
+{_hits_half.format(r='h', i=2, key='src', other='dst', src='a2')}
+SELECT a2.id AS doc_id, a2.v AS authority, h2.v AS hub
+FROM a2 JOIN h2 ON h2.id = a2.id
 """
 
     sql["url_canonicalize"] = f"""
@@ -4042,6 +4133,7 @@ QUERIES: dict[str, Callable] = {
     "crawl_frontier_round1": q_crawl_frontier_round1,
     "crawl_bfs_trace": q_crawl_bfs_trace,
     "link_pagerank": q_link_pagerank,
+    "link_hits": q_link_hits,
     "url_canonicalize": q_url_canonicalize,
     "link_extract": q_link_extract,
     "mime_infer": q_mime_infer,
