@@ -394,6 +394,57 @@ range-partitioned, and the per-round commit floor is O(1) per round
     print(f"efficiency N->4N: {eff:.2f} (written to BENCH/BASELINE.md)")
 
 
+ANN_MULT = int(os.environ.get("BENCH_ANN_MULT", "256"))
+
+
+def synth_ann_vecs(spark, sf_dir: str, mult: int):
+    """Scaled embedding corpus for the ANN scaling legs: every base vector
+    replicated ``mult`` times; copy 0 (and every 8th copy) verbatim, the
+    rest perturbed by a copy- and dimension-dependent integer lattice step
+    (±0.03 max per component) so neighbors spread but stay clustered.
+    vec_id = copy * n_base + base_id, so ids < n_base ARE the original
+    vectors — the query set (vec_id < n_queries) is identical at every
+    scale. Deterministic: both parallelism legs see the same corpus."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_base = emb.count()
+    copies = spark.range(mult).select(F.col("id").alias("copy"))
+    return emb.crossJoin(copies).select(
+        (F.col("copy") * n_base + F.col("vec_id")).alias("vec_id"),
+        F.when(F.col("copy") % 8 == 0, F.col("embedding")).otherwise(
+            F.expr(
+                "transform(embedding, (x, i) -> "
+                "cast(x + ((copy*31 + i) % 7 - 3) * cast(0.01 as float) "
+                "as float))"
+            )
+        ).alias("embedding"),
+        "label",
+    )
+
+
+def run_ann(spark, vecs_path: str):
+    """The measured ANN job: the production PQ pipeline end-to-end on the
+    scaled corpus — fused per-subspace codebook fit (2 corpus passes),
+    corpus-wide encode, broadcast-ADC scoring of 8 queries against the
+    code table, exact-cosine shortlist rerank. Every phase is
+    corpus-linear with uniform keys. Returns (elapsed_s, n_vecs, digest)
+    where digest hashes the final top-k (must match across legs)."""
+    import hashlib
+
+    from webcrawl_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(vecs_path)
+    n_vecs = emb.count()           # scan cost outside the timed region
+    t0 = time.time()
+    rows = SIM.pq_topk_rerank(emb, n_queries=8, k=5).collect()
+    elapsed = time.time() - t0
+    digest = hashlib.md5(
+        str(sorted((r[0], r[1], r[2]) for r in rows)).encode()
+    ).hexdigest()
+    return elapsed, n_vecs, digest
+
+
 def main_scaling_dedup():
     """Two-parallelism-level evidence for the LLM-pipeline flagship
     (MinHash+LSH near-dup pairs), mirroring --scaling's methodology: one
@@ -482,6 +533,127 @@ one banded bucket exchange with deterministic skew cap, one distinct)
 is judged against that ceiling, not against a perfect 1.0.
 """)
     print(f"dedup efficiency N->4N: {eff:.2f} (appended to BENCH/BASELINE.md)")
+
+
+def _prep_corpus(data_dir: str, synth_call: str):
+    """Synthesize a scaling-leg corpus to ``data_dir`` once (subprocess,
+    local[8]); ``synth_call`` is a bench.* expression yielding a DataFrame."""
+    if os.path.exists(os.path.join(data_dir, "_SUCCESS")):
+        return
+    prep = (
+        "import bench;"
+        "spark = bench.session(8); spark.sparkContext.setLogLevel('ERROR');"
+        f"{synth_call}"
+        f".repartition(64).write.mode('overwrite').parquet({data_dir!r});"
+        "print('PREPARED')"
+    )
+    pr = subprocess.run([sys.executable, "-c", prep], cwd=REPO,
+                        capture_output=True, text=True, timeout=3600)
+    if "PREPARED" not in pr.stdout:
+        print(pr.stdout[-2000:], pr.stderr[-2000:], file=sys.stderr)
+        raise RuntimeError("corpus synthesis failed")
+
+
+def _run_leg(cpus: int, run_call: str):
+    """One scaling leg in a fresh JVM; ``run_call`` is a bench.* expression
+    returning the measured tuple. Returns [run_result, control_result]."""
+    code = (
+        "import bench, json;"
+        f"spark = bench.session({cpus});"
+        "spark.sparkContext.setLogLevel('ERROR');"
+        f"r = {run_call};"
+        "print('RESULT ' + json.dumps(list(r)))"
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    p = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=7200,
+    )
+    line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
+    if not line:
+        print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
+        raise RuntimeError(f"scaling run at local[{cpus}] failed")
+    return json.loads(line[0][7:])
+
+
+def main_scaling_ann():
+    """Two-parallelism-level evidence for the similarity-search pillar:
+    the production PQ pipeline (codebook fit → corpus encode → ADC top-k →
+    exact rerank) on one pre-synthesized embedding corpus, fresh JVM per
+    leg, shuffle partitioning fixed at 32, only executor slots differ.
+    The final top-k digest must match across legs. Appends to
+    BENCH/BASELINE.md."""
+    vecs_dir = os.path.join(tempfile.gettempdir(), f"bench_vecs_x{ANN_MULT}")
+    _prep_corpus(vecs_dir, f"bench.synth_ann_vecs(spark, {SF_DIR!r}, {ANN_MULT})")
+
+    results = {}
+    for cpus in (SCALING_N, 4 * SCALING_N):
+        (elapsed, n_vecs, digest), (ctrl_s, _) = _run_leg(
+            cpus,
+            f"(bench.run_ann(spark, {vecs_dir!r}), "
+            f"bench.run_control_vec(spark, {vecs_dir!r}))",
+        )
+        results[cpus] = {
+            "seconds": round(elapsed, 2),
+            "vecs": n_vecs,
+            "digest": digest,
+            "throughput": round(n_vecs / elapsed, 1),
+            "control_seconds": round(ctrl_s, 2),
+        }
+        print(f"local[{cpus}]: {results[cpus]}")
+
+    lo, hi = SCALING_N, 4 * SCALING_N
+    assert results[lo]["digest"] == results[hi]["digest"], "legs diverged"
+    eff = results[hi]["throughput"] / (4 * results[lo]["throughput"])
+    ctrl_eff = results[lo]["control_seconds"] / (4 * results[hi]["control_seconds"])
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(f"""
+
+## ANN scaling run (bench.py --scaling-ann, appended automatically)
+
+Two-parallelism-level evidence for the similarity-search pillar — the
+production PQ pipeline on identical input at N and 4N cores (fresh JVM
+per leg, shuffle partitions fixed at 32, only executor slots differ).
+
+Workload: `{SF_DIR}/embeddings.parquet` × {ANN_MULT}
+({results[hi]['vecs']} vectors, 7/8 lattice-perturbed, 1/8 verbatim;
+queries = the unscaled base vectors): fused per-subspace PQ codebook fit
+(2 corpus passes) → corpus-wide encode → broadcast-ADC scoring of 8
+queries over the code table → exact-cosine shortlist rerank. The final
+top-k digest matched across legs ({results[hi]['digest'][:12]}…).
+Metric = vectors fitted+encoded+scored / wall-second.
+
+| parallelism | wall s | vectors | throughput /s | control stage s |
+|---|---|---|---|---|
+| local[{lo}]  (N)  | {results[lo]['seconds']} | {results[lo]['vecs']} | {results[lo]['throughput']} | {results[lo]['control_seconds']} |
+| local[{hi}] (4N) | {results[hi]['seconds']} | {results[hi]['vecs']} | {results[hi]['throughput']} | {results[hi]['control_seconds']} |
+
+**ANN scaling efficiency local[{lo}] → local[{hi}]: {eff:.2f}**
+**Platform-ceiling control (single Arrow stage, zero engine code): {ctrl_eff:.2f}**
+**Engine efficiency relative to the platform ceiling: {min(1.0, eff / ctrl_eff):.2f}**
+""")
+    print(f"ann efficiency N->4N: {eff:.2f} (appended to BENCH/BASELINE.md)")
+
+
+def run_control_vec(spark, vecs_path: str):
+    """Zero-engine Arrow control for embedding-shaped input: one
+    embarrassingly-parallel mapInPandas stage summing vector components
+    (no shuffle, no engine code)."""
+    import pandas as pd
+
+    def stage(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"s": [float(sum(float(sum(v)) for v in pdf["embedding"]))]}
+            )
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(vecs_path).select("embedding")
+    t0 = time.time()
+    total = df.mapInPandas(stage, "s double").agg(F.sum("s")).first()[0]
+    return time.time() - t0, float(total)
 
 
 def _pages_dir_for(mult: int) -> tuple[str, int, int]:
@@ -608,6 +780,8 @@ if __name__ == "__main__":
         main_scaling_cluster()
     elif "--scaling-dedup" in sys.argv:
         main_scaling_dedup()
+    elif "--scaling-ann" in sys.argv:
+        main_scaling_ann()
     elif "--scaling" in sys.argv:
         main_scaling()
     else:

@@ -37,6 +37,38 @@ def test_synth_dedup_docs_structure(spark):
     assert again == rows
 
 
+def test_synth_ann_vecs_structure(spark):
+    """synth_ann_vecs: queries (vec_id < n_base) are the verbatim base
+    vectors at every scale; perturbed copies differ but stay within the
+    lattice step of the base."""
+    mult = 8
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_base = base.count()
+    rep = bench.synth_ann_vecs(spark, "/root/testdata/sf0.001", mult)
+    rows = {r["vec_id"]: list(r["embedding"]) for r in rep.collect()}
+    assert len(rows) == n_base * mult
+    for r in base.limit(10).collect():
+        v = list(r["embedding"])
+        assert rows[r["vec_id"]] == v                       # copy 0 verbatim
+        pert = rows[1 * n_base + r["vec_id"]]               # copy 1 perturbed
+        assert pert != v
+        assert all(abs(a - b) <= 0.031 for a, b in zip(pert, v))
+
+
+def test_run_ann_digest_layout_invariant(spark, tmp_path):
+    """run_ann's result digest is independent of input layout — the
+    property main_scaling_ann's cross-leg equality assertion relies on."""
+    p1 = str(tmp_path / "v1")
+    p2 = str(tmp_path / "v2")
+    rep = bench.synth_ann_vecs(spark, "/root/testdata/sf0.001", 4)
+    rep.repartition(2).write.parquet(p1)
+    rep.repartition(7).write.parquet(p2)
+    _, n1, d1 = bench.run_ann(spark, p1)
+    _, n2, d2 = bench.run_ann(spark, p2)
+    assert n1 == n2 == rep.count()
+    assert d1 == d2
+
+
 def test_run_dedup_deterministic_pairs(spark, tmp_path):
     """The measured job's pair count is independent of input layout
     (repartitioning the corpus must not change the candidate set) — the

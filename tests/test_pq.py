@@ -191,3 +191,20 @@ def test_pq_degenerate_inputs(spark):
     ).count() == 0
     tiny = SIM.pq_topk(emb.filter("vec_id < 5"), n_queries=2, k=2, ks=8)
     assert tiny.count() == 4  # 2 queries x top-2 of the other 4 vectors
+
+
+def test_pq_topk_salt_invariant(spark):
+    """The salted two-level top-k that replaced the n_queries-partition
+    window must be EXACT: any salt (including 1 = the unsalted global
+    sort) yields the identical result set."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sub, cent, codes = SIM.pq_model_cached(emb, ks=KS)
+    qsub = sub.filter("id < 6")
+    scored = SIM._adc_core(qsub, cent, codes, exclude_self=True)
+    outs = []
+    for salt in (1, 3, SIM.PQ_TOPK_SALT, 64):
+        rows = SIM._topk_scored(scored, K, salt=salt).collect()
+        outs.append(sorted((r.qid, r.nid, r.acos) for r in rows))
+    assert outs[0] == outs[1] == outs[2] == outs[3]
+    assert len(outs[0]) > 0
+    SIM.pq_cache_clear()

@@ -852,6 +852,43 @@ def _adc_core(
     return scored
 
 
+PQ_TOPK_SALT = 8   # level-1 sub-groups of the salted exact top-k
+
+
+def _topk_scored(scored: DataFrame, k: int, salt: int = PQ_TOPK_SALT) -> DataFrame:
+    """Exact per-query top-k of (acos DESC, nid ASC) — the salted
+    two-level TakeOrdered from ``textstats.inverted_index``, replacing a
+    ``row_number`` window whose n_queries partitions would each sort the
+    WHOLE scored corpus in one task (the measured bottleneck of the ANN
+    scaling legs: per-vector throughput fell as the corpus grew because
+    the final sort ran at n_queries-way parallelism). Level 1 caps each
+    of ``salt`` deterministic sub-groups (``pmod(nid, salt)``) to k
+    inside a parallel aggregate; level 2 merges the ≤ salt·k survivors
+    per query. The struct sorts ascending on (-acos, nid) and carries the
+    original ``acos`` so no negate-back touches the emitted value.
+    Salt-invariant (exact), so ``salt`` rises freely with corpus size."""
+    item = F.struct(
+        (-F.col("acos")).alias("__na"),
+        F.col("nid").alias("nid"),
+        F.col("acos").alias("acos"),
+    )
+    lvl1 = (
+        scored.withColumn("__s", F.pmod("nid", F.lit(salt)))
+        .groupBy("qid", "__s")
+        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("part"))
+    )
+    return (
+        lvl1.groupBy("qid")
+        .agg(F.flatten(F.collect_list("part")).alias("allp"))
+        .select(
+            "qid", F.explode(F.slice(F.sort_array("allp"), 1, k)).alias("p")
+        )
+        .select(
+            "qid", F.col("p.nid").alias("nid"), F.col("p.acos").alias("acos")
+        )
+    )
+
+
 def pq_topk(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     n_queries: int = 8, k: int = 5, m_sub: int = PQ_M, ks: int = PQ_KS,
@@ -873,15 +910,10 @@ def pq_topk(
         emb, id_col, vec_col, n_queries, m_sub, ks, iters, scale, dims,
         cache_key=cache_key,
     )
-    w = Window.partitionBy("qid").orderBy(F.col("acos").desc(), F.col("nid"))
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            F.round("acos", round_to).alias("acos"),
-        )
+    return _topk_scored(scored, k).select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("neighbor_id"),
+        F.round("acos", round_to).alias("acos"),
     )
 
 
@@ -903,12 +935,7 @@ def pq_topk_rerank(
         emb, id_col, vec_col, n_queries, m_sub, ks, iters, scale, dims,
         cache_key=cache_key,
     )
-    w = Window.partitionBy("qid").orderBy(F.col("acos").desc(), F.col("nid"))
-    short = (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= shortlist)
-        .select("qid", "nid")
-    )
+    short = _topk_scored(scored, shortlist).select("qid", "nid")
     qv = _prep_normed(emb, id_col, vec_col, "qid", "qv", "qn").filter(
         F.col("qid") < n_queries
     )
@@ -957,13 +984,8 @@ def pq_delta_topk(
         eager=True
     )
     scored = _adc_core(qsub, cent, codes, exclude_self=False)
-    w = Window.partitionBy("qid").orderBy(F.col("acos").desc(), F.col("nid"))
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            F.round("acos", round_to).alias("acos"),
-        )
+    return _topk_scored(scored, k).select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("neighbor_id"),
+        F.round("acos", round_to).alias("acos"),
     )
