@@ -852,40 +852,32 @@ def _adc_core(
     return scored
 
 
-PQ_TOPK_SALT = 8   # level-1 sub-groups of the salted exact top-k
+PQ_TOPK_SALT = 64   # level-1 sub-groups of the salted exact top-k
 
 
 def _topk_scored(scored: DataFrame, k: int, salt: int = PQ_TOPK_SALT) -> DataFrame:
-    """Exact per-query top-k of (acos DESC, nid ASC) — the salted
-    two-level TakeOrdered from ``textstats.inverted_index``, replacing a
-    ``row_number`` window whose n_queries partitions would each sort the
-    WHOLE scored corpus in one task (the measured bottleneck of the ANN
-    scaling legs: per-vector throughput fell as the corpus grew because
-    the final sort ran at n_queries-way parallelism). Level 1 caps each
-    of ``salt`` deterministic sub-groups (``pmod(nid, salt)``) to k
-    inside a parallel aggregate; level 2 merges the ≤ salt·k survivors
-    per query. The struct sorts ascending on (-acos, nid) and carries the
-    original ``acos`` so no negate-back touches the emitted value.
+    """Exact per-query top-k of (acos DESC, nid ASC) — a salted two-level
+    TakeOrdered replacing a ``row_number`` window whose n_queries
+    partitions each sorted the WHOLE scored corpus in one task (the
+    measured bottleneck of the ANN scaling legs: per-vector throughput
+    fell as the corpus grew because the final sort ran at n_queries-way
+    parallelism). Level 1 caps each of ``salt`` deterministic sub-groups
+    (``pmod(nid, salt)``) to k under a (qid, sub-group)-partitioned
+    window — salt× the parallelism, and window sorts SPILL, unlike a
+    ``collect_list`` aggregate, which pins each sub-group's full row set
+    on the heap (the first cut of this function OOMed the local[16]
+    scaling leg exactly that way). Level 2 re-ranks the ≤ salt·k
+    survivors per query — bounded rows, the skewed-window cost is gone.
     Salt-invariant (exact), so ``salt`` rises freely with corpus size."""
-    item = F.struct(
-        (-F.col("acos")).alias("__na"),
-        F.col("nid").alias("nid"),
-        F.col("acos").alias("acos"),
-    )
-    lvl1 = (
-        scored.withColumn("__s", F.pmod("nid", F.lit(salt)))
-        .groupBy("qid", "__s")
-        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("part"))
-    )
+    order = (F.col("acos").desc(), F.col("nid"))
+    w1 = Window.partitionBy("qid", F.pmod("nid", F.lit(salt))).orderBy(*order)
+    w2 = Window.partitionBy("qid").orderBy(*order)
     return (
-        lvl1.groupBy("qid")
-        .agg(F.flatten(F.collect_list("part")).alias("allp"))
-        .select(
-            "qid", F.explode(F.slice(F.sort_array("allp"), 1, k)).alias("p")
-        )
-        .select(
-            "qid", F.col("p.nid").alias("nid"), F.col("p.acos").alias("acos")
-        )
+        scored.withColumn("__rk1", F.row_number().over(w1))
+        .filter(F.col("__rk1") <= k)
+        .withColumn("__rk2", F.row_number().over(w2))
+        .filter(F.col("__rk2") <= k)
+        .select("qid", "nid", "acos")
     )
 
 
