@@ -359,12 +359,9 @@ def kmeans_ivf_topk(
             "cos", F.expr(dot_sql("qv", "nv")) / (F.col("qn") * F.col("nn"))
         )
     )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", round_to).alias("cos"))
-    )
+    return _topk_salted(
+        cand, k, PQ_TOPK_SALT, "query_id", "neighbor_id", "cos"
+    ).select("query_id", "neighbor_id", F.round("cos", round_to).alias("cos"))
 
 
 def neardup_pairs_bucketed(
@@ -869,15 +866,24 @@ def _topk_scored(scored: DataFrame, k: int, salt: int = PQ_TOPK_SALT) -> DataFra
     scaling leg exactly that way). Level 2 re-ranks the ≤ salt·k
     survivors per query — bounded rows, the skewed-window cost is gone.
     Salt-invariant (exact), so ``salt`` rises freely with corpus size."""
-    order = (F.col("acos").desc(), F.col("nid"))
-    w1 = Window.partitionBy("qid", F.pmod("nid", F.lit(salt))).orderBy(*order)
-    w2 = Window.partitionBy("qid").orderBy(*order)
+    return _topk_salted(scored, k, salt, "qid", "nid", "acos")
+
+
+def _topk_salted(
+    df: DataFrame, k: int, salt: int, qid: str, nid: str, score: str
+) -> DataFrame:
+    """Column-name-generic core of :func:`_topk_scored` — also the final
+    selection of :func:`kmeans_ivf_topk`, whose probe buckets are
+    corpus-sized at scale and had the same one-task-per-query window."""
+    order = (F.col(score).desc(), F.col(nid))
+    w1 = Window.partitionBy(qid, F.pmod(nid, F.lit(salt))).orderBy(*order)
+    w2 = Window.partitionBy(qid).orderBy(*order)
     return (
-        scored.withColumn("__rk1", F.row_number().over(w1))
+        df.withColumn("__rk1", F.row_number().over(w1))
         .filter(F.col("__rk1") <= k)
         .withColumn("__rk2", F.row_number().over(w2))
         .filter(F.col("__rk2") <= k)
-        .select("qid", "nid", "acos")
+        .select(qid, nid, score)
     )
 
 
