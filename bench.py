@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "bpe_learn", "bpe_vocab", "bpe_encode",
     "ann_pq_topk", "ann_pq_rerank", "ann_pq_recall",
     "ann_pq_incremental", "curation_pipeline",
+    "knn_graph", "semantic_clusters", "tfidf_topk",
 ]
 
 

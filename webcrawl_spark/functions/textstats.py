@@ -872,3 +872,56 @@ def dsir_weights(
             F.col("dsir_micronat").cast("long").alias("dsir_micronat"),
         )
     )
+
+
+def tfidf_topk(
+    docs: DataFrame, k: int = 3, min_term_len: int = 4,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, term, tf, score_micro, rk) — the ``k`` highest-tf·idf terms per
+    document (ties → term ASC): the classic keyword profile used to label
+    corpus slices and drive topic-balanced sampling. Terms are lowercase
+    whitespace tokens of length >= ``min_term_len`` (the inverted_index
+    convention — drops most stopwords without a language-specific list).
+
+    ``idf = ln((N+1)/(df+1))`` is rounded ONCE to integer micro-nats;
+    ``score_micro = tf · idf_micro`` is exact BIGINT arithmetic after that
+    single round (the unigram_lm_score recipe), so the per-document ranking
+    is engine-exact. 100-TB shape: tf and df are uniform-key aggregates
+    with map-side partial combine; N is a one-row broadcast; the df join
+    keys on term (skew from residual common words is AQE's skew-join case —
+    the df side is one row per term, never collected or broadcast by hand
+    because a full-vocabulary table is NOT broadcast-size at corpus scale);
+    the final top-k window partitions on doc id — millions of doc-sized
+    partitions, no skew (a document holds at most |doc| distinct terms)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.length("term") >= min_term_len)
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("N"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id", "term", "tf",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log((F.col("N") + 1.0) / (F.col("df") + 1.0)) * 1e6
+                ).cast("long")
+            ).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score_micro"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            "id", "term", F.col("tf").cast("long").alias("tf"),
+            "score_micro", "rk",
+        )
+    )

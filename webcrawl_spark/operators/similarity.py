@@ -315,12 +315,16 @@ def kmeans_cache_clear() -> None:
 
 def kmeans_ivf_topk(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    n_queries: int = 8, k: int = 5, k_clusters: int = 4, iters: int = 2,
+    n_queries: int | None = 8, k: int = 5, k_clusters: int = 4, iters: int = 2,
     probes: int = 2, scale: int = 1000, round_to: int = 4,
     ranked: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN with a deterministic integer k-means coarse quantizer and
-    multi-probe search.
+    multi-probe search. ``n_queries=None`` makes EVERY corpus vector a
+    query — the full k-NN-graph build (:func:`semantic_clusters` consumes
+    it); the candidate volume is then Σ probed-bucket sizes ≈
+    probes·n²/k_clusters, so k_clusters rises with the corpus to hold the
+    per-query candidate list constant.
 
     Quantizer: embeddings quantized to int64 (×scale), centroids
     initialized from the ``k_clusters`` lowest ids, ``iters`` Lloyd
@@ -340,20 +344,35 @@ def kmeans_ivf_topk(
     corpus_bucket = ranked.filter(F.col("__rn") == 1).select(
         F.col("id").alias("neighbor_id"), "cid"
     )
-    query_probe = ranked.filter(
-        (F.col("id") < n_queries) & (F.col("__rn") <= probes)
-    ).select(F.col("id").alias("query_id"), "cid")
+    probe_cond = F.col("__rn") <= probes
+    if n_queries is not None:
+        probe_cond = (F.col("id") < n_queries) & probe_cond
+    query_probe = ranked.filter(probe_cond).select(
+        F.col("id").alias("query_id"), "cid"
+    )
 
     base = _prep_normed(emb, id_col, vec_col, "id", "v", "n")
     queries = (base.withColumnRenamed("id", "query_id")
                .withColumnRenamed("v", "qv").withColumnRenamed("n", "qn"))
     corpus = (base.withColumnRenamed("id", "neighbor_id")
               .withColumnRenamed("v", "nv").withColumnRenamed("n", "nn"))
-    cand = (
+    cand_ids = (
         query_probe.join(corpus_bucket, "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")   # unique: each neighbor has ONE
-        .join(queries, "query_id")           # bucket, so probes can't dup a pair
+        # bucket, so probes can't dup a pair.
+        # Explicit exchange: the pair set is |queries|·probes·bucket-sized
+        # while every INPUT to the join chain is (here) broadcast-small, so
+        # without it Catalyst chains broadcast joins and the entire cosine
+        # scoring stage runs in the upstream's task count — measured 19s
+        # single-task vs 3s spread for the n_queries=None graph build. The
+        # (query, neighbor) key is uniform; at cluster scale the vector
+        # attach below is a shuffle join on the same uniform id keys.
+        .repartition(F.col("query_id"), F.col("neighbor_id"))
+    )
+    cand = (
+        cand_ids
+        .join(queries, "query_id")
         .join(corpus, "neighbor_id")
         .withColumn(
             "cos", F.expr(dot_sql("qv", "nv")) / (F.col("qn") * F.col("nn"))
@@ -986,4 +1005,50 @@ def pq_delta_topk(
         F.col("qid").alias("query_id"),
         F.col("nid").alias("neighbor_id"),
         F.round("acos", round_to).alias("acos"),
+    )
+
+
+def semantic_clusters(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 3, tau: float = 0.6, k_clusters: int = 4, iters: int = 2,
+    probes: int = 2, ranked: DataFrame | None = None,
+) -> DataFrame:
+    """(id, cluster_id, is_canonical) — connected components of the
+    MUTUAL k-NN graph thresholded at cosine >= ``tau``: the semantic
+    clustering step behind cluster-balanced sampling and SemDeDup-style
+    pruning (mutuality is the standard density guard — a hub vector that
+    merely appears in many k-NN lists does not chain unrelated regions
+    unless the relation is reciprocated). ``cluster_id`` = minimum vec id
+    in the component; singletons cluster as themselves.
+
+    100-TB shape: the k-NN edges come from :func:`kmeans_ivf_topk` with
+    ``n_queries=None`` (IVF candidates from the shared quantizer, salted
+    exact per-node top-k — never all-pairs); the mutuality check is one
+    self-join of the k·n edge list on uniform (a, b) keys; the component
+    iteration (textdedup.connected_components — O(log d) pointer jumping,
+    one scalar Observation per iteration) runs on the thresholded pair
+    graph only. The corpus-sized side appears once, in the final left
+    join that materializes singletons."""
+    knn = kmeans_ivf_topk(
+        emb, id_col, vec_col, n_queries=None, k=k, k_clusters=k_clusters,
+        iters=iters, probes=probes, ranked=ranked,
+    )
+    e = knn.filter(F.col("cos") >= tau).select(
+        F.col("query_id").alias("a"), F.col("neighbor_id").alias("b")
+    )
+    # top-k lists hold unique (query, neighbor) pairs, so fwd and rev are
+    # duplicate-free and the inner join IS the mutual-pair intersection
+    fwd = e.filter(F.col("a") < F.col("b"))
+    rev = e.filter(F.col("a") > F.col("b")).select(
+        F.col("b").alias("a"), F.col("a").alias("b")
+    )
+    mutual = fwd.join(rev, ["a", "b"]).select("a", "b")
+    from .textdedup import connected_components
+
+    cc = connected_components(mutual)
+    return (
+        emb.select(F.col(id_col).alias("id"))
+        .join(cc, "id", "left")
+        .select("id", F.coalesce("cc", F.col("id")).alias("cluster_id"))
+        .withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
     )

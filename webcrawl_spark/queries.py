@@ -2999,6 +2999,78 @@ JOIN embeddings eb ON eb.vec_id = c.b
 WHERE {_duck_cos64('ea.embedding', 'eb.embedding')} > 0.3
 """
 
+    # knn_graph / semantic_clusters: the ann_ivf_topk replay without the
+    # query-id filter (every vector is a query), then — for the clusters —
+    # threshold, mutuality INTERSECT, and the recursive reachability
+    # closure (the dedup_clusters oracle pattern over the mutual edges)
+    _knn_scored = f"""
+corpus_bucket AS (SELECT id AS nid, cid FROM ranked WHERE rn = 1),
+probe AS (SELECT id AS qid, cid FROM ranked WHERE rn <= 2),
+s AS (
+  SELECT p.qid, b.nid,
+         {_duck_cos64('q.embedding', 'e.embedding')} AS cos
+  FROM probe p
+  JOIN corpus_bucket b ON b.cid = p.cid AND b.nid <> p.qid
+  JOIN embeddings q ON q.vec_id = p.qid
+  JOIN embeddings e ON e.vec_id = b.nid
+),
+knn AS (
+  SELECT qid, nid, ROUND(cos, 4) AS cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+    FROM s) WHERE rk <= {KNN_K})"""
+
+    sql["knn_graph"] = f"""
+WITH {_kmeans_ctes},
+{_knn_scored}
+SELECT qid AS src, nid AS dst, cos FROM knn
+"""
+
+    sql["semantic_clusters"] = f"""
+WITH RECURSIVE {_kmeans_ctes},
+{_knn_scored},
+te AS (SELECT qid AS a, nid AS b FROM knn WHERE cos >= {SEM_TAU}),
+mutual AS (
+  -- mutuality via join, not INTERSECT: DuckDB only allows UNION setops
+  -- inside a WITH RECURSIVE block; top-k lists are duplicate-free so the
+  -- inner join IS the intersection (mirrors the engine exactly)
+  SELECT f.a, f.b
+  FROM (SELECT a, b FROM te WHERE a < b) f
+  JOIN (SELECT b AS a, a AS b FROM te WHERE a > b) r USING (a, b)),
+edges AS (SELECT a AS u, b AS v FROM mutual UNION SELECT b, a FROM mutual),
+reach(id, root) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e2.v, r.root FROM reach r JOIN edges e2 ON e2.u = r.id
+),
+labels AS (SELECT id, MIN(root) AS cc FROM reach GROUP BY id)
+SELECT v.vec_id AS id, COALESCE(l.cc, v.vec_id) AS cluster_id,
+       v.vec_id = COALESCE(l.cc, v.vec_id) AS is_canonical
+FROM embeddings v LEFT JOIN labels l ON l.id = v.vec_id
+"""
+
+    sql["tfidf_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+t2 AS (SELECT id, term FROM toks WHERE len(term) >= {TFIDF_MIN_LEN}),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS N FROM documents),
+sc AS (
+  SELECT id, term, tf,
+         tf * CAST(ROUND(ln((n.N + 1.0) / (df.df + 1.0)) * 1e6) AS BIGINT)
+           AS score_micro
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY id ORDER BY score_micro DESC, term)
+          AS rk
+      FROM sc)
+SELECT id, term, CAST(tf AS BIGINT) AS tf,
+       CAST(score_micro AS BIGINT) AS score_micro, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {TFIDF_K}
+"""
+
     # shared by the incremental near-dup query and its recall measurement:
     # quantizer fit on the corpus split only, plus the delta's assignment
     # (the probe pass neardup_incremental runs per delta)
@@ -4128,6 +4200,55 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+KNN_K = 3          # k-NN graph degree (engine AND oracle)
+SEM_TAU = 0.35     # mutual-edge cosine threshold (engine AND oracle; the
+                   # synthetic corpus' knn cos tops out at ~0.51 — 0.35
+                   # keeps ~26% of edges, so real multi-node clusters form)
+TFIDF_K = 3        # tf-idf keyword profile depth (engine AND oracle)
+TFIDF_MIN_LEN = 4  # tf-idf minimum term length (engine AND oracle)
+
+
+def q_knn_graph(spark, sf_dir):
+    """Full k-NN graph over the embedding corpus (operators/similarity
+    .kmeans_ivf_topk with n_queries=None): every vector is a query, IVF
+    candidates from the SHARED 2-probe quantizer, exact cosine, salted
+    exact per-node top-k. The graph is the substrate for semantic
+    clustering, SemDeDup pruning, and graph-based diversity sampling —
+    and it is built without any all-pairs stage: candidate volume is
+    Σ probed-bucket sizes, tuned by k_clusters as the corpus grows."""
+    emb, ranked = _shared_quantizer(spark, sf_dir)
+    return SIM.kmeans_ivf_topk(
+        emb, n_queries=None, k=KNN_K, k_clusters=4, iters=2, probes=2,
+        ranked=ranked,
+    ).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"),
+        "cos",
+    )
+
+
+def q_semantic_clusters(spark, sf_dir):
+    """Semantic clusters = connected components of the MUTUAL k-NN graph
+    at cosine >= SEM_TAU (operators/similarity.semantic_clusters). Reuses
+    the shared quantizer, the salted top-k, and the dedup CC operator —
+    the composed pipeline a cluster-balanced sampler runs. The oracle
+    replays the quantizer, the k-NN ranking, the mutuality intersection,
+    and the reachability closure in one recursive-CTE chain."""
+    emb, ranked = _shared_quantizer(spark, sf_dir)
+    return SIM.semantic_clusters(
+        emb, k=KNN_K, tau=SEM_TAU, k_clusters=4, iters=2, probes=2,
+        ranked=ranked,
+    )
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document tf-idf keyword profile (functions/textstats
+    .tfidf_topk): top TFIDF_K terms per doc, idf in integer micro-nats
+    (single-round recipe), score = tf · idf_micro in exact BIGINT."""
+    return TS.tfidf_topk(
+        _t(spark, sf_dir, "documents"), k=TFIDF_K, min_term_len=TFIDF_MIN_LEN
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "crawl_reach_seen": q_crawl_reach_seen,
     "crawl_frontier_round1": q_crawl_frontier_round1,
@@ -4223,6 +4344,9 @@ QUERIES: dict[str, Callable] = {
     "ann_pq_recall": q_ann_pq_recall,
     "ann_pq_incremental": q_ann_pq_incremental,
     "curation_pipeline": q_curation_pipeline,
+    "knn_graph": q_knn_graph,
+    "semantic_clusters": q_semantic_clusters,
+    "tfidf_topk": q_tfidf_topk,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
