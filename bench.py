@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "ann_pq_topk", "ann_pq_rerank", "ann_pq_recall",
     "ann_pq_incremental", "curation_pipeline",
     "knn_graph", "semantic_clusters", "tfidf_topk",
+    "cluster_balanced_sample", "srp_pairs", "srp_recall",
 ]
 
 

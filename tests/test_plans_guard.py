@@ -304,3 +304,22 @@ def test_knn_graph_no_cartesian_and_jvm_only(spark):
     wgl = _nodes(p, "WindowGroupLimit")
     assert _nodes(p, "Window") - wgl == 2
     assert wgl >= 2
+
+
+def test_srp_codes_map_side_only(spark):
+    """SRP coding is a pure projection: no exchange, no Python — the
+    16x64 hyperplane table folds into the compiled expression."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(SIM.srp_codes(emb))
+    assert _nodes(p, "Exchange") == 0
+    assert "EvalPython" not in p
+
+
+def test_srp_pairs_no_cartesian_and_vectors_join_after_distinct(spark):
+    """Candidates come from the banded equi-join; vectors attach to the
+    deduped id-only pairs (never inside the candidate exchange)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _plan(SIM.srp_pairs(emb))
+    assert _nodes(p, "CartesianProduct") == 0
+    assert _nodes(p, "BroadcastNestedLoopJoin") == 0
+    assert "EvalPython" not in p

@@ -1052,3 +1052,145 @@ def semantic_clusters(
         .select("id", F.coalesce("cc", F.col("id")).alias("cluster_id"))
         .withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
     )
+
+
+def cluster_balanced_sample(clusters: DataFrame, cap: int) -> DataFrame:
+    """(id, cluster_id, rk) — at most ``cap`` members per cluster, chosen
+    by the deterministic hash order ``(hash32(id), id)``: the diversity
+    sampler that consumes :func:`semantic_clusters` (cluster-balanced
+    corpus construction — every semantic region contributes equally, mega
+    clusters of boilerplate are capped instead of dominating the mix).
+
+    Membership depends only on the row id, never on partitioning or scan
+    order — reruns and the DuckDB oracle keep the identical set (the
+    ``balanced_sample`` contract; this is its exact-cap sibling for the
+    many-tiny-groups regime, where the rate-based modulo sampler would
+    over/undershoot small clusters).
+
+    100-TB shape: one row_number window partitioned by cluster_id —
+    millions of cluster-sized partitions; Spark's WindowGroupLimit
+    pushdown evaluates ``rk <= cap`` map-side, so each partition ships at
+    most ``cap`` rows per input partition into the window exchange even
+    for a mega-cluster."""
+    from .textdedup import HASH32
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.expr(HASH32.format(col="cast(id as string)")), F.asc("id")
+    )
+    return (
+        clusters.select("id", "cluster_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+    )
+
+
+# sign-random-projection (hyperplane) LSH family — Charikar 2002. The
+# hyperplanes are md5-derived integer weight vectors (model constants,
+# generated driver-side and embedded as literals in the plan AND the
+# oracle SQL), and the projections are exact int64 dot products over the
+# shared x1000 quantization, so every bit — and therefore every bucket —
+# is cross-engine deterministic.
+SRP_PLANES = 16     # hyperplanes = code bits
+SRP_BAND_BITS = 8   # bits per LSH band (16/8 = 2 bands)
+SRP_WMOD = 2001     # weights uniform in [-1000, 1000]
+
+
+def srp_weights(
+    n_planes: int = SRP_PLANES, dim: int = 64, mod: int = SRP_WMOD,
+) -> list[list[int]]:
+    """n_planes × dim integer hyperplane weights, md5("srp-h-d")-derived."""
+    import hashlib
+
+    half = (mod - 1) // 2
+    return [
+        [
+            int(hashlib.md5(f"srp-{h}-{d}".encode()).hexdigest()[:8], 16)
+            % mod - half
+            for d in range(dim)
+        ]
+        for h in range(n_planes)
+    ]
+
+
+def srp_codes(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = SRP_PLANES, dim: int = 64, scale: int = 1000,
+) -> DataFrame:
+    """(id, code) — the SRP bit code: bit h = (v_int · w_h >= 0), packed
+    into one BIGINT. Vectors quantize exactly like the k-means quantizer
+    (floor(x·scale + 0.5)), so the dot products are exact int64 (max
+    |sum| ≈ dim · scale·|x| · 1000 « 2^63) and the sign — hence the
+    bucket — can never drift between engines or runs.
+
+    100-TB shape: pure map-side codegen over the corpus scan — zero
+    exchanges, zero Python; the 16×64 weight table folds into the
+    compiled expression as literals (``zip_with``/``aggregate``)."""
+    w = srp_weights(n_planes, dim)
+    quant = (
+        f"transform({vec_col}, x -> "
+        f"cast(floor(cast(x as double) * {scale} + 0.5d) as bigint))"
+    )
+    terms = []
+    for h in range(n_planes):
+        arr = "array(" + ",".join(f"{v}L" for v in w[h]) + ")"
+        dot = (
+            f"aggregate(zip_with(__q, {arr}, (x, y) -> x * y), "
+            f"0L, (a, x) -> a + x)"
+        )
+        terms.append(f"(case when {dot} >= 0 then {1 << h}L else 0L end)")
+    return (
+        emb.select(F.col(id_col).alias("id"), F.expr(quant).alias("__q"))
+        .select("id", F.expr(" + ".join(terms)).alias("code"))
+    )
+
+
+def srp_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    tau: float = 0.3, n_planes: int = SRP_PLANES,
+    band_bits: int = SRP_BAND_BITS, dim: int = 64, scale: int = 1000,
+    round_to: int = 4,
+) -> DataFrame:
+    """(a, b, cos) — near-duplicate candidate pairs from banded SRP codes,
+    verified by exact cosine > ``tau`` (strict, the near-dup house
+    convention). The third ANN candidate family
+    beside the IVF quantizer and PQ: data-independent (no fit pass — new
+    shards code themselves with the same literal hyperplanes, which is
+    what makes SRP the incremental-ingest-friendly family), recall tuned
+    by band width (fewer bits/band = more candidates) and band count.
+
+    100-TB shape: codes are map-side only (see :func:`srp_codes`); the
+    banded self-join exchanges id-only rows on uniform (band, band-value)
+    keys — band values are hash-like so residual skew is AQE's skew-join
+    case, and narrowing ``band_bits`` trades bucket size against recall
+    exactly like the MinHash LSH band knob; vectors attach to the deduped
+    (a, b) id pairs afterward, so the wide rows never enter the candidate
+    exchange (the embed_neardup_ann layout)."""
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    bands = srp_codes(emb, id_col, vec_col, n_planes, dim, scale).select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), "
+                f"b -> shiftright(code, b * {band_bits}) & {mask}L)"
+            )
+        ).alias("band", "bv"),
+    )
+    cand = (
+        bands.select("band", "bv", F.col("id").alias("a"))
+        .join(bands.select("band", "bv", F.col("id").alias("b")), ["band", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = _prep_normed(emb, id_col, vec_col, "a", "av", "an")
+    vb = _prep_normed(emb, id_col, vec_col, "b", "bv2", "bn")
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn(
+            "cos", F.expr(dot_sql("av", "bv2")) / (F.col("an") * F.col("bn"))
+        )
+        .filter(F.col("cos") > tau)
+        .select("a", "b", F.round("cos", round_to).alias("cos"))
+    )

@@ -3025,10 +3025,7 @@ WITH {_kmeans_ctes},
 SELECT qid AS src, nid AS dst, cos FROM knn
 """
 
-    sql["semantic_clusters"] = f"""
-WITH RECURSIVE {_kmeans_ctes},
-{_knn_scored},
-te AS (SELECT qid AS a, nid AS b FROM knn WHERE cos >= {SEM_TAU}),
+    _sem_labels = f"""te AS (SELECT qid AS a, nid AS b FROM knn WHERE cos >= {SEM_TAU}),
 mutual AS (
   -- mutuality via join, not INTERSECT: DuckDB only allows UNION setops
   -- inside a WITH RECURSIVE block; top-k lists are duplicate-free so the
@@ -3042,10 +3039,31 @@ reach(id, root) AS (
   UNION
   SELECT e2.v, r.root FROM reach r JOIN edges e2 ON e2.u = r.id
 ),
-labels AS (SELECT id, MIN(root) AS cc FROM reach GROUP BY id)
-SELECT v.vec_id AS id, COALESCE(l.cc, v.vec_id) AS cluster_id,
-       v.vec_id = COALESCE(l.cc, v.vec_id) AS is_canonical
-FROM embeddings v LEFT JOIN labels l ON l.id = v.vec_id
+labels AS (SELECT id, MIN(root) AS cc FROM reach GROUP BY id),
+clusters AS (
+  SELECT v.vec_id AS id, COALESCE(l.cc, v.vec_id) AS cluster_id
+  FROM embeddings v LEFT JOIN labels l ON l.id = v.vec_id)"""
+
+    sql["semantic_clusters"] = f"""
+WITH RECURSIVE {_kmeans_ctes},
+{_knn_scored},
+{_sem_labels}
+SELECT id, cluster_id, id = cluster_id AS is_canonical FROM clusters
+"""
+
+    sql["cluster_balanced_sample"] = f"""
+WITH RECURSIVE {_kmeans_ctes},
+{_knn_scored},
+{_sem_labels},
+rk AS (
+  SELECT id, cluster_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster_id
+           ORDER BY {_duck_hash32("CAST(id AS VARCHAR)")}, id) AS rk
+  FROM clusters)
+SELECT r.id AS doc_id, r.cluster_id, CAST(r.rk AS BIGINT) AS rk, d.lang
+FROM rk r JOIN documents d ON d.doc_id = r.id
+WHERE r.rk <= {CBS_CAP}
 """
 
     sql["tfidf_topk"] = f"""
@@ -3069,6 +3087,58 @@ r AS (SELECT *,
 SELECT id, term, CAST(tf AS BIGINT) AS tf,
        CAST(score_micro AS BIGINT) AS score_micro, CAST(rk AS BIGINT) AS rk
 FROM r WHERE rk <= {TFIDF_K}
+"""
+
+    # srp_pairs / srp_recall: the hyperplane weights are model constants
+    # generated by the SAME Python function the engine embeds in its plan
+    # (similarity.srp_weights) — the oracle replays exact int64 projections
+    # over the shared x1000 quantization, so every bit/bucket matches.
+    _w = SIM.srp_weights()
+    _n_bands = SIM.SRP_PLANES // SIM.SRP_BAND_BITS
+    _srp_mask = (1 << SIM.SRP_BAND_BITS) - 1
+    _hs, _ds, _ws = [], [], []
+    for _h, _row in enumerate(_w):
+        for _d, _wt in enumerate(_row):
+            _hs.append(_h)
+            _ds.append(_d)
+            _ws.append(_wt)
+    _srp_ctes = f"""wt AS (SELECT unnest({_hs}) AS h, unnest({_ds}) AS d, unnest({_ws}) AS w),
+q AS (SELECT vec_id AS id, CAST(pos - 1 AS BIGINT) AS d,
+             CAST(floor(CAST(val AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS val
+      FROM (SELECT vec_id, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS pos FROM embeddings)),
+bits AS (SELECT q.id, wt.h, SUM(q.val * wt.w) >= 0 AS bit
+         FROM q JOIN wt ON wt.d = q.d GROUP BY 1, 2),
+codes AS (SELECT id, SUM(CASE WHEN bit THEN (CAST(1 AS BIGINT) << h) ELSE 0 END) AS code
+          FROM bits GROUP BY 1),
+bands AS (SELECT id, b, (code >> CAST(b * {SIM.SRP_BAND_BITS} AS INT)) & {_srp_mask} AS bv
+          FROM codes CROSS JOIN (SELECT unnest(range(0, {_n_bands})) AS b)),
+srp_cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+             FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.id < y.id),
+srp AS (
+  SELECT c.a, c.b, ROUND({_duck_cos64('ea.embedding', 'eb.embedding')}, 4) AS cos
+  FROM srp_cand c
+  JOIN embeddings ea ON ea.vec_id = c.a
+  JOIN embeddings eb ON eb.vec_id = c.b
+  WHERE {_duck_cos64('ea.embedding', 'eb.embedding')} > {SRP_TAU})"""
+
+    sql["srp_pairs"] = f"""
+WITH {_srp_ctes}
+SELECT a, b, cos FROM srp
+"""
+
+    sql["srp_recall"] = f"""
+WITH {_srp_ctes},
+e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+exact AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_duck_cos64('a.embedding', 'b.embedding')} > {SRP_TAU}
+),
+hits AS (SELECT a, b, 1 AS hit FROM srp WHERE a < 200 AND b < 200)
+SELECT COUNT(*) AS n_exact, COUNT(h.hit) AS n_found,
+       ROUND(COUNT(h.hit) / COUNT(*), 4) AS recall
+FROM exact x LEFT JOIN hits h USING (a, b)
 """
 
     # shared by the incremental near-dup query and its recall measurement:
@@ -4240,6 +4310,60 @@ def q_semantic_clusters(spark, sf_dir):
     )
 
 
+CBS_CAP = 2      # per-semantic-cluster document cap (engine AND oracle)
+SRP_TAU = 0.3    # SRP near-dup verification threshold (engine AND oracle)
+
+
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced corpus sample (operators/similarity
+    .cluster_balanced_sample): at most CBS_CAP documents per semantic
+    cluster, chosen by deterministic hash order — the diversity sampler
+    the mutual-kNN clustering exists to feed. Composes the shared
+    quantizer → kNN graph → mutual-CC clusters → capped window → document
+    join; the oracle replays the whole chain in one recursive-CTE query."""
+    emb, ranked = _shared_quantizer(spark, sf_dir)
+    clusters = SIM.semantic_clusters(
+        emb, k=KNN_K, tau=SEM_TAU, k_clusters=4, iters=2, probes=2,
+        ranked=ranked,
+    )
+    sel = SIM.cluster_balanced_sample(clusters, cap=CBS_CAP)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "lang"
+    )
+    return sel.join(docs, "id").select(
+        F.col("id").alias("doc_id"), "cluster_id", "rk", "lang"
+    )
+
+
+def q_srp_pairs(spark, sf_dir):
+    """Sign-random-projection LSH near-dup pairs (operators/similarity
+    .srp_pairs): banded 16-bit hyperplane codes (exact int64 projections
+    over the shared x1000 quantization) propose candidates; exact cosine
+    > SRP_TAU verifies. The data-independent ANN family — no fit pass,
+    so new shards code themselves with the same literal hyperplanes."""
+    return SIM.srp_pairs(_t(spark, sf_dir, "embeddings"), tau=SRP_TAU)
+
+
+def q_srp_recall(spark, sf_dir):
+    """Recall of the SRP-banded candidate path against the exact all-pairs
+    baseline on the id<200 subset ("measure, don't guess" — the same
+    contract the IVF and PQ families carry): one row with exact-pair
+    count, SRP-found count, and recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = SIM.neardup_pairs(emb, n=200, threshold=SRP_TAU).select("a", "b")
+    srp = (
+        SIM.srp_pairs(emb, tau=SRP_TAU)
+        .filter((F.col("a") < 200) & (F.col("b") < 200))
+        .select("a", "b")
+        .withColumn("hit", F.lit(1))
+    )
+    return exact.join(srp, ["a", "b"], "left").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit").alias("n_found"),
+        F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall"),
+    )
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-document tf-idf keyword profile (functions/textstats
     .tfidf_topk): top TFIDF_K terms per doc, idf in integer micro-nats
@@ -4347,6 +4471,9 @@ QUERIES: dict[str, Callable] = {
     "knn_graph": q_knn_graph,
     "semantic_clusters": q_semantic_clusters,
     "tfidf_topk": q_tfidf_topk,
+    "cluster_balanced_sample": q_cluster_balanced_sample,
+    "srp_pairs": q_srp_pairs,
+    "srp_recall": q_srp_recall,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
