@@ -323,3 +323,18 @@ def test_srp_pairs_no_cartesian_and_vectors_join_after_distinct(spark):
     assert _nodes(p, "CartesianProduct") == 0
     assert _nodes(p, "BroadcastNestedLoopJoin") == 0
     assert "EvalPython" not in p
+
+
+def test_cms_counters_one_pass_tiny_shuffle(spark):
+    """The count-min grid is ONE corpus pass (transform+posexplode, not a
+    d-way union of scans) feeding a partial-combined aggregate."""
+    from webcrawl_spark.operators import sketches as SK2
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    p = _plan(SK2.cms_counters(toks))
+    assert _nodes(p, "Scan parquet") == 1
+    assert "EvalPython" not in p
+    assert _nodes(p, "Union") == 0

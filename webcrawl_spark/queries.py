@@ -38,6 +38,7 @@ from .kernels.robots import build_rule_index, robots_allowed
 from .kernels.urlnorm import canonicalize
 from .operators import bpe as BPE
 from .operators import similarity as SIM
+from .operators import sketches as SK
 from .operators import snapshot as SNAP
 from .operators import textdedup as TD
 from .operators.robotsparse import parse_robots
@@ -3127,6 +3128,60 @@ WITH {_srp_ctes}
 SELECT a, b, cos FROM srp
 """
 
+    # kmv_vocab_est / cms_freq_est: deterministic sketches replayed exactly
+    # (shared md5 base hash); each entry carries its own measured error
+    _kmv_num = (SK.KMV_K - 1) * (1 << 32)
+    sql["kmv_vocab_est"] = f"""
+WITH sh0 AS (
+  SELECT source AS grp,
+         unnest(list_transform({_duck_shingles('text', KMV_SHINGLE_K)},
+                               s -> {_duck_hash32('s')})) AS h
+  FROM documents),
+sh AS (SELECT DISTINCT grp, h FROM sh0),
+rk AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rk
+       FROM sh),
+agg AS (SELECT grp, COUNT(*) AS n, MAX(h) AS hk
+        FROM rk WHERE rk <= {SK.KMV_K} GROUP BY 1),
+est AS (SELECT grp,
+               CASE WHEN n < {SK.KMV_K} THEN n ELSE {_kmv_num} // hk END AS e
+        FROM agg),
+exact AS (SELECT grp, COUNT(*) AS x FROM sh GROUP BY 1)
+SELECT est.grp AS source, CAST(est.e AS BIGINT) AS est_distinct,
+       CAST(exact.x AS BIGINT) AS exact_distinct,
+       CAST(abs(est.e - exact.x) * 1000 // exact.x AS BIGINT) AS err_permille
+FROM est JOIN exact USING (grp)
+"""
+
+    sql["cms_freq_est"] = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+t AS (SELECT term FROM toks WHERE term <> ''),
+tf AS (SELECT term, COUNT(*) AS true_tf FROM t GROUP BY 1),
+top AS (SELECT term, true_tf FROM (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY true_tf DESC, term) AS rk
+          FROM tf) WHERE rk <= {CMS_TOP_N}),
+rows_r AS (SELECT unnest(range(0, {SK.CMS_D})) AS r),
+cells AS (
+  SELECT rows_r.r,
+         {_duck_hash32("'cms' || CAST(rows_r.r AS VARCHAR) || ':' || t.term")}
+           % {SK.CMS_W} AS bucket,
+         COUNT(*) AS cnt
+  FROM t CROSS JOIN rows_r GROUP BY 1, 2),
+probe AS (
+  SELECT top.term, top.true_tf, rows_r.r,
+         {_duck_hash32("'cms' || CAST(rows_r.r AS VARCHAR) || ':' || top.term")}
+           % {SK.CMS_W} AS bucket
+  FROM top CROSS JOIN rows_r),
+est AS (SELECT p.term, p.true_tf, MIN(COALESCE(c.cnt, 0)) AS est_tf
+        FROM probe p LEFT JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+        GROUP BY 1, 2)
+SELECT term, CAST(true_tf AS BIGINT) AS true_tf,
+       CAST(est_tf AS BIGINT) AS est_tf,
+       CAST(est_tf - true_tf AS BIGINT) AS overest
+FROM est
+"""
+
     sql["srp_recall"] = f"""
 WITH {_srp_ctes},
 e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
@@ -4364,6 +4419,68 @@ def q_srp_recall(spark, sf_dir):
     )
 
 
+KMV_SHINGLE_K = 8  # char-shingle width for the KMV item domain
+CMS_TOP_N = 10     # heavy hitters probed against the count-min grid
+
+
+def q_kmv_vocab_est(spark, sf_dir):
+    """KMV distinct-count sketch (operators/sketches.kmv_distinct,
+    Bar-Yossef et al. 2002) over each source's distinct 8-char shingle
+    hashes, with the EXACT distinct count and the error in permille in
+    the same row — the sketch is graded against truth inside the battery
+    entry itself. At 100 TB the exact column is the one you can't
+    afford; the sketch is k rows per group, mergeable across shards
+    (distinct-hash domain, so "exact" here means distinct hashes — the
+    collision-conflation both sides share by construction)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("source").alias("grp"),
+        F.explode(
+            F.expr(TD.shingle_hashes_sql("text", k=KMV_SHINGLE_K))
+        ).alias("h"),
+    )
+    est = SK.kmv_distinct(sh, k=SK.KMV_K)
+    exact = (
+        sh.select("grp", "h").distinct()
+        .groupBy("grp").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    return est.join(exact, "grp").select(
+        F.col("grp").alias("source"),
+        "est_distinct",
+        "exact_distinct",
+        F.expr(
+            "cast(abs(est_distinct - exact_distinct) * 1000"
+            " div exact_distinct as bigint)"
+        ).alias("err_permille"),
+    )
+
+
+def q_cms_freq_est(spark, sf_dir):
+    """Count-min frequency estimation (operators/sketches.cms_counters +
+    cms_lookup, Cormode & Muthukrishnan 2005): the corpus collapses to a
+    d×w counter grid in one codegen pass; the true top-CMS_TOP_N terms
+    are then probed against the grid and reported with their true count
+    and the (always >= 0) overestimate — heavy-hitter frequencies
+    without a vocabulary table."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    counters = SK.cms_counters(toks)
+    top = (
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("true_tf"))
+        .orderBy(F.desc("true_tf"), F.asc("term"))
+        .limit(CMS_TOP_N)
+    )
+    est = SK.cms_lookup(counters, top.select("term"))
+    return top.join(est, "term").select(
+        "term",
+        "true_tf",
+        F.col("est_tf").cast("long").alias("est_tf"),
+        (F.col("est_tf") - F.col("true_tf")).cast("long").alias("overest"),
+    )
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-document tf-idf keyword profile (functions/textstats
     .tfidf_topk): top TFIDF_K terms per doc, idf in integer micro-nats
@@ -4474,6 +4591,8 @@ QUERIES: dict[str, Callable] = {
     "cluster_balanced_sample": q_cluster_balanced_sample,
     "srp_pairs": q_srp_pairs,
     "srp_recall": q_srp_recall,
+    "kmv_vocab_est": q_kmv_vocab_est,
+    "cms_freq_est": q_cms_freq_est,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
