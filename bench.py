@@ -75,7 +75,7 @@ BENCH_QUERIES = [
     "ann_pq_incremental", "curation_pipeline",
     "knn_graph", "semantic_clusters", "tfidf_topk",
     "cluster_balanced_sample", "srp_pairs", "srp_recall",
-    "kmv_vocab_est", "cms_freq_est",
+    "kmv_vocab_est", "cms_freq_est", "srp_incremental",
 ]
 
 

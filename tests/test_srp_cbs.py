@@ -8,6 +8,10 @@ from webcrawl_spark.operators import similarity as SIM
 SF = "/root/testdata/sf0.001"
 
 
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
 def test_srp_codes_match_independent_numpy_projection(spark):
     """Every bit of every code equals the sign of the int64 dot product
     of the x1000-quantized vector with the md5-derived hyperplane —
@@ -62,3 +66,48 @@ def test_cluster_balanced_sample_cap_and_determinism(spark):
     rev = spark.createDataFrame(list(reversed(rows)), "id long, cluster_id long")
     out2 = SIM.cluster_balanced_sample(rev, cap=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_srp_incremental_equals_full_restriction(spark):
+    """Codes are data-independent, so the incremental path must equal the
+    full srp_pairs over corpus ∪ delta restricted to cross pairs — an
+    EXACT equivalence, not a recall trade (unlike the IVF/PQ deltas)."""
+    emb = _emb(spark)
+    is_delta = F.col("vec_id") % 5 == 4
+    corpus, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    codes = SIM.srp_codes(corpus)
+    inc = {
+        (r.a, r.b, r.cos)
+        for r in SIM.srp_pairs_incremental(delta, codes, corpus).collect()
+    }
+    full = SIM.srp_pairs(emb, tau=0.3).collect()
+    want = set()
+    for r in full:
+        da, db = r.a % 5 == 4, r.b % 5 == 4
+        if da and not db:
+            want.add((r.a, r.b, r.cos))
+        elif db and not da:
+            want.add((r.b, r.a, r.cos))
+    assert inc == want and len(want) > 0
+
+
+def test_srp_incremental_corpus_codes_from_existingrdd(spark):
+    """The persisted-code consumer plan: the corpus CODE side starts from
+    the materialized table (Scan ExistingRDD), no Python, no cartesian.
+    (The corpus VECTOR side legitimately rescans parquet to verify
+    survivors — that read is candidate-bounded, not corpus-wide work.)"""
+    import io
+    import contextlib
+
+    emb = _emb(spark)
+    is_delta = F.col("vec_id") % 5 == 4
+    corpus, delta = emb.filter(~is_delta), emb.filter(is_delta)
+    codes = SIM.srp_codes_cached(corpus, cache_key="srp-plan-guard")
+    out = SIM.srp_pairs_incremental(delta, codes, corpus)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "ExistingRDD" in p
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p

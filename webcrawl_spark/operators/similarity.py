@@ -1144,6 +1144,26 @@ def srp_codes(
     )
 
 
+def _srp_bands(
+    codes: DataFrame, n_planes: int = SRP_PLANES,
+    band_bits: int = SRP_BAND_BITS,
+) -> DataFrame:
+    """(id, band, bv) from an (id, code) table — pure shift/mask
+    projection of the STORED code (no vector read), so banding a
+    persisted corpus code table costs one narrow explode."""
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    return codes.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), "
+                f"b -> shiftright(code, b * {band_bits}) & {mask}L)"
+            )
+        ).alias("band", "bv"),
+    )
+
+
 def srp_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     tau: float = 0.3, n_planes: int = SRP_PLANES,
@@ -1165,16 +1185,9 @@ def srp_pairs(
     exactly like the MinHash LSH band knob; vectors attach to the deduped
     (a, b) id pairs afterward, so the wide rows never enter the candidate
     exchange (the embed_neardup_ann layout)."""
-    n_bands = n_planes // band_bits
-    mask = (1 << band_bits) - 1
-    bands = srp_codes(emb, id_col, vec_col, n_planes, dim, scale).select(
-        "id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {n_bands - 1}), "
-                f"b -> shiftright(code, b * {band_bits}) & {mask}L)"
-            )
-        ).alias("band", "bv"),
+    bands = _srp_bands(
+        srp_codes(emb, id_col, vec_col, n_planes, dim, scale),
+        n_planes, band_bits,
     )
     cand = (
         bands.select("band", "bv", F.col("id").alias("a"))
@@ -1194,3 +1207,78 @@ def srp_pairs(
         .filter(F.col("cos") > tau)
         .select("a", "b", F.round("cos", round_to).alias("cos"))
     )
+
+
+def srp_pairs_incremental(
+    delta: DataFrame, corpus_codes: DataFrame, corpus_vecs: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding", tau: float = 0.3,
+    n_planes: int = SRP_PLANES, band_bits: int = SRP_BAND_BITS,
+    dim: int = 64, scale: int = 1000, round_to: int = 4,
+) -> DataFrame:
+    """(a = delta id, b = corpus id, cos) — delta-vs-corpus SRP near-dup:
+    the SEVENTH member of the delta-vs-corpus incremental family (exact
+    digests, paragraphs, MinHash-LSH, SimHash, IVF embedding ANN, PQ).
+
+    This is where the family's data-independent member pays off: the
+    delta codes itself with the same literal hyperplanes — NO model to
+    refit, NO quantizer to probe, and (unlike the IVF/PQ incrementals)
+    the incremental result is EXACTLY the full-recompute result
+    restricted to delta×corpus pairs, because a vector's code never
+    depends on what else is in the corpus (unit-proven). The corpus side
+    is a persisted ``(id, code)`` table — ONE bigint per vector, banded
+    by pure shift/mask projection (:func:`_srp_bands`), no corpus vector
+    read; corpus vectors join in only to cosine-verify the surviving
+    candidate ids. Delta-internal pairs are not emitted (run
+    :func:`srp_pairs` on the delta alone — same codes, same planes).
+
+    Shuffle shape: both band sides exchange id-only rows on the uniform
+    (band, band-value) key; the delta side is small by definition, so
+    AQE broadcasts it in practice."""
+    dbands = _srp_bands(
+        srp_codes(delta, id_col, vec_col, n_planes, dim, scale),
+        n_planes, band_bits,
+    )
+    cbands = _srp_bands(corpus_codes, n_planes, band_bits)
+    cand = (
+        dbands.withColumnRenamed("id", "a")
+        .join(cbands.withColumnRenamed("id", "b"), ["band", "bv"])
+        .select("a", "b")
+        .distinct()
+    )
+    va = _prep_normed(delta, id_col, vec_col, "a", "av", "an")
+    vb = _prep_normed(corpus_vecs, id_col, vec_col, "b", "bv2", "bn")
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn(
+            "cos", F.expr(dot_sql("av", "bv2")) / (F.col("an") * F.col("bn"))
+        )
+        .filter(F.col("cos") > tau)
+        .select("a", "b", F.round("cos", round_to).alias("cos"))
+    )
+
+
+def srp_codes_cached(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = SRP_PLANES, dim: int = 64, scale: int = 1000,
+    cache_key=None,
+) -> DataFrame:
+    """Fit-once (id, code) table — :func:`srp_codes` materialized and
+    memoized in the k-means model store (same bounded FIFO, same
+    deferred-unpersist eviction, same :func:`kmeans_cache_clear` hook).
+    In a deployment this is the persisted corpus code table — one BIGINT
+    per vector, written once at ingest; :func:`srp_pairs_incremental`
+    probes it without reading a single corpus vector."""
+    if cache_key is None:
+        return srp_codes(emb, id_col, vec_col, n_planes, dim, scale)
+    full_key = (
+        emb.sparkSession.sparkContext.applicationId,
+        "srp", cache_key, id_col, vec_col, n_planes, dim, scale,
+    )
+    if full_key not in _KMEANS_CACHE:
+        while len(_KMEANS_CACHE) >= _KMEANS_CACHE_MAX:
+            _KMEANS_EVICTED.append(_KMEANS_CACHE.pop(next(iter(_KMEANS_CACHE))))
+        _KMEANS_CACHE[full_key] = srp_codes(
+            emb, id_col, vec_col, n_planes, dim, scale
+        ).localCheckpoint(eager=True)
+    return _KMEANS_CACHE[full_key]

@@ -3103,7 +3103,7 @@ FROM r WHERE rk <= {TFIDF_K}
             _hs.append(_h)
             _ds.append(_d)
             _ws.append(_wt)
-    _srp_ctes = f"""wt AS (SELECT unnest({_hs}) AS h, unnest({_ds}) AS d, unnest({_ws}) AS w),
+    _srp_code_ctes = f"""wt AS (SELECT unnest({_hs}) AS h, unnest({_ds}) AS d, unnest({_ws}) AS w),
 q AS (SELECT vec_id AS id, CAST(pos - 1 AS BIGINT) AS d,
              CAST(floor(CAST(val AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS val
       FROM (SELECT vec_id, unnest(embedding) AS val,
@@ -3113,7 +3113,9 @@ bits AS (SELECT q.id, wt.h, SUM(q.val * wt.w) >= 0 AS bit
 codes AS (SELECT id, SUM(CASE WHEN bit THEN (CAST(1 AS BIGINT) << h) ELSE 0 END) AS code
           FROM bits GROUP BY 1),
 bands AS (SELECT id, b, (code >> CAST(b * {SIM.SRP_BAND_BITS} AS INT)) & {_srp_mask} AS bv
-          FROM codes CROSS JOIN (SELECT unnest(range(0, {_n_bands})) AS b)),
+          FROM codes CROSS JOIN (SELECT unnest(range(0, {_n_bands})) AS b))"""
+
+    _srp_ctes = f"""{_srp_code_ctes},
 srp_cand AS (SELECT DISTINCT x.id AS a, y.id AS b
              FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.id < y.id),
 srp AS (
@@ -3122,6 +3124,22 @@ srp AS (
   JOIN embeddings ea ON ea.vec_id = c.a
   JOIN embeddings eb ON eb.vec_id = c.b
   WHERE {_duck_cos64('ea.embedding', 'eb.embedding')} > {SRP_TAU})"""
+
+    # srp_incremental: codes are data-independent, so the oracle computes
+    # them ONCE over all vectors and only the pairing splits delta/corpus
+    sql["srp_incremental"] = f"""
+WITH {_srp_code_ctes},
+cand AS (
+  SELECT DISTINCT d.id AS a, c.id AS b
+  FROM (SELECT * FROM bands WHERE id % {EMB_DELTA_MOD} = {EMB_DELTA_MOD - 1}) d
+  JOIN (SELECT * FROM bands WHERE id % {EMB_DELTA_MOD} <> {EMB_DELTA_MOD - 1}) c
+    ON d.b = c.b AND d.bv = c.bv)
+SELECT c.a, c.b, ROUND({_duck_cos64('ea.embedding', 'eb.embedding')}, 4) AS cos
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.a
+JOIN embeddings eb ON eb.vec_id = c.b
+WHERE {_duck_cos64('ea.embedding', 'eb.embedding')} > {SRP_TAU}
+"""
 
     sql["srp_pairs"] = f"""
 WITH {_srp_ctes}
@@ -4419,6 +4437,23 @@ def q_srp_recall(spark, sf_dir):
     )
 
 
+def q_srp_incremental(spark, sf_dir):
+    """Delta-vs-corpus SRP near-dup (operators/similarity
+    .srp_pairs_incremental) — the SEVENTH delta-vs-corpus incremental
+    family member, and the one where incrementality is FREE: codes are
+    data-independent (literal hyperplanes), so the delta codes itself
+    with no model fit and the result provably equals the full recompute
+    restricted to delta×corpus pairs. The corpus side is the persisted
+    one-BIGINT-per-vector code table (srp_codes_cached), banded by pure
+    shift/mask; corpus vectors join in only to verify survivors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % EMB_DELTA_MOD == EMB_DELTA_MOD - 1
+    corpus = emb.filter(~is_delta)
+    delta = emb.filter(is_delta)
+    codes = SIM.srp_codes_cached(corpus, cache_key=("srp-corpus", sf_dir))
+    return SIM.srp_pairs_incremental(delta, codes, corpus, tau=SRP_TAU)
+
+
 KMV_SHINGLE_K = 8  # char-shingle width for the KMV item domain
 CMS_TOP_N = 10     # heavy hitters probed against the count-min grid
 
@@ -4593,6 +4628,7 @@ QUERIES: dict[str, Callable] = {
     "srp_recall": q_srp_recall,
     "kmv_vocab_est": q_kmv_vocab_est,
     "cms_freq_est": q_cms_freq_est,
+    "srp_incremental": q_srp_incremental,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
