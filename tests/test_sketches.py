@@ -1,10 +1,13 @@
-"""KMV and count-min sketch tests: pure-Python replays, merge closure,
-and the count-min overestimate guarantee."""
+"""KMV / count-min / HLL / histogram sketch tests: pure-Python replays,
+merge closure, the count-min overestimate guarantee, the HLL
+linear-counting branch, and LPA on a known two-community graph."""
 
 import hashlib
+import math
 
 from pyspark.sql import functions as F
 
+from webcrawl_spark.operators import graph as GR
 from webcrawl_spark.operators import sketches as SK
 
 
@@ -81,6 +84,113 @@ def test_cms_exact_when_grid_is_collision_free(spark):
         ).collect()
     }
     assert got == {"alpha": 7, "beta": 3, "gamma": 1}
+
+
+def _hll_python(names):
+    """Pure-Python replay of the HLL estimator (same integer math)."""
+    regs = {}
+    for h in {_h32(x) for x in names}:
+        idx, rest = h >> SK.HLL_REST, h % (1 << SK.HLL_REST)
+        rho = SK.HLL_RHO_MAX if rest == 0 else SK.HLL_RHO_MAX - rest.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    s = sum(1 << (SK.HLL_RHO_MAX - r) for r in regs.values())
+    s += (SK.HLL_M - len(regs)) * (1 << SK.HLL_RHO_MAX)
+    raw_num = SK.HLL_ALPHA_MICRO * SK.HLL_M * SK.HLL_M * (1 << SK.HLL_RHO_MAX)
+    raw = raw_num // (s * 1_000_000)
+    v = SK.HLL_M - len(regs)
+    if v > 0 and raw <= SK.HLL_LC_THRESHOLD:
+        return SK.HLL_LC[v - 1]
+    return raw
+
+
+def test_hll_matches_python_replay_and_is_close(spark):
+    names = [f"tok-{i}" for i in range(4000)]
+    got = {r.grp: r.est_distinct for r in SK.hll_distinct(_items(spark, "g", names)).collect()}
+    want = _hll_python(names)
+    assert got["g"] == want
+    assert abs(want - 4000) / 4000 < 0.4  # ~1.04/sqrt(64) stderr
+
+
+def test_hll_linear_counting_branch(spark):
+    """Small cardinalities route through the LC table and stay tight."""
+    names = [f"it{i}" for i in range(40)]
+    got = SK.hll_distinct(_items(spark, "g", names)).collect()[0].est_distinct
+    assert got == _hll_python(names)
+    assert abs(got - 40) <= 8  # LC is near-exact at n << m·ln m
+    # the LC branch really fired: 40 items leave untouched registers,
+    # and the estimate IS the table entry for that count
+    v = SK.HLL_M - len({_h32(x) >> SK.HLL_REST for x in names})
+    assert v > 0
+    assert got == SK.HLL_LC[v - 1]
+
+
+def test_hll_merge_closure(spark):
+    """Registers of a union == cellwise-max merge of shard registers —
+    the property that lets per-ingest-batch sketches merge without
+    rescanning batch data."""
+    a = _items(spark, "g", [f"a{i}" for i in range(800)])
+    b = _items(spark, "g", [f"b{i}" for i in range(800)])
+    merged = SK.hll_estimate(
+        SK.hll_registers(a).unionByName(SK.hll_registers(b))
+        .groupBy("grp", "idx").agg(F.max("rho").alias("rho"))
+    ).collect()
+    direct = SK.hll_estimate(SK.hll_registers(a.unionByName(b))).collect()
+    assert sorted(map(tuple, merged)) == sorted(map(tuple, direct))
+
+
+def _vals(spark, vs):
+    return spark.createDataFrame([(v,) for v in vs], "v long")
+
+
+def test_hist_quantiles_interpolation_bound(spark):
+    """On 0..199 uniform, every estimate lands within one bucket width of
+    the exact order statistic."""
+    vs = list(range(200))
+    est = {
+        r.q_permille: r.est
+        for r in SK.hist_quantiles(
+            SK.hist_counts(_vals(spark, vs)), [500, 900, 990]
+        ).collect()
+    }
+    for q, e in est.items():
+        exact = vs[math.ceil(q * len(vs) / 1000) - 1]
+        assert abs(e - exact) <= SK.HIST_W, (q, e, exact)
+
+
+def test_hist_merge_by_cellwise_sum(spark):
+    a = _vals(spark, [3, 9, 9, 40, 300])
+    b = _vals(spark, [9, 12, 4000])
+    merged = (
+        SK.hist_counts(a).unionByName(SK.hist_counts(b))
+        .groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = SK.hist_counts(a.unionByName(b))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_hist_clamps_out_of_range_into_last_bucket(spark):
+    out = {r.bucket: r.cnt for r in SK.hist_counts(_vals(spark, [10**9, 5])).collect()}
+    assert out == {SK.HIST_B - 1: 1, 5 // SK.HIST_W: 1}
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge resolve to exactly two
+    communities — one per triangle. (Label VALUES drift across the
+    bridge under synchronous updates — node 3 briefly adopts 2's label —
+    so assert the partition, plus the exact hand-traced labels.)"""
+    tri1 = [(0, 1), (1, 2), (2, 0)]
+    tri2 = [(3, 4), (4, 5), (5, 3)]
+    bridge = [(2, 3)]
+    edges = spark.createDataFrame(tri1 + tri2 + bridge, "src long, dst long")
+    nodes = spark.range(6).select(F.col("id").cast("long").alias("id"))
+    out = {
+        r.id: r.label
+        for r in GR.label_propagation(GR.symmetrize(edges), nodes, iters=3).collect()
+    }
+    assert len({out[0], out[1], out[2]}) == 1
+    assert len({out[3], out[4], out[5]}) == 1
+    assert out[0] != out[3]
+    assert out == {0: 0, 1: 0, 2: 0, 3: 2, 4: 2, 5: 2}
 
 
 def test_cms_counters_merge_by_cellwise_sum(spark):

@@ -21,9 +21,24 @@ guess").
   independent md5-salted hash rows; a term's frequency estimate is the
   MIN of its d counters — always an overestimate, never under. Merge =
   cellwise sum.
+- HyperLogLog (Flajolet et al. 2007): m = 2^p registers, each holding
+  the max leading-zero run of the hashes routed to it; distinct-count
+  estimate is the harmonic mean of the registers, with linear counting
+  for small cardinalities. Merge = cellwise max. ALL arithmetic here is
+  integer (the harmonic sum is exact in BIGINT via a common power-of-two
+  denominator; alpha and the linear-counting ln table are Python-side
+  integer constants shared with the DuckDB oracle), so estimates are
+  bit-identical across engines.
+- Equi-width histogram (the quantile sketch): fixed B buckets of width
+  W; a quantile estimate is integer linear interpolation inside the
+  bucket where the cumulative count crosses the target rank. Merge =
+  cellwise sum — the simplest additive sketch, and the one that answers
+  "p50/p90/p99 document length over 100 TB" from B persisted rows.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -32,6 +47,21 @@ from .textdedup import HASH32
 KMV_K = 64        # bottom-k size (stderr ~ 1/sqrt(k) ≈ 12.5%)
 CMS_D = 4         # count-min hash rows
 CMS_W = 256       # count-min buckets per row
+
+HLL_P = 6                      # register-index bits (m = 64; stderr ~ 1.04/8 = 13%)
+HLL_M = 1 << HLL_P             # register count
+HLL_REST = 32 - HLL_P          # bits left for the leading-zero run
+HLL_RHO_MAX = HLL_REST + 1     # rho when the rest-bits are all zero
+# alpha_m scaled to integer micro-units (Flajolet et al. 2007, m >= 64)
+HLL_ALPHA_MICRO = round(0.7213 / (1 + 1.079 / HLL_M) * 1_000_000)
+# linear-counting table: LC[V] = round(m * ln(m / V)) for V = 1..m-1
+# (V = count of untouched registers) — a shared integer constant table,
+# so the correction branch is bit-identical cross-engine by construction.
+HLL_LC = [round(HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M)]
+HLL_LC_THRESHOLD = (5 * HLL_M) // 2   # raw-estimate cutoff for linear counting
+
+HIST_W = 8         # histogram bucket width (token-count units)
+HIST_B = 32        # histogram buckets (values >= W*B clamp into the last)
 
 
 def kmv_bottomk(hashes: DataFrame, k: int = KMV_K) -> DataFrame:
@@ -124,4 +154,144 @@ def cms_lookup(
         probes.join(F.broadcast(counters), ["r", "bucket"], "left")
         .groupBy(term_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_tf"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def hll_rho_sql(h: str = "h") -> tuple[str, str]:
+    """SQL for (register index, rho) from a 32-bit hash column ``h``:
+    index = the top HLL_P bits, rho = leading-zero run of the remaining
+    HLL_REST bits + 1. The bit-length of the rest comes from the binary
+    string length (``conv(x, 10, 2)`` — same semantics as DuckDB's
+    ``bin(x)``), so no float log anywhere."""
+    rest = f"pmod({h}, {1 << HLL_REST})"
+    idx = f"cast({h} div {1 << HLL_REST} as int)"
+    rho = (
+        f"cast(case when {rest} = 0 then {HLL_RHO_MAX} "
+        f"else {HLL_RHO_MAX} - length(conv({rest}, 10, 2)) end as int)"
+    )
+    return idx, rho
+
+
+def hll_registers(hashes: DataFrame) -> DataFrame:
+    """(grp, idx, rho) — the persistable HLL sketch: ≤ m rows per group,
+    each the MAX leading-zero run observed at that register. Input ``h``
+    must be a 32-bit shared-base hash (HASH32 of the item).
+
+    Closed under merge: registers of a union = cellwise max of the
+    shards' registers (max is associative/commutative — unit-proven),
+    so per-shard/per-ingest-batch sketches merge without rescanning
+    shard data. 100-TB shape: the groupBy keyspace is |groups|·m, and
+    map-side partial max collapses the corpus before the exchange —
+    every input partition ships at most m rows per group."""
+    idx, rho = hll_rho_sql("h")
+    return (
+        hashes.select("grp", F.expr(idx).alias("idx"), F.expr(rho).alias("rho"))
+        .groupBy("grp", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """(grp, est_distinct) from :func:`hll_registers` — the classic HLL
+    estimator in exact integer arithmetic: the harmonic sum
+    Σ 2^-rho_j is computed as Σ 2^(RHO_MAX - rho_j) over a common
+    2^RHO_MAX denominator (BIGINT-exact; absent registers contribute
+    2^RHO_MAX each), the raw estimate is alpha·m² / sum via one integer
+    division, and the small-range branch replaces it with the
+    linear-counting table HLL_LC[V] when raw ≤ 2.5m and V > 0 untouched
+    registers remain. Bit-identical cross-engine; no doubles."""
+    lc_arr = "array(" + ",".join(str(v) for v in HLL_LC) + ")"
+    raw_num = HLL_ALPHA_MICRO * HLL_M * HLL_M * (1 << HLL_RHO_MAX)
+    return (
+        registers.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.expr(
+                f"sum(shiftleft(cast(1 as bigint), {HLL_RHO_MAX} - rho))"
+            ).alias("__s"),
+        )
+        .select(
+            "grp",
+            F.expr(
+                f"cast({raw_num} div "
+                f"((__s + ({HLL_M} - __n) * {1 << HLL_RHO_MAX}) * 1000000) "
+                f"as bigint)"
+            ).alias("__raw"),
+            (F.lit(HLL_M) - F.col("__n")).cast("int").alias("__v"),
+        )
+        .select(
+            "grp",
+            F.expr(
+                f"cast(case when __v > 0 and __raw <= {HLL_LC_THRESHOLD} "
+                f"then element_at({lc_arr}, __v) else __raw end as bigint)"
+            ).alias("est_distinct"),
+        )
+    )
+
+
+def hll_distinct(hashes: DataFrame) -> DataFrame:
+    """(grp, est_distinct) — the one-shot form (sketch + estimate)."""
+    return hll_estimate(hll_registers(hashes))
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram / quantile sketch
+# ---------------------------------------------------------------------------
+
+def hist_counts(values: DataFrame, w: int = HIST_W, b: int = HIST_B) -> DataFrame:
+    """(bucket, cnt) — the additive quantile sketch over a ``v`` column
+    of non-negative integers: bucket = min(v div w, b-1) (values beyond
+    the range clamp into the last bucket). ≤ b persisted rows; merge
+    across shards = cellwise sum. 100-TB shape: keyspace ≤ b, so
+    map-side partial combine collapses the corpus before the (tiny)
+    exchange."""
+    return (
+        values.select(
+            F.expr(f"cast(least(v div {w}, {b - 1}) as int)").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame, qs_permille: list[int], w: int = HIST_W
+) -> DataFrame:
+    """(q_permille, est) — integer quantile estimates from a
+    :func:`hist_counts` sketch: for each q the target rank is
+    ceil(q·N/1000); the estimate interpolates linearly inside the bucket
+    where the cumulative count crosses it:
+    ``bucket·w + (target - cum_before) · w div cnt`` — all-integer, so
+    cross-engine hash-exact. The window runs over ≤ b rows per q (the
+    sketch, not the corpus)."""
+    qs = hist.sparkSession.createDataFrame(
+        [(q,) for q in qs_permille], "q_permille int"
+    )
+    cum = hist.select(
+        "bucket", "cnt",
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        qs.crossJoin(cum)
+        .withColumn("target", F.expr("(q_permille * n + 999) div 1000"))
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("q_permille")
+        .agg(
+            F.min(F.struct("bucket", "cnt", "cum", "target")).alias("__b")
+        )
+        .select(
+            "q_permille",
+            F.expr(
+                f"cast(__b.bucket * {w} + "
+                f"(__b.target - (__b.cum - __b.cnt)) * {w} div __b.cnt "
+                f"as bigint)"
+            ).alias("est"),
+        )
     )

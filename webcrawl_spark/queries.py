@@ -37,6 +37,7 @@ from .kernels.links import extract_links_batch
 from .kernels.robots import build_rule_index, robots_allowed
 from .kernels.urlnorm import canonicalize
 from .operators import bpe as BPE
+from .operators import graph as GR
 from .operators import similarity as SIM
 from .operators import sketches as SK
 from .operators import snapshot as SNAP
@@ -3200,6 +3201,126 @@ SELECT term, CAST(true_tf AS BIGINT) AS true_tf,
 FROM est
 """
 
+    # hll_vocab_est: same shingle domain as kmv_vocab_est; every estimator
+    # constant (alpha, LC table, bit splits) interpolates from
+    # operators/sketches so both engines share one definition
+    _hll_lc = "[" + ",".join(str(v) for v in SK.HLL_LC) + "]"
+    _hll_raw_num = SK.HLL_ALPHA_MICRO * SK.HLL_M * SK.HLL_M * (1 << SK.HLL_RHO_MAX)
+    _hll_div = 1 << SK.HLL_REST
+    _hll_2k = 1 << SK.HLL_RHO_MAX
+    sql["hll_vocab_est"] = f"""
+WITH sh0 AS (
+  SELECT source AS grp,
+         unnest(list_transform({_duck_shingles('text', KMV_SHINGLE_K)},
+                               s -> {_duck_hash32('s')})) AS h
+  FROM documents),
+sh AS (SELECT DISTINCT grp, h FROM sh0),
+regs AS (
+  SELECT grp, h // {_hll_div} AS idx,
+         MAX(CASE WHEN h % {_hll_div} = 0 THEN {SK.HLL_RHO_MAX}
+             ELSE {SK.HLL_RHO_MAX} - length(bin(h % {_hll_div})) END) AS rho
+  FROM sh GROUP BY 1, 2),
+agg AS (
+  SELECT grp, COUNT(*) AS n,
+         SUM(CAST(1 AS BIGINT) << ({SK.HLL_RHO_MAX} - rho)) AS s
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT grp,
+         {_hll_raw_num} // ((s + ({SK.HLL_M} - n) * {_hll_2k}) * 1000000) AS raw,
+         {SK.HLL_M} - n AS v
+  FROM agg),
+fin AS (
+  SELECT grp, CASE WHEN v > 0 AND raw <= {SK.HLL_LC_THRESHOLD}
+              THEN ({_hll_lc})[v] ELSE raw END AS e
+  FROM est),
+exact AS (SELECT grp, COUNT(*) AS x FROM sh GROUP BY 1)
+SELECT fin.grp AS source, CAST(fin.e AS BIGINT) AS est_distinct,
+       CAST(exact.x AS BIGINT) AS exact_distinct,
+       CAST(abs(fin.e - exact.x) * 1000 // exact.x AS BIGINT) AS err_permille
+FROM fin JOIN exact USING (grp)
+"""
+
+    # doclen_quantiles: histogram constants come from operators/sketches
+    _qh_w, _qh_b = SK.HIST_W, SK.HIST_B
+    _qh_qs = ",".join(str(q) for q in QHIST_QS)
+    sql["doclen_quantiles"] = f"""
+WITH vals AS (
+  SELECT CAST(length(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS v
+  FROM documents),
+hist AS (
+  SELECT CAST(least(v // {_qh_w}, {_qh_b - 1}) AS INT) AS bucket, COUNT(*) AS cnt
+  FROM vals GROUP BY 1),
+cum AS (
+  SELECT bucket, cnt, SUM(cnt) OVER (ORDER BY bucket) AS cum,
+         SUM(cnt) OVER () AS n
+  FROM hist),
+qs AS (SELECT unnest([{_qh_qs}]) AS q_permille),
+crossing AS (
+  SELECT q_permille, bucket, cnt, cum,
+         (q_permille * n + 999) // 1000 AS target,
+         ROW_NUMBER() OVER (PARTITION BY q_permille ORDER BY bucket) AS rk
+  FROM qs CROSS JOIN cum
+  WHERE cum >= (q_permille * n + 999) // 1000),
+e1 AS (
+  SELECT q_permille,
+         bucket * {_qh_w} + (target - (cum - cnt)) * {_qh_w} // cnt AS est
+  FROM crossing WHERE rk = 1),
+vcum AS (
+  SELECT v, SUM(c2) OVER (ORDER BY v) AS cum, SUM(c2) OVER () AS n
+  FROM (SELECT v, COUNT(*) AS c2 FROM vals GROUP BY 1)),
+ex AS (
+  SELECT q_permille, MIN(v) AS exact
+  FROM qs CROSS JOIN vcum
+  WHERE cum >= (q_permille * n + 999) // 1000 GROUP BY 1)
+SELECT CAST(e1.q_permille AS BIGINT) AS q_permille,
+       CAST(e1.est AS BIGINT) AS est_tokens,
+       CAST(ex.exact AS BIGINT) AS exact_tokens,
+       CAST(e1.est - ex.exact AS BIGINT) AS err
+FROM e1 JOIN ex USING (q_permille)
+"""
+
+    sql["weighted_sample"] = f"""
+WITH pr AS (
+  SELECT source, doc_id, n_chars AS weight,
+         ({_duck_hash32("'ws:' || CAST(doc_id AS VARCHAR)")}) * {WS_SCALE}
+           // n_chars AS priority
+  FROM documents),
+ranked AS (
+  SELECT source, doc_id, weight, priority,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority, doc_id)
+           AS rk0
+  FROM pr)
+SELECT source, doc_id, CAST(weight AS BIGINT) AS weight,
+       CAST(priority AS BIGINT) AS priority, CAST(rk0 AS BIGINT) AS rk
+FROM ranked WHERE rk0 <= {WS_K}
+"""
+
+    _lpa_iter = """
+c{i} AS (
+  SELECT e.src AS id, l{p}.label AS label, COUNT(*) AS c
+  FROM und e JOIN l{p} ON l{p}.id = e.dst GROUP BY 1, 2),
+b{i} AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label) AS rk
+    FROM c{i}) WHERE rk = 1),
+l{i} AS (
+  SELECT l{p}.id, COALESCE(b{i}.label, l{p}.label) AS label
+  FROM l{p} LEFT JOIN b{i} ON b{i}.id = l{p}.id)"""
+    _lpa_chain = ",".join(
+        _lpa_iter.format(i=i, p=i - 1) for i in range(1, LPA_ITERS + 1)
+    )
+    sql["link_communities"] = f"""
+WITH {SW.edges_sql(300)},
+und AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM edges
+          UNION ALL SELECT dst AS src, src AS dst FROM edges)
+        WHERE src <> dst),
+l0 AS (SELECT doc_id AS id, CAST(doc_id AS BIGINT) AS label FROM docs),
+{_lpa_chain}
+SELECT id AS doc_id, label AS community FROM l{LPA_ITERS}
+"""
+
     sql["srp_recall"] = f"""
 WITH {_srp_ctes},
 e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
@@ -4456,6 +4577,10 @@ def q_srp_incremental(spark, sf_dir):
 
 KMV_SHINGLE_K = 8  # char-shingle width for the KMV item domain
 CMS_TOP_N = 10     # heavy hitters probed against the count-min grid
+QHIST_QS = [500, 900, 990]  # quantiles graded by doclen_quantiles (permille)
+WS_K = 5           # weighted-sample size per source
+WS_SCALE = 1 << 20  # priority fixed-point scale (u·SCALE div weight)
+LPA_ITERS = 3      # label-propagation iterations (fixed, deterministic)
 
 
 def q_kmv_vocab_est(spark, sf_dir):
@@ -4513,6 +4638,135 @@ def q_cms_freq_est(spark, sf_dir):
         "true_tf",
         F.col("est_tf").cast("long").alias("est_tf"),
         (F.col("est_tf") - F.col("true_tf")).cast("long").alias("overest"),
+    )
+
+
+def q_hll_vocab_est(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (operators/sketches.hll_distinct,
+    Flajolet et al. 2007) over the same per-source distinct-shingle-hash
+    domain as ``kmv_vocab_est``, graded against exact truth in the same
+    row. Where KMV persists k=64 hashes per group, HLL persists m=64
+    2-byte registers and merges by cellwise MAX — the cheaper sketch to
+    ship per ingest batch at 100 TB. All-integer estimator (common
+    power-of-two denominator for the harmonic sum; alpha and the
+    linear-counting ln table are shared Python constants), so both
+    engines compute bit-identical estimates."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("source").alias("grp"),
+        F.explode(
+            F.expr(TD.shingle_hashes_sql("text", k=KMV_SHINGLE_K))
+        ).alias("h"),
+    )
+    est = SK.hll_distinct(sh)
+    exact = (
+        sh.select("grp", "h").distinct()
+        .groupBy("grp").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    return est.join(exact, "grp").select(
+        F.col("grp").alias("source"),
+        "est_distinct",
+        "exact_distinct",
+        F.expr(
+            "cast(abs(est_distinct - exact_distinct) * 1000"
+            " div exact_distinct as bigint)"
+        ).alias("err_permille"),
+    )
+
+
+def q_doclen_quantiles(spark, sf_dir):
+    """Quantile sketch over document token counts (operators/sketches
+    .hist_counts + hist_quantiles): the corpus collapses to a ≤ HIST_B-row
+    additive histogram in one pass; p50/p90/p99 estimates come from
+    integer interpolation inside the crossing bucket and are graded
+    against the exact order statistics in the same row. At 100 TB the
+    exact column is the one you can't afford (a global sort); the sketch
+    is B rows per shard, merged by cellwise sum."""
+    d = _t(spark, sf_dir, "documents")
+    vals = d.select(
+        F.expr(r"size(split(lower(trim(text)), '\\s+'))")
+        .cast("long").alias("v")
+    )
+    est = SK.hist_quantiles(SK.hist_counts(vals), QHIST_QS)
+    byv = vals.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = byv.select(
+        "v",
+        F.sum("cnt").over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    qs = spark.createDataFrame([(q,) for q in QHIST_QS], "q_permille int")
+    exact = (
+        qs.crossJoin(cum)
+        .filter(F.expr("cum >= (q_permille * n + 999) div 1000"))
+        .groupBy("q_permille")
+        .agg(F.min("v").alias("exact"))
+    )
+    return est.join(exact, "q_permille").select(
+        F.col("q_permille").cast("long").alias("q_permille"),
+        F.col("est").alias("est_tokens"),
+        F.col("exact").alias("exact_tokens"),
+        (F.col("est") - F.col("exact")).cast("long").alias("err"),
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Duffield,
+    Lund & Thorup 2007 priority sampling): each doc gets priority
+    u · SCALE div weight with u its md5-derived 32-bit hash and weight
+    its size in chars; the WS_K smallest priorities per source are the
+    sample — heavier docs draw smaller priorities, so inclusion odds
+    scale with weight, yet the draw is replayable bit-exactly on any
+    engine. 100-TB shape: per-group bottom-k via a rank window whose
+    ``rk <= k`` predicate pushes map-side (WindowGroupLimit), and the
+    sample itself is closed under merge (bottom-k of unioned shard
+    bottom-k sets — same closure as the KMV sketch, unit-proven there)."""
+    d = _t(spark, sf_dir, "documents")
+    u = TD.HASH32.format(col="concat('ws:', cast(doc_id as string))")
+    pr = d.select(
+        "source", "doc_id",
+        F.col("n_chars").alias("weight"),
+        F.expr(f"({u}) * {WS_SCALE} div n_chars").alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        pr.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= WS_K)
+    )
+
+
+def q_link_communities(spark, sf_dir):
+    """Label propagation communities (Raghavan et al. 2007) over the
+    symmetrized synthetic link graph — the graph-partitioning signal a
+    100-TB crawl uses to co-locate politeness state and shard the
+    frontier by community rather than by raw host hash. Synchronous LPA,
+    LPA_ITERS fixed iterations, fully deterministic: a node adopts its
+    neighbors' most frequent label, ties broken by MIN label (the
+    min-struct argmax — no float, no randomness). Per iteration the plan
+    is one uniform-key shuffle (groupBy src, label) plus the argmax agg;
+    labels join back on the node key. Degrees are bounded by the
+    generator closed-form, so no skew."""
+    from .sources.synth_web import LINK_MULT, LINK_STEP
+
+    n = 300
+    docs = _t(spark, sf_dir, "documents").filter(f"doc_id < {n}").select("doc_id")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, 1 + cast(doc_id % 4 as int)), "
+                f"k -> (doc_id * {LINK_MULT} + {LINK_STEP} * k + 1) % {n})"
+            )
+        ).alias("dst"),
+    )
+    labels = GR.label_propagation(
+        GR.symmetrize(edges),
+        docs.select(F.col("doc_id").alias("id")),
+        iters=LPA_ITERS,
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("community")
     )
 
 
@@ -4627,6 +4881,10 @@ QUERIES: dict[str, Callable] = {
     "srp_pairs": q_srp_pairs,
     "srp_recall": q_srp_recall,
     "kmv_vocab_est": q_kmv_vocab_est,
+    "hll_vocab_est": q_hll_vocab_est,
+    "doclen_quantiles": q_doclen_quantiles,
+    "weighted_sample": q_weighted_sample,
+    "link_communities": q_link_communities,
     "cms_freq_est": q_cms_freq_est,
     "srp_incremental": q_srp_incremental,
 }
