@@ -79,6 +79,36 @@ def brute_force_topk(
     )
 
 
+def brute_force_ranks(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id: int = 0, k: int = 30,
+) -> DataFrame:
+    """(neighbor_id, rk) — exact cosine RANKS of the corpus against ONE
+    query vector (self excluded): the semantic leg of rank fusion. Same
+    index-ordered fold as :func:`brute_force_topk`, so the double cosines
+    (and therefore the ranking) are bit-identical cross-engine; ties
+    break by neighbor id. The single-query scoring is one corpus pass
+    with a broadcast 1-row query side; the rank window's ``rk <= k``
+    pushes map-side (WindowGroupLimit)."""
+    queries = _prep_normed(emb, id_col, vec_col, "query_id", "qv", "qn").filter(
+        F.col("query_id") == query_id
+    )
+    corpus = _prep_normed(emb, id_col, vec_col, "neighbor_id", "nv", "nn")
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos", F.expr(dot_sql("qv", "nv")) / (F.col("qn") * F.col("nn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("neighbor_id", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def argmax_bucket_sql(vec: str) -> str:
     """Coarse quantizer: 1-based index of the max component (deterministic;
     array_position returns the first match)."""

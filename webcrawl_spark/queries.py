@@ -1043,6 +1043,46 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+RRF_K = 60          # the standard reciprocal-rank-fusion constant
+RRF_POOL = 30       # candidate pool per ranking leg
+RRF_TOPK = 10       # fused results returned
+RRF_QVEC = 0        # semantic query = embedding of vec 0
+
+
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal rank fusion (Cormack et al. 2009)
+    — the retrieval stack a training-data curation pipeline actually
+    runs: a lexical BM25 leg and a semantic exact-cosine leg, each
+    producing a top-RRF_POOL ranking, fused by
+    Σ SCALE div (RRF_K + rank) in exact integers. A doc absent from one
+    leg contributes nothing there (NULL rank → 0) — fusion rewards
+    agreement without requiring it. Both legs are single corpus passes
+    with map-side rank limits; the fusion itself is a full-outer join of
+    two ≤ RRF_POOL-row lists — driver-free and broadcastable at any
+    scale."""
+    lex = TS.bm25_rank(
+        _t(spark, sf_dir, "documents"), list(BM25_QUERY), k=RRF_POOL
+    ).select(F.col("id").alias("doc_id"), F.col("rank").cast("long").alias("lex_rank"))
+    sem = SIM.brute_force_ranks(
+        _t(spark, sf_dir, "embeddings"), query_id=RRF_QVEC, k=RRF_POOL
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rk").alias("sem_rank"))
+    fused = (
+        lex.join(sem, "doc_id", "full")
+        .select(
+            "doc_id", "lex_rank", "sem_rank",
+            (
+                F.coalesce(F.expr(f"1000000 div ({RRF_K} + lex_rank)"), F.lit(0))
+                + F.coalesce(F.expr(f"1000000 div ({RRF_K} + sem_rank)"), F.lit(0))
+            ).cast("long").alias("rrf_micro"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= RRF_TOPK)
+    )
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Quality-aware near-dup survivor selection (operators/textdedup
     .dedup_keep_best): LSH clusters from the shared signature
@@ -2255,11 +2295,12 @@ FROM e
 """
 
     # bm25 oracle: identical formula text/parenthesization; one rounding
-    # point to BIGINT micro-units (the unigram_lm_score recipe)
+    # point to BIGINT micro-units (the unigram_lm_score recipe). The CTE
+    # chain through the per-doc score table `s` is shared with the
+    # hybrid_search_rrf oracle's lexical leg.
     _bm25_terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
     _k1, _b = TS.BM25_K1, TS.BM25_B
-    sql["bm25_search"] = f"""
-WITH toks AS (
+    _bm25_ctes = f"""toks AS (
   SELECT doc_id AS id,
          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
   FROM documents),
@@ -2275,12 +2316,38 @@ c AS (
       * (tf.tf * ({_k1} + 1)) / (tf.tf + {_k1} * (1 - {_b} + {_b} * dl.dl / st.avgdl))
       * 1e6) AS BIGINT) AS c_micro
   FROM tf JOIN df USING (term) JOIN dl USING (id) CROSS JOIN st),
-s AS (SELECT id, COUNT(*) AS n_hits, SUM(c_micro) AS score_micro FROM c GROUP BY id),
+s AS (SELECT id, COUNT(*) AS n_hits, SUM(c_micro) AS score_micro FROM c GROUP BY id)"""
+    sql["bm25_search"] = f"""
+WITH {_bm25_ctes},
 r AS (SELECT id, CAST(n_hits AS BIGINT) AS n_hits,
         CAST(score_micro AS BIGINT) AS score_micro,
         CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, id) AS BIGINT) AS rank
       FROM s)
 SELECT id AS doc_id, n_hits, score_micro, rank FROM r WHERE rank <= {BM25_TOPK}
+"""
+
+    sql["hybrid_search_rrf"] = f"""
+WITH {_bm25_ctes},
+lex AS (SELECT id AS doc_id, CAST(rk AS BIGINT) AS lex_rank FROM (
+          SELECT id, ROW_NUMBER() OVER (ORDER BY score_micro DESC, id) AS rk
+          FROM s) WHERE rk <= {RRF_POOL}),
+sem0 AS (
+  SELECT e.vec_id AS doc_id,
+         {_duck_cos64('q.embedding', 'e.embedding')} AS cos
+  FROM (SELECT embedding FROM embeddings WHERE vec_id = {RRF_QVEC}) q
+  CROSS JOIN embeddings e WHERE e.vec_id <> {RRF_QVEC}),
+sem AS (SELECT doc_id, CAST(rk AS BIGINT) AS sem_rank FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rk
+          FROM sem0) WHERE rk <= {RRF_POOL}),
+f AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+         CAST(COALESCE(1000000 // ({RRF_K} + lex_rank), 0)
+              + COALESCE(1000000 // ({RRF_K} + sem_rank), 0) AS BIGINT)
+           AS rrf_micro
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+SELECT doc_id, lex_rank, sem_rank, rrf_micro, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+      FROM f) WHERE rank <= {RRF_TOPK}
 """
 
     # duplicate-span oracle: positional word n-grams via zipped unnests
@@ -4819,6 +4886,7 @@ QUERIES: dict[str, Callable] = {
     "c4_clean": q_c4_clean,
     "chunk_by_tokens": q_chunk_by_tokens,
     "bm25_search": q_bm25_search,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
     "dedup_keep_best": q_dedup_keep_best,
     "duplicate_spans": q_duplicate_spans,
     "inverted_index": q_inverted_index,
