@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "knn_graph", "semantic_clusters", "tfidf_topk",
     "cluster_balanced_sample", "srp_pairs", "srp_recall",
     "kmv_vocab_est", "cms_freq_est", "srp_incremental",
+    "hll_vocab_est", "doclen_quantiles", "weighted_sample",
+    "link_communities", "hybrid_search_rrf",
 ]
 
 

@@ -19,3 +19,39 @@ def cut(df: DataFrame, reliable: bool = False) -> DataFrame:
     if reliable:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def cut_fresh_stats(df: DataFrame, reliable: bool = False) -> DataFrame:
+    """:func:`cut`, plus a STATISTICS reset — required inside self-join
+    fixpoint loops.
+
+    ``checkpoint``/``localCheckpoint`` cut the execution lineage but the
+    resulting ``LogicalRDD`` leaf INHERITS the pre-checkpoint plan's
+    estimated ``sizeInBytes``. In a loop whose body self-joins the
+    checkpointed frame (connected components' pointer-jumping: ``pulled``
+    joins its own projection), the estimate therefore SQUARES every
+    iteration — a power tower that by iteration ~27 exceeds
+    ``java.math.BigInteger``'s 2^31-bit ceiling and kills the driver
+    inside stats estimation ("BigInteger would overflow supported range",
+    or an OOM in ``MutableBigInteger`` first). Correctness-invisible at
+    small scale (the fixpoint converges in 2-3 rounds); fatal exactly
+    when the data gets big enough to need more rounds — measured: the
+    sf0.1 semantic-clusters CC died here while sf0.01 passed.
+
+    Fix: rebuild the Dataset from the checkpointed ``InternalRow`` RDD so
+    the new leaf carries NO inherited stats (it reports the constant
+    ``spark.sql.defaultSizeInBytes``; per-iteration estimates are then
+    recomputed from constant-size leaves and stay bounded forever). The
+    rebuild is JVM-side only — no Python (de)serialization touches the
+    rows. Falls back to the plain stats-inheriting cut if the private
+    ``internalCreateDataFrame`` hook ever disappears (correct, merely
+    exposed to the overflow after ~27 self-join iterations)."""
+    ck = cut(df, reliable)
+    try:
+        jdf = ck._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        jspark = ck.sparkSession._jsparkSession
+        fresh = jspark.internalCreateDataFrame(jrdd, jdf.schema(), False)
+        return DataFrame(fresh, ck.sparkSession)
+    except Exception:
+        return ck

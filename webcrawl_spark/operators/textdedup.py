@@ -441,28 +441,33 @@ def connected_components(
     iterations for component diameter d (LSH dup clusters are near-cliques,
     so 2-3 in practice). Each iteration is two uniform-key shuffles
     (node-id keys — no skew) and exactly ONE action: the fixpoint sum
-    rides the label checkpoint job as an Observation. Labels are
-    localCheckpointed per iteration to keep the lineage flat; no
+    rides the label checkpoint job as an Observation. Labels are cut per
+    iteration with :func:`ckpt.cut_fresh_stats` — the STATS-resetting
+    checkpoint: the iteration body self-joins the labels, and inherited
+    size estimates would square per round and overflow BigInteger on the
+    driver near iteration 27 (see cut_fresh_stats' docstring; plain
+    localCheckpoint here is a measured sf0.1 driver-killer). No
     driver-side graph state — the driver holds one scalar per iteration.
     """
     from pyspark.sql import Observation
+
+    from .ckpt import cut_fresh_stats
     edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     # materialize the (small) edge table ONCE — the iterations below must
     # re-read it, never re-derive the upstream candidate pipeline (LSH
     # banding etc.) per iteration
-    sym = edges.union(
+    sym = cut_fresh_stats(edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    ))
     # labels only ever decrease (every update is a least()), so the label
     # sum strictly decreases until the fixpoint: an unchanged sum IS
     # convergence — no per-row change join needed. The sum is read from an
     # Observation on the checkpoint job, costing zero extra actions.
     obs0 = Observation()
-    lab = (
+    lab = cut_fresh_stats(
         sym.select(F.col("u").alias("id")).distinct()
         .select("id", F.col("id").alias("cc"))
         .observe(obs0, F.sum("cc").alias("s"))
-        .localCheckpoint()
     )
     prev_sum = obs0.get["s"]
     for _ in range(max_iter):
@@ -479,11 +484,10 @@ def connected_components(
         )
         parent = pulled.select(F.col("id").alias("p_id"), F.col("cc").alias("p_cc"))
         obs = Observation()
-        lab = (
+        lab = cut_fresh_stats(
             pulled.join(parent, pulled["cc"] == parent["p_id"], "left")
             .select("id", F.least("cc", F.coalesce("p_cc", "cc")).alias("cc"))
             .observe(obs, F.sum("cc").alias("s"))
-            .localCheckpoint()
         )
         cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
