@@ -413,6 +413,65 @@ def kmeans_ivf_topk(
     ).select("query_id", "neighbor_id", F.round("cos", round_to).alias("cos"))
 
 
+_KNN_CACHE: dict = {}
+_KNN_EVICTED: list = []
+
+
+def knn_edges_cached(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 3, k_clusters: int = 4, iters: int = 2, probes: int = 2,
+    cache_key=None, ranked: DataFrame | None = None,
+) -> DataFrame:
+    """Build-once full k-NN edge list: :func:`kmeans_ivf_topk` with
+    ``n_queries=None`` materialized and memoized per (application,
+    ``cache_key``, params) — the graph substrate that semantic
+    clustering, cluster-balanced sampling, and any other graph consumer
+    share instead of each re-running the IVF scoring pass (measured:
+    15-17s each at sf0.1 when unshared, because the un-materialized plan
+    additionally executes TWICE per consumer through the fwd/rev
+    mutuality split). Same bounded-FIFO/deferred-release contract as
+    :func:`kmeans_ranked_cached`; :func:`knn_cache_clear` releases.
+
+    The materialization uses the STATS-resetting cut (``cut_fresh_stats``
+    — see its docstring): consumers self-join these edges (mutuality,
+    then CC's pointer jumping), where inherited size estimates square
+    per join and have measurably killed the driver."""
+    from .ckpt import cut_fresh_stats
+
+    if cache_key is None:
+        return kmeans_ivf_topk(
+            emb, id_col, vec_col, n_queries=None, k=k, k_clusters=k_clusters,
+            iters=iters, probes=probes, ranked=ranked,
+        )
+    full_key = (
+        emb.sparkSession.sparkContext.applicationId,
+        cache_key, id_col, vec_col, k, k_clusters, iters, probes,
+    )
+    if full_key not in _KNN_CACHE:
+        while len(_KNN_CACHE) >= _KMEANS_CACHE_MAX:
+            _KNN_EVICTED.append(_KNN_CACHE.pop(next(iter(_KNN_CACHE))))
+        _KNN_CACHE[full_key] = cut_fresh_stats(
+            kmeans_ivf_topk(
+                emb, id_col, vec_col, n_queries=None, k=k,
+                k_clusters=k_clusters, iters=iters, probes=probes,
+                ranked=ranked,
+            )
+        )
+    return _KNN_CACHE[full_key]
+
+
+def knn_cache_clear() -> None:
+    """Drop every memoized k-NN edge list (live AND evicted) and release
+    their checkpoint blocks."""
+    _KNN_EVICTED.extend(_KNN_CACHE.values())
+    _KNN_CACHE.clear()
+    while _KNN_EVICTED:
+        try:
+            _KNN_EVICTED.pop().unpersist()
+        except Exception:
+            pass
+
+
 def neardup_pairs_bucketed(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.3, k_clusters: int = 4, iters: int = 2,
@@ -1042,6 +1101,7 @@ def semantic_clusters(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 3, tau: float = 0.6, k_clusters: int = 4, iters: int = 2,
     probes: int = 2, ranked: DataFrame | None = None,
+    knn: DataFrame | None = None,
 ) -> DataFrame:
     """(id, cluster_id, is_canonical) — connected components of the
     MUTUAL k-NN graph thresholded at cosine >= ``tau``: the semantic
@@ -1058,11 +1118,16 @@ def semantic_clusters(
     iteration (textdedup.connected_components — O(log d) pointer jumping,
     one scalar Observation per iteration) runs on the thresholded pair
     graph only. The corpus-sized side appears once, in the final left
-    join that materializes singletons."""
-    knn = kmeans_ivf_topk(
-        emb, id_col, vec_col, n_queries=None, k=k, k_clusters=k_clusters,
-        iters=iters, probes=probes, ranked=ranked,
-    )
+    join that materializes singletons.
+
+    ``knn`` accepts a prebuilt edge list (:func:`knn_edges_cached`) so
+    graph consumers share one build — without it the kNN plan executes
+    twice right here (fwd and rev both reference it)."""
+    if knn is None:
+        knn = kmeans_ivf_topk(
+            emb, id_col, vec_col, n_queries=None, k=k, k_clusters=k_clusters,
+            iters=iters, probes=probes, ranked=ranked,
+        )
     e = knn.filter(F.col("cos") >= tau).select(
         F.col("query_id").alias("a"), F.col("neighbor_id").alias("b")
     )
@@ -1073,15 +1138,75 @@ def semantic_clusters(
         F.col("b").alias("a"), F.col("a").alias("b")
     )
     mutual = fwd.join(rev, ["a", "b"]).select("a", "b")
+    from .graph import star_contract
     from .textdedup import connected_components
 
-    cc = connected_components(mutual)
+    # mutual-kNN graphs are diameter-prone (near-path chains through
+    # embedding space), where min-label propagation needs O(diameter)
+    # rounds — measured 35 at sf0.1. Star contraction first: O(log² n)
+    # rounds to a star-like graph, then the exact-fixpoint CC finishes
+    # in 2-3 (measured: 6 + 3 rounds, 3.6x fewer actions)
+    cc = connected_components(star_contract(mutual))
     return (
         emb.select(F.col(id_col).alias("id"))
         .join(cc, "id", "left")
         .select("id", F.coalesce("cc", F.col("id")).alias("cluster_id"))
         .withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
     )
+
+
+_CLUSTERS_CACHE: dict = {}
+_CLUSTERS_EVICTED: list = []
+
+
+def semantic_clusters_cached(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 3, tau: float = 0.6, k_clusters: int = 4, iters: int = 2,
+    probes: int = 2, ranked: DataFrame | None = None,
+    knn: DataFrame | None = None, cache_key=None,
+) -> DataFrame:
+    """Cluster-once semantic clustering: :func:`semantic_clusters`
+    materialized and memoized per (application, ``cache_key``, params) —
+    the clustering is the expensive fixpoint (CC rounds track component
+    diameter), and its consumers (cluster-balanced sampling, SemDeDup
+    pruning, per-cluster stats) all read the SAME assignment in
+    production. Same bounded-FIFO/deferred-release contract as the other
+    model caches; :func:`clusters_cache_clear` releases."""
+    from .ckpt import cut_fresh_stats
+
+    if cache_key is None:
+        return semantic_clusters(
+            emb, id_col, vec_col, k, tau, k_clusters, iters, probes,
+            ranked, knn,
+        )
+    full_key = (
+        emb.sparkSession.sparkContext.applicationId,
+        cache_key, id_col, vec_col, k, tau, k_clusters, iters, probes,
+    )
+    if full_key not in _CLUSTERS_CACHE:
+        while len(_CLUSTERS_CACHE) >= _KMEANS_CACHE_MAX:
+            _CLUSTERS_EVICTED.append(
+                _CLUSTERS_CACHE.pop(next(iter(_CLUSTERS_CACHE)))
+            )
+        _CLUSTERS_CACHE[full_key] = cut_fresh_stats(
+            semantic_clusters(
+                emb, id_col, vec_col, k, tau, k_clusters, iters, probes,
+                ranked, knn,
+            )
+        )
+    return _CLUSTERS_CACHE[full_key]
+
+
+def clusters_cache_clear() -> None:
+    """Drop every memoized cluster assignment (live AND evicted) and
+    release their checkpoint blocks."""
+    _CLUSTERS_EVICTED.extend(_CLUSTERS_CACHE.values())
+    _CLUSTERS_CACHE.clear()
+    while _CLUSTERS_EVICTED:
+        try:
+            _CLUSTERS_EVICTED.pop().unpersist()
+        except Exception:
+            pass
 
 
 def cluster_balanced_sample(clusters: DataFrame, cap: int) -> DataFrame:

@@ -1567,6 +1567,17 @@ def _shared_quantizer(spark, sf_dir):
     )
 
 
+def _shared_knn(spark, sf_dir):
+    """Build-once k-NN edge list shared by knn_graph, semantic_clusters,
+    and cluster_balanced_sample (memoized per application+input in
+    similarity.py; rides the shared quantizer)."""
+    emb, ranked = _shared_quantizer(spark, sf_dir)
+    return emb, SIM.knn_edges_cached(
+        emb, k=KNN_K, k_clusters=4, iters=2, probes=2,
+        cache_key=("knn", sf_dir), ranked=ranked,
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN with the deterministic integer k-means quantizer + 2-probe
     search (operators/similarity.kmeans_ivf_topk)."""
@@ -4547,11 +4558,8 @@ def q_knn_graph(spark, sf_dir):
     clustering, SemDeDup pruning, and graph-based diversity sampling —
     and it is built without any all-pairs stage: candidate volume is
     Σ probed-bucket sizes, tuned by k_clusters as the corpus grows."""
-    emb, ranked = _shared_quantizer(spark, sf_dir)
-    return SIM.kmeans_ivf_topk(
-        emb, n_queries=None, k=KNN_K, k_clusters=4, iters=2, probes=2,
-        ranked=ranked,
-    ).select(
+    emb, knn = _shared_knn(spark, sf_dir)
+    return knn.select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"),
         "cos",
     )
@@ -4564,10 +4572,18 @@ def q_semantic_clusters(spark, sf_dir):
     the composed pipeline a cluster-balanced sampler runs. The oracle
     replays the quantizer, the k-NN ranking, the mutuality intersection,
     and the reachability closure in one recursive-CTE chain."""
-    emb, ranked = _shared_quantizer(spark, sf_dir)
-    return SIM.semantic_clusters(
+    return _shared_clusters(spark, sf_dir)
+
+
+def _shared_clusters(spark, sf_dir):
+    """Cluster-once semantic clustering shared by semantic_clusters and
+    cluster_balanced_sample (memoized per application+input in
+    similarity.py; rides the shared kNN edge list, which rides the shared
+    quantizer — the full fit-once chain)."""
+    emb, knn = _shared_knn(spark, sf_dir)
+    return SIM.semantic_clusters_cached(
         emb, k=KNN_K, tau=SEM_TAU, k_clusters=4, iters=2, probes=2,
-        ranked=ranked,
+        knn=knn, cache_key=("semc", sf_dir),
     )
 
 
@@ -4582,11 +4598,7 @@ def q_cluster_balanced_sample(spark, sf_dir):
     the mutual-kNN clustering exists to feed. Composes the shared
     quantizer → kNN graph → mutual-CC clusters → capped window → document
     join; the oracle replays the whole chain in one recursive-CTE query."""
-    emb, ranked = _shared_quantizer(spark, sf_dir)
-    clusters = SIM.semantic_clusters(
-        emb, k=KNN_K, tau=SEM_TAU, k_clusters=4, iters=2, probes=2,
-        ranked=ranked,
-    )
+    clusters = _shared_clusters(spark, sf_dir)
     sel = SIM.cluster_balanced_sample(clusters, cap=CBS_CAP)
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), "lang"
