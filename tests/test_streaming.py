@@ -424,3 +424,39 @@ def test_stream_pq_topk_equals_batch(spark, tmp_path):
         assert want and len(want) == delta.count() * 3
     finally:
         SIM.pq_cache_clear()
+
+
+def test_stream_hll_registers_equal_batch(spark):
+    """Sketch-at-ingest: the drained streaming register table must equal
+    the batch HLL registers over the whole corpus (streaming max-agg ==
+    the sketch's cellwise-max merge law), hence identical estimates."""
+    from webcrawl_spark.operators import sketches as SK
+    from webcrawl_spark.operators.textdedup import shingle_hashes_sql
+
+    q = SE.stream_hll_registers(spark, SF, "hll_t", shingle_k=8)
+    _drain(q)
+    got = {
+        (r["grp"], r["idx"]): r["rho"]
+        for r in spark.sql("select * from hll_t").collect()
+    }
+    sh = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            F.col("source").alias("grp"),
+            F.explode(F.expr(shingle_hashes_sql("text", k=8))).alias("h"),
+        )
+    )
+    want = {
+        (r["grp"], r["idx"]): r["rho"]
+        for r in SK.hll_registers(sh).collect()
+    }
+    assert got == want and len(got) > 0
+    # and the estimates built from the streamed registers match too
+    est_stream = {
+        (r["grp"],): r["est_distinct"]
+        for r in SK.hll_estimate(spark.sql("select * from hll_t")).collect()
+    }
+    est_batch = {
+        (r["grp"],): r["est_distinct"] for r in SK.hll_distinct(sh).collect()
+    }
+    assert est_stream == est_batch

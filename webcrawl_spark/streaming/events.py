@@ -304,3 +304,39 @@ def clean_chunk_stream(
     return TS.chunk_by_tokens(
         cleaned, size=size, stride=stride, text_col=text_col, id_col=id_col
     ).withColumnRenamed("id", id_col)
+
+
+def stream_hll_registers(
+    spark: SparkSession, sf_dir: str, query_name: str, shingle_k: int = 8
+) -> "StreamingQuery":
+    """HLL sketch-at-ingest: per-source distinct-shingle HLL registers
+    maintained INCREMENTALLY by the streaming engine — a streaming
+    max-aggregate IS the sketch's merge law (cellwise max), so every
+    micro-batch folds into ≤ m rows of state per source and the
+    distinct-vocabulary estimate is available at any instant without
+    rescanning history. This is the streaming member of the mergeable-
+    sketch family (KMV/CMS/HLL/histogram): at 100 TB/day ingest, the
+    registers ARE the persisted state — no raw-shingle retention.
+    Batch-equivalence (tested): once the bounded stream drains, the
+    register table equals operators/sketches.hll_registers over the
+    whole corpus, hence identical estimates."""
+    from ..operators import sketches as SK
+    from ..operators.textdedup import shingle_hashes_sql
+
+    d = table_stream(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("source").alias("grp"),
+        F.explode(F.expr(shingle_hashes_sql("text", k=shingle_k))).alias("h"),
+    )
+    idx, rho = SK.hll_rho_sql("h")
+    regs = (
+        sh.select("grp", F.expr(idx).alias("idx"), F.expr(rho).alias("rho"))
+        .groupBy("grp", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return (
+        regs.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )
