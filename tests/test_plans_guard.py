@@ -338,3 +338,55 @@ def test_cms_counters_one_pass_tiny_shuffle(spark):
     assert _nodes(p, "Scan parquet") == 1
     assert "EvalPython" not in p
     assert _nodes(p, "Union") == 0
+
+
+def test_hll_and_hist_sketches_jvm_only(spark):
+    """The sketch aggregations must stay inside codegen — rho from binary
+    string length, never a Python hop."""
+    from webcrawl_spark.operators import sketches as SK
+
+    hashes = spark.range(500).select(
+        F.lit("g").alias("grp"),
+        F.expr(TD.HASH32.format(col="cast(id as string)")).alias("h"),
+    )
+    p = _plan(SK.hll_distinct(hashes))
+    assert "EvalPython" not in p
+    vals = spark.range(500).select(F.col("id").alias("v"))
+    p2 = _plan(SK.hist_quantiles(SK.hist_counts(vals), [500, 900]))
+    assert "EvalPython" not in p2
+
+
+def test_weighted_sample_one_exchange_map_side_limit(spark):
+    """Priority sampling is one shuffle total, with the per-group rank
+    limit pushed map-side (WindowGroupLimit before the exchange)."""
+    import webcrawl_spark.queries as Q
+
+    df = Q.QUERIES["weighted_sample"](spark, SF)
+    p = _plan(df)
+    assert "EvalPython" not in p
+    assert _nodes(p, "Exchange") == 1
+    assert _nodes(p, "WindowGroupLimit") == 2  # partial (map-side) + final
+
+
+def test_star_contract_no_cartesian_jvm_only(spark):
+    from webcrawl_spark.operators.graph import star_contract
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "a long, b long"
+    )
+    p = _plan(star_contract(pairs))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    # the contraction returns a materialized leaf, not the round lineage
+    assert _nodes(p, "Scan ExistingRDD") == 1
+
+
+def test_hybrid_rrf_legs_no_cartesian_blowup(spark):
+    """Exactly two nested-loop joins, both broadcast 1-row sides: the
+    semantic leg's query vector against the corpus, and the bm25 leg's
+    global (N, avgdl) stats row — never a shuffled cartesian."""
+    import webcrawl_spark.queries as Q
+
+    p = _plan(Q.QUERIES["hybrid_search_rrf"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert _nodes(p, "BroadcastNestedLoopJoin") == 2
