@@ -390,3 +390,37 @@ def test_hybrid_rrf_legs_no_cartesian_blowup(spark):
     p = _plan(Q.QUERIES["hybrid_search_rrf"](spark, SF))
     assert "CartesianProduct" not in p
     assert _nodes(p, "BroadcastNestedLoopJoin") == 2
+
+
+def test_template_lines_jvm_only_no_window(spark):
+    """Template detection is explode → distinct → two uniform-key
+    aggregates + a per-host totals join: no Python, no window over the
+    corpus, no cartesian."""
+    import webcrawl_spark.queries as Q
+
+    p = _plan(Q.QUERIES["host_template_lines"](spark, SF))
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert _nodes(p, "Window") == 0
+
+
+def test_bigram_lm_jvm_only_bounded_broadcasts(spark):
+    """The LM fit/score chain stays JVM-side; the only nested-loop joins
+    are the two 1-row broadcast scalars (T total and the OOV floor) —
+    count tables join on term keys, never cartesian."""
+    import webcrawl_spark.queries as Q
+
+    p = _plan(Q.QUERIES["bigram_lm_score"](spark, SF))
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert _nodes(p, "BroadcastNestedLoopJoin") == 2
+
+
+def test_snapshot_overlap_kmv_jvm_only(spark):
+    """The sketch set-op plan is windows over ≤ k-row-per-group inputs and
+    one full-outer join of two sketches — JVM-only, no cartesian."""
+    import webcrawl_spark.queries as Q
+
+    p = _plan(Q.QUERIES["snapshot_overlap_kmv"](spark, SF))
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p

@@ -202,3 +202,43 @@ def test_cms_counters_merge_by_cellwise_sum(spark):
     )
     direct = SK.cms_counters(a.unionByName(b), d=4, w=64)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_kmv_set_ops_exact_when_small(spark):
+    """Below k the union sketch IS the union — every set-op output must be
+    exact."""
+    a = _items(spark, "g", [f"x{i}" for i in range(20)])   # x0..x19
+    b = _items(spark, "g", [f"x{i}" for i in range(10, 35)])  # x10..x34
+    got = SK.kmv_set_ops(
+        SK.kmv_bottomk(a, k=64), SK.kmv_bottomk(b, k=64), k=64
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.est_union == 35
+    assert r.est_inter == 10
+    assert r.est_jaccard_permille == (10 * 1000) // 35
+
+
+def test_kmv_set_ops_python_replay(spark):
+    """Above k the estimator must equal the Beyer et al. recipe replayed
+    in plain Python over the same md5 hashes."""
+    names_a = [f"s{i}" for i in range(600)]
+    names_b = [f"s{i}" for i in range(300, 900)]
+    a = _items(spark, "g", names_a)
+    b = _items(spark, "g", names_b)
+    got = SK.kmv_set_ops(
+        SK.kmv_bottomk(a, k=64), SK.kmv_bottomk(b, k=64), k=64
+    ).collect()[0]
+
+    ka = sorted({_h32(x) for x in names_a})[:64]
+    kb = sorted({_h32(x) for x in names_b})[:64]
+    ku = sorted(set(ka) | set(kb))[:64]
+    n = len(ku)
+    est_union = n if n < 64 else (63 * (1 << 32)) // ku[-1]
+    rho = sum(1 for h in ku if h in set(ka) and h in set(kb))
+    assert got.est_union == est_union
+    assert got.est_inter == (rho * est_union) // n
+    assert got.est_jaccard_permille == (rho * 1000) // n
+    # and the estimates are in the sketch's error regime vs truth
+    true_union = len(set(names_a) | set(names_b))
+    assert abs(est_union - true_union) / true_union < 0.4

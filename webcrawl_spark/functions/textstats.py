@@ -925,3 +925,183 @@ def tfidf_topk(
             "score_micro", "rk",
         )
     )
+
+
+# per-host template detection: a line present in >= this fraction of a
+# host's documents is navigation/boilerplate, not content
+TMPL_MIN_PERMILLE = 250   # report lines at or above this share
+TMPL_FLAG_PERMILLE = 500  # flag as template at or above this share
+
+
+def template_lines(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_permille: int = TMPL_MIN_PERMILLE,
+    flag_permille: int = TMPL_FLAG_PERMILLE,
+) -> DataFrame:
+    """(grp, line, n_docs, frac_permille, is_template) — per-host
+    boilerplate template detection: every newline-delimited line that
+    appears in at least ``min_permille``/1000 of the host's documents,
+    flagged as template at ``flag_permille`` — the per-host counterpart of
+    corpus-wide paragraph dedup (CCNet §4.1 runs line dedup per shard;
+    production web pipelines run it per HOST so that one site's nav menu,
+    cookie banner, and footer never survive into training text while a
+    sentence two sites share does). Fractions are integer permille
+    (``n_docs·1000 div total_docs``), so every engine agrees bit-exactly.
+
+    100-TB shape: one explode → distinct on (grp, id, line) — uniform keys
+    (a host's pages spread over the hash space with doc id in the key) —
+    then a (grp, line) count aggregate with map-side partial combine and a
+    per-host totals join keyed on grp. No window over the corpus; the
+    totals side is |hosts| rows (broadcast when it fits). Output is the
+    per-host template table a cleaning pass broadcast-anti-joins against.
+    """
+    lines = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+        )
+        .select("grp", "id", F.trim("raw").alias("line"))
+        .filter(F.col("line") != "")
+        .distinct()
+    )
+    per_line = lines.groupBy("grp", "line").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("__total")
+    )
+    return (
+        per_line.join(totals, "grp")
+        .select(
+            "grp",
+            "line",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr("cast(n_docs * 1000 div __total as bigint)").alias(
+                "frac_permille"
+            ),
+        )
+        .filter(F.col("frac_permille") >= min_permille)
+        .select(
+            "grp", "line", "n_docs", "frac_permille",
+            (F.col("frac_permille") >= flag_permille).alias("is_template"),
+        )
+    )
+
+
+# stupid-backoff discount (Brants et al. 2007): unseen bigrams fall back
+# to alpha * unigram; alpha enters the ONE float rounding point below
+BIGRAM_BACKOFF_ALPHA = 0.4
+
+
+def bigram_lm_score(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bigrams, n_backoff, n_oov, sum_lp_micronat, avg_lp_micronat)
+    — held-out bigram language-model scoring with stupid backoff (Brants
+    et al. 2007 §3: score(w|prev) = c(prev,w)/c(prev) if seen, else
+    alpha·c(w)/T, no normalization — THE web-scale LM-filter shape, because
+    unlike Kneser-Ney it needs no discount fitting and every count table is
+    an additive aggregate). The LM is fit on ``train`` and scores the
+    held-out ``score`` docs per bigram position; OOV words take
+    alpha·1/T. Each branch's log-prob is rounded ONCE to integer
+    micro-nats (the unigram_lm_score recipe), all downstream math is
+    BIGINT, so any engine agrees bit-exactly.
+
+    100-TB shape: fitting is two vocabulary-bounded uniform-key aggregates
+    (bigram counts; context counts derived FROM the bigram table, never a
+    second corpus pass); scoring explodes the held-out docs once and
+    left-joins the two count tables on their term keys — web-scale count
+    tables are NOT hand-broadcast (AQE picks broadcast when they fit and
+    splits the inevitable hot heads otherwise); the per-document sum is
+    uniform by construction. Documents under 2 tokens produce no bigrams
+    and drop out deterministically."""
+    alpha = BIGRAM_BACKOFF_ALPHA
+
+    def _bigrams(docs: DataFrame) -> DataFrame:
+        w = f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x != '')"
+        return (
+            docs.select(
+                F.col(id_col).alias("id"),
+                F.expr(w).alias("__w"),
+            )
+            .filter(F.size("__w") >= 2)
+            .select(
+                "id",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(__w, 1, size(__w) - 1)").alias("prev"),
+                        F.expr("slice(__w, 2, size(__w) - 1)").alias("cur"),
+                    )
+                ).alias("bg"),
+            )
+            .select("id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+        )
+
+    cb = _bigrams(train).groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    cc = cb.groupBy("prev").agg(F.sum("cb").alias("cc"))
+    uni = (
+        train.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("cur")
+        )
+        .filter(F.length("cur") > 0)
+        .groupBy("cur")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    total = uni.agg(F.sum("tf").alias("T"))
+    lp_bi = cb.join(cc, "prev").select(
+        "prev", "cur",
+        F.round(F.log(F.col("cb") / F.col("cc")) * 1e6)
+        .cast("long").alias("lp_bi"),
+    )
+    lp_uni = uni.crossJoin(F.broadcast(total)).select(
+        "cur",
+        F.round(F.log(F.lit(alpha) * F.col("tf") / F.col("T")) * 1e6)
+        .cast("long").alias("lp_uni"),
+    )
+    lp_oov = total.select(
+        F.round(F.log(F.lit(alpha) * F.lit(1.0) / F.col("T")) * 1e6)
+        .cast("long").alias("lp_oov")
+    )
+    scored = (
+        _bigrams(score)
+        .join(lp_bi, ["prev", "cur"], "left")
+        .join(lp_uni, "cur", "left")
+        .crossJoin(F.broadcast(lp_oov))
+        .select(
+            "id",
+            F.coalesce("lp_bi", "lp_uni", "lp_oov").alias("lp"),
+            F.when(F.col("lp_bi").isNotNull(), 0)
+            .when(F.col("lp_uni").isNotNull(), 1)
+            .otherwise(0).alias("is_backoff"),
+            F.when(F.col("lp_bi").isNotNull() | F.col("lp_uni").isNotNull(), 0)
+            .otherwise(1).alias("is_oov"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("is_backoff").alias("n_backoff"),
+            F.sum("is_oov").alias("n_oov"),
+            F.sum("lp").alias("sum_lp_micronat"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("n_backoff").cast("long").alias("n_backoff"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            "sum_lp_micronat",
+            F.expr("div(sum_lp_micronat, n_bigrams)").alias("avg_lp_micronat"),
+        )
+    )

@@ -157,6 +157,58 @@ def cms_lookup(
     )
 
 
+def kmv_set_ops(bk_a: DataFrame, bk_b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(grp, est_union, est_inter, est_jaccard_permille) — set-operation
+    estimates between two :func:`kmv_bottomk` sketches (Beyer et al. 2007,
+    "On synopses for distinct-value estimation under multiset operations").
+
+    The union sketch K_U is the bottom-k of K_A ∪ K_B (bottom-k is closed
+    under union); est_union applies the KMV estimator to K_U; the match
+    fraction rho = |{h ∈ K_U : h ∈ K_A ∧ h ∈ K_B}| is an unbiased sample
+    of the Jaccard similarity, so est_inter = rho · est_union // |K_U| and
+    est_jaccard_permille = rho · 1000 // |K_U| — all-integer, so
+    cross-engine hash-exact. When |A ∪ B| < k the sketches ARE the sets
+    and every output is exact.
+
+    100-TB shape: the inputs are the k-row persisted sketches, never the
+    corpora — overlap between two monthly crawl snapshots costs a join of
+    two ≤ k·|groups|-row tables (broadcast in practice), not the full-outer
+    URL join :mod:`..operators.snapshot` pays for the exact diff."""
+    a = bk_a.select("grp", "h", F.lit(1).alias("__a"))
+    b = bk_b.select("grp", "h", F.lit(1).alias("__b"))
+    u = a.join(b, ["grp", "h"], "full_outer").select(
+        "grp", "h",
+        F.coalesce("__a", F.lit(0)).alias("in_a"),
+        F.coalesce("__b", F.lit(0)).alias("in_b"),
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    top = u.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    num = (k - 1) * (1 << 32)
+    return (
+        top.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.max("h").alias("__hk"),
+            F.sum(F.expr("in_a * in_b")).alias("__rho"),
+        )
+        .select(
+            "grp", "__n", "__rho",
+            F.when(F.col("__n") < k, F.col("__n"))
+            .otherwise(F.expr(f"cast({num} div __hk as bigint)"))
+            .cast("long")
+            .alias("est_union"),
+        )
+        .select(
+            "grp",
+            "est_union",
+            F.expr("cast(__rho * est_union div __n as bigint)").alias("est_inter"),
+            F.expr("cast(__rho * 1000 div __n as bigint)").alias(
+                "est_jaccard_permille"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog
 # ---------------------------------------------------------------------------

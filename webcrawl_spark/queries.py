@@ -4091,6 +4091,140 @@ FROM t2 JOIN w{_n_bpe} v ON v.w = t2.w
 GROUP BY id
 """
 
+    # snapshot_overlap_kmv: the KMV set-op estimator replayed exactly —
+    # every constant interpolates from operators/sketches, and the exact
+    # side shares the hash domain (distinct URL hashes) by construction
+    _so_num = (SK.KMV_K - 1) * (1 << 32)
+    sql["snapshot_overlap_kmv"] = f"""
+WITH ha AS (
+  SELECT DISTINCT {_duck_hash32(SW.url_sql('doc_id'))} AS h FROM documents),
+hb AS (
+  SELECT DISTINCT h FROM (
+    SELECT {_duck_hash32(SW.url_sql('doc_id'))} AS h
+    FROM documents WHERE doc_id % {SNAP_DEL_MOD} != 3
+    UNION ALL
+    SELECT {_duck_hash32(SW.url_sql(f'doc_id + {SNAP_NEW_OFS}'))} AS h
+    FROM documents WHERE doc_id < {SNAP_NEW_N})),
+ka AS (SELECT h FROM (
+         SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM ha)
+       WHERE rk <= {SK.KMV_K}),
+kb AS (SELECT h FROM (
+         SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM hb)
+       WHERE rk <= {SK.KMV_K}),
+u AS (
+  SELECT COALESCE(a.h, b.h) AS h,
+         CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+         CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+  FROM ka a FULL OUTER JOIN kb b ON a.h = b.h),
+top AS (SELECT h, in_a, in_b FROM (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM u)
+        WHERE rk <= {SK.KMV_K}),
+agg AS (SELECT COUNT(*) AS n, MAX(h) AS hk, SUM(in_a * in_b) AS rho FROM top),
+est AS (
+  SELECT CASE WHEN n < {SK.KMV_K} THEN n ELSE {_so_num} // hk END AS eu,
+         rho, n
+  FROM agg),
+ex AS (
+  SELECT COUNT(*) AS xu,
+         SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END)
+           AS xi
+  FROM ha a FULL OUTER JOIN hb b ON a.h = b.h)
+SELECT CAST(est.eu AS BIGINT) AS est_union,
+       CAST(ex.xu AS BIGINT) AS exact_union,
+       CAST(est.rho * est.eu // est.n AS BIGINT) AS est_inter,
+       CAST(ex.xi AS BIGINT) AS exact_inter,
+       CAST(est.rho * 1000 // est.n AS BIGINT) AS est_jaccard_permille,
+       CAST(ex.xi * 1000 // ex.xu AS BIGINT) AS exact_jaccard_permille,
+       CAST(abs(est.eu - ex.xu) * 1000 // ex.xu AS BIGINT)
+         AS union_err_permille
+FROM est, ex
+"""
+
+    # host_template_lines: integer permille thresholds interpolate from
+    # functions/textstats so engine and oracle can never drift
+    sql["host_template_lines"] = f"""
+WITH d AS (
+  SELECT doc_id, source, {_tmpl_text_sql('doc_id')} AS text FROM documents),
+l0 AS (
+  SELECT source AS grp, doc_id AS id,
+         trim(unnest(string_split(text, chr(10)))) AS line
+  FROM d),
+l AS (SELECT DISTINCT grp, id, line FROM l0 WHERE line <> ''),
+per AS (SELECT grp, line, COUNT(*) AS n_docs FROM l GROUP BY 1, 2),
+tot AS (SELECT source AS grp, COUNT(*) AS total FROM documents GROUP BY 1),
+j AS (
+  SELECT per.grp, per.line, per.n_docs,
+         per.n_docs * 1000 // tot.total AS frac_permille
+  FROM per JOIN tot USING (grp))
+SELECT grp AS source, line, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(frac_permille AS BIGINT) AS frac_permille,
+       frac_permille >= {TS.TMPL_FLAG_PERMILLE} AS is_template
+FROM j WHERE frac_permille >= {TS.TMPL_MIN_PERMILLE}
+"""
+
+    # bigram_lm_score: the stupid-backoff chain replayed exactly — the
+    # three log-prob branches round ONCE each with formula text identical
+    # to the engine's; alpha interpolates from functions/textstats
+    _bo = TS.BIGRAM_BACKOFF_ALPHA
+    sql["bigram_lm_score"] = f"""
+WITH tr AS (
+  SELECT text FROM documents WHERE doc_id % {BIGRAM_HOLDOUT_MOD} != 0),
+sc AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {BIGRAM_HOLDOUT_MOD} = 0),
+trw AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS w
+  FROM tr),
+trbg AS (
+  SELECT unnest(w[1:-2]) AS prev, unnest(w[2:-1]) AS cur
+  FROM trw WHERE len(w) >= 2),
+cb AS (SELECT prev, cur, COUNT(*) AS cb FROM trbg GROUP BY 1, 2),
+cc AS (SELECT prev, SUM(cb) AS cc FROM cb GROUP BY 1),
+uni AS (
+  SELECT term AS cur, COUNT(*) AS tf FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+    FROM tr) WHERE length(term) > 0 GROUP BY 1),
+tot AS (SELECT SUM(tf) AS T FROM uni),
+lpb AS (
+  SELECT prev, cur,
+         CAST(round(ln(cb / CAST(cc AS DOUBLE)) * 1e6) AS BIGINT) AS lp_bi
+  FROM cb JOIN cc USING (prev)),
+lpu AS (
+  SELECT cur,
+         CAST(round(ln({_bo} * tf / CAST(T AS DOUBLE)) * 1e6) AS BIGINT)
+           AS lp_uni
+  FROM uni, tot),
+lpo AS (
+  SELECT CAST(round(ln({_bo} * 1.0 / CAST(T AS DOUBLE)) * 1e6) AS BIGINT)
+           AS lp_oov
+  FROM tot),
+scw AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS w
+  FROM sc),
+scbg AS (
+  SELECT id, unnest(w[1:-2]) AS prev, unnest(w[2:-1]) AS cur
+  FROM scw WHERE len(w) >= 2),
+j AS (
+  SELECT s.id,
+         COALESCE(b.lp_bi, u.lp_uni, o.lp_oov) AS lp,
+         CASE WHEN b.lp_bi IS NULL AND u.lp_uni IS NOT NULL
+              THEN 1 ELSE 0 END AS is_backoff,
+         CASE WHEN b.lp_bi IS NULL AND u.lp_uni IS NULL
+              THEN 1 ELSE 0 END AS is_oov
+  FROM scbg s
+  LEFT JOIN lpb b ON b.prev = s.prev AND b.cur = s.cur
+  LEFT JOIN lpu u ON u.cur = s.cur
+  CROSS JOIN lpo o)
+SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(is_backoff) AS BIGINT) AS n_backoff,
+       CAST(SUM(is_oov) AS BIGINT) AS n_oov,
+       CAST(SUM(lp) AS BIGINT) AS sum_lp_micronat,
+       CAST(SUM(lp) // COUNT(*) AS BIGINT) AS avg_lp_micronat
+FROM j GROUP BY 1
+"""
+
     return sql
 
 
@@ -4858,6 +4992,112 @@ def q_tfidf_topk(spark, sf_dir):
     )
 
 
+def q_snapshot_overlap_kmv(spark, sf_dir):
+    """KMV set-operation estimates between two crawl snapshots
+    (operators/sketches.kmv_set_ops, Beyer et al. 2007): union size,
+    intersection size, and Jaccard similarity of the two URL sets from
+    the crawl_snapshot_diff scenario, each estimated from the k-row
+    persisted sketches and graded against exact truth in the same row.
+    At 100 TB this answers "how much of this month's crawl is new" from
+    two 64-row tables — the exact full-outer URL join (crawl_snapshot_diff)
+    is the pass you run AFTER the sketch says the overlap is worth it.
+    Like kmv_vocab_est, "exact" means distinct URL hashes — the
+    hash-collision conflation both engines share by construction."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.expr(SW.url_sql("doc_id"))
+    a_urls = d.select(url.alias("url"))
+    b_urls = (
+        d.filter((F.col("doc_id") % SNAP_DEL_MOD) != 3)
+        .select(url.alias("url"))
+        .unionByName(
+            d.filter(F.col("doc_id") < SNAP_NEW_N).select(
+                F.expr(SW.url_sql(f"doc_id + {SNAP_NEW_OFS}")).alias("url")
+            )
+        )
+    )
+    h = F.expr(TD.HASH32.format(col="url"))
+
+    def _hashes(urls):
+        return urls.select(F.lit("all").alias("grp"), h.alias("h")).distinct()
+
+    ha, hb = _hashes(a_urls), _hashes(b_urls)
+    est = SK.kmv_set_ops(SK.kmv_bottomk(ha), SK.kmv_bottomk(hb))
+    exact = (
+        ha.select("h", F.lit(1).alias("__a"))
+        .join(hb.select("h", F.lit(1).alias("__b")), "h", "full_outer")
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(
+                F.coalesce("__a", F.lit(0)) * F.coalesce("__b", F.lit(0))
+            ).alias("exact_inter"),
+        )
+        .select(
+            F.lit("all").alias("grp"),
+            F.col("exact_union").cast("long").alias("exact_union"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+            F.expr(
+                "cast(exact_inter * 1000 div exact_union as bigint)"
+            ).alias("exact_jaccard_permille"),
+        )
+    )
+    return est.join(exact, "grp").select(
+        "est_union", "exact_union", "est_inter", "exact_inter",
+        "est_jaccard_permille", "exact_jaccard_permille",
+        F.expr(
+            "cast(abs(est_union - exact_union) * 1000 div exact_union as bigint)"
+        ).alias("union_err_permille"),
+    )
+
+
+def _tmpl_text_sql(d: str) -> str:
+    """Deterministic per-host templated text — ONE SQL string valid in
+    both Spark SQL and DuckDB: two always-present template lines (nav +
+    copyright), a unique body line, a ~1/3 'subscribe' line, and a ~1/2
+    cross-host 'login' line that straddles the template flag threshold."""
+    s = f"CAST({d} AS STRING)"
+    nl = "chr(10)"
+    return (
+        f"'home | about | contact | ' || source"
+        f" || {nl} || 'body ' || {s} || ' ' || substr(text, 1, 40)"
+        f" || CASE WHEN {d} % 3 = 0 THEN {nl} ||"
+        f" 'subscribe to the ' || source || ' newsletter' ELSE '' END"
+        f" || CASE WHEN {d} % 2 = 0 THEN {nl} ||"
+        f" 'login or register to comment' ELSE '' END"
+        f" || {nl} || 'copyright ' || source || ' all rights reserved'"
+    )
+
+
+def q_host_template_lines(spark, sf_dir):
+    """Per-host boilerplate template detection (functions/textstats
+    .template_lines): lines present in >= TMPL_MIN_PERMILLE of a host's
+    documents, flagged as template at TMPL_FLAG_PERMILLE — the per-host
+    counterpart of corpus-wide paragraph_dedup (one site's nav menu and
+    footer never reach training text; a sentence two sites share does).
+    ``source`` stands in for the host key. Integer permille fractions,
+    so both engines agree bit-exactly."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_tmpl_text_sql("doc_id")).alias("text")
+    )
+    return TS.template_lines(d).withColumnRenamed("grp", "source")
+
+
+BIGRAM_HOLDOUT_MOD = 5  # doc_id % 5 == 0 → held-out scoring split
+
+
+def q_bigram_lm_score(spark, sf_dir):
+    """Held-out bigram LM scoring with stupid backoff (functions/textstats
+    .bigram_lm_score, Brants et al. 2007): fit bigram/unigram count tables
+    on 4/5 of the corpus, score the held-out fifth per bigram position —
+    bigram hit, unigram backoff, or OOV floor, counted per document.
+    Single-rounding integer micro-nats (the unigram_lm_score recipe), so
+    the scores are engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    return TS.bigram_lm_score(
+        d.filter(F.col("doc_id") % BIGRAM_HOLDOUT_MOD != 0),
+        d.filter(F.col("doc_id") % BIGRAM_HOLDOUT_MOD == 0),
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "crawl_reach_seen": q_crawl_reach_seen,
     "crawl_frontier_round1": q_crawl_frontier_round1,
@@ -4967,6 +5207,9 @@ QUERIES: dict[str, Callable] = {
     "link_communities": q_link_communities,
     "cms_freq_est": q_cms_freq_est,
     "srp_incremental": q_srp_incremental,
+    "snapshot_overlap_kmv": q_snapshot_overlap_kmv,
+    "host_template_lines": q_host_template_lines,
+    "bigram_lm_score": q_bigram_lm_score,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
