@@ -78,7 +78,8 @@ BENCH_QUERIES = [
     "kmv_vocab_est", "cms_freq_est", "srp_incremental",
     "hll_vocab_est", "doclen_quantiles", "weighted_sample",
     "link_communities", "hybrid_search_rrf",
-    "snapshot_overlap_kmv", "host_template_lines", "bigram_lm_score",
+    "snapshot_overlap_kmv", "host_template_lines", "host_template_clean",
+    "bigram_lm_score",
 ]
 
 

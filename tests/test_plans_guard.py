@@ -424,3 +424,15 @@ def test_snapshot_overlap_kmv_jvm_only(spark):
     p = _plan(Q.QUERIES["snapshot_overlap_kmv"](spark, SF))
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_strip_template_lines_no_window_jvm_only(spark):
+    """Detect + strip is one logical plan: posexplode order carried as an
+    integer (no window over the corpus), per-doc array_sort reassembly,
+    uniform-key joins only."""
+    import webcrawl_spark.queries as Q
+
+    p = _plan(Q.QUERIES["host_template_clean"](spark, SF))
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert _nodes(p, "Window") == 0

@@ -69,3 +69,24 @@ def test_bigram_lm_short_docs_drop_out(spark):
     score = _docs(spark, [(2, "s", "a"), (3, "s", "  "), (4, "s", "a b")])
     got = {r.doc_id for r in TS.bigram_lm_score(train, score).collect()}
     assert got == {4}
+
+
+def test_strip_template_lines_order_and_accounting(spark):
+    rows = []
+    for i in range(4):
+        lines = [f"body {i} first", "nav", f"body {i} second"]
+        rows.append((i, "h1", "\n".join(lines)))
+    docs = _docs(spark, rows)
+    tmpl = TS.template_lines(docs)   # nav at 1000 permille -> template
+    got = {r.doc_id: r for r in TS.strip_template_lines(docs, tmpl).collect()}
+    assert got[0].text_clean == "body 0 first\nbody 0 second"
+    assert (got[0].n_kept, got[0].n_stripped) == (2, 1)
+
+
+def test_strip_template_lines_all_template_doc_survives_empty(spark):
+    rows = [(i, "h1", "nav") for i in range(4)] + [(9, "h1", "nav\nnav")]
+    docs = _docs(spark, rows)
+    tmpl = TS.template_lines(docs)
+    got = {r.doc_id: r for r in TS.strip_template_lines(docs, tmpl).collect()}
+    assert got[9].text_clean == ""
+    assert (got[9].n_kept, got[9].n_stripped) == (0, 2)  # dup line: both pos

@@ -1105,3 +1105,61 @@ def bigram_lm_score(
             F.expr("div(sum_lp_micronat, n_bigrams)").alias("avg_lp_micronat"),
         )
     )
+
+
+def strip_template_lines(
+    docs: DataFrame,
+    templates: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, grp, n_kept, n_stripped, text_clean) — the cleaning consumer of
+    :func:`template_lines`: remove every line flagged ``is_template`` in
+    the document's own host's template table, preserving the order of the
+    surviving lines. Blank lines are dropped on both sides (the template
+    pass never saw them). Documents whose every line is template survive
+    with ``text_clean = ''`` — the downstream length gate (gopher_filter)
+    is the policy point for dropping them, not this operator.
+
+    100-TB shape: one posexplode (order carried as an integer, never a
+    window), a left join on the uniform (grp, line) key — the template
+    table is |hosts|·O(template lines) rows and is NOT hand-broadcast
+    (AQE broadcasts when it fits) — and one uniform-key per-document
+    aggregate; reassembly sorts each document's own ≤ |lines| array
+    (array_sort of collected (pos, line) structs), never the corpus."""
+    lines = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+        )
+        .select("grp", "id", "pos", F.trim("raw").alias("line"))
+        .filter(F.col("line") != "")
+    )
+    t = templates.filter("is_template").select(
+        "grp", "line", F.lit(1).alias("__t")
+    )
+    return (
+        lines.join(t, ["grp", "line"], "left")
+        .groupBy("id", "grp")
+        .agg(
+            F.sum(F.when(F.col("__t").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("__t").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_stripped"),
+            F.expr(
+                "array_sort(collect_list("
+                "case when __t is null then struct(pos, line) end))"
+            ).alias("__k"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            "n_kept",
+            "n_stripped",
+            F.array_join(
+                F.expr("transform(__k, x -> x.line)"), "\n"
+            ).alias("text_clean"),
+        )
+    )

@@ -4162,6 +4162,39 @@ SELECT grp AS source, line, CAST(n_docs AS BIGINT) AS n_docs,
 FROM j WHERE frac_permille >= {TS.TMPL_MIN_PERMILLE}
 """
 
+    # host_template_clean: detect + strip in one chain; string_agg with
+    # ORDER BY pos replays the engine's (pos, line) struct sort; DuckDB's
+    # all-stripped empty aggregate is NULL where Spark's array_join of an
+    # empty array is '' — coalesce closes the cross-engine gap
+    sql["host_template_clean"] = f"""
+WITH d AS (
+  SELECT doc_id, source, {_tmpl_text_sql('doc_id')} AS text FROM documents),
+sp AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM d),
+l0 AS (
+  SELECT doc_id, source AS grp,
+         unnest(list_transform(ls, x -> trim(x))) AS line,
+         unnest(range(1, len(ls) + 1)) AS pos
+  FROM sp),
+l AS (SELECT * FROM l0 WHERE line <> ''),
+ld AS (SELECT DISTINCT grp, doc_id, line FROM l),
+per AS (SELECT grp, line, COUNT(*) AS n_docs FROM ld GROUP BY 1, 2),
+tot AS (SELECT source AS grp, COUNT(*) AS total FROM documents GROUP BY 1),
+tmpl AS (
+  SELECT per.grp, per.line
+  FROM per JOIN tot USING (grp)
+  WHERE per.n_docs * 1000 // tot.total >= {TS.TMPL_FLAG_PERMILLE}),
+j AS (
+  SELECT l.doc_id, l.grp, l.pos, l.line,
+         t.line IS NOT NULL AS is_t
+  FROM l LEFT JOIN tmpl t ON t.grp = l.grp AND t.line = l.line)
+SELECT doc_id, grp AS source,
+       CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped,
+       COALESCE(string_agg(CASE WHEN NOT is_t THEN line END, chr(10)
+                           ORDER BY pos), '') AS text_clean
+FROM j GROUP BY 1, 2
+"""
+
     # bigram_lm_score: the stupid-backoff chain replayed exactly — the
     # three log-prob branches round ONCE each with formula text identical
     # to the engine's; alpha interpolates from functions/textstats
@@ -5081,6 +5114,20 @@ def q_host_template_lines(spark, sf_dir):
     return TS.template_lines(d).withColumnRenamed("grp", "source")
 
 
+def q_host_template_clean(spark, sf_dir):
+    """The cleaning consumer of host_template_lines (functions/textstats
+    .strip_template_lines): remove each host's flagged template lines from
+    its documents, order-preserving, with kept/stripped accounting — the
+    pass that keeps one site's nav menu and footer out of training text.
+    The template table is detected from the same corpus in the same job
+    (detect → broadcast-ish join → strip is ONE logical plan)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_tmpl_text_sql("doc_id")).alias("text")
+    )
+    tmpl = TS.template_lines(d)
+    return TS.strip_template_lines(d, tmpl)
+
+
 BIGRAM_HOLDOUT_MOD = 5  # doc_id % 5 == 0 → held-out scoring split
 
 
@@ -5209,6 +5256,7 @@ QUERIES: dict[str, Callable] = {
     "srp_incremental": q_srp_incremental,
     "snapshot_overlap_kmv": q_snapshot_overlap_kmv,
     "host_template_lines": q_host_template_lines,
+    "host_template_clean": q_host_template_clean,
     "bigram_lm_score": q_bigram_lm_score,
 }
 
