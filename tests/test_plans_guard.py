@@ -436,3 +436,16 @@ def test_strip_template_lines_no_window_jvm_only(spark):
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p
     assert _nodes(p, "Window") == 0
+
+
+def test_blocklist_filter_jvm_only_bounded_fanout(spark):
+    """The suffix fan-out is one codegen Generate (bounded by host label
+    count); the rules join keys on rule — no Python, no cartesian, no
+    corpus window."""
+    import webcrawl_spark.queries as Q
+
+    p = _plan(Q.QUERIES["url_blocklist_filter"](spark, SF))
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert _nodes(p, "Window") == 0
+    assert _nodes(p, "Generate") == 1

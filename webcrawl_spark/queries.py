@@ -36,6 +36,7 @@ from .kernels import surt as SURT
 from .kernels.links import extract_links_batch
 from .kernels.robots import build_rule_index, robots_allowed
 from .kernels.urlnorm import canonicalize
+from .operators import blocklist as BLK
 from .operators import bpe as BPE
 from .operators import graph as GR
 from .operators import similarity as SIM
@@ -4258,6 +4259,35 @@ SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
 FROM j GROUP BY 1
 """
 
+    # url_blocklist_filter: rules VALUES interpolate from BLOCK_RULES (one
+    # Python constant); most-specific-wins replayed as a row_number over
+    # (length DESC, rule) — equivalent to the engine's min-struct argmax
+    _blk_values = ", ".join(f"('{r}')" for r in BLOCK_RULES)
+    sql["url_blocklist_filter"] = f"""
+WITH b(rule) AS (VALUES {_blk_values}),
+u AS (
+  SELECT 'http://' || {_blk_host_sql('doc_id')} || '/doc' ||
+           CAST(doc_id AS STRING) || '.html' AS url,
+         {_blk_host_sql('doc_id')} AS host
+  FROM documents),
+ls AS (SELECT url, host, string_split(host, '.') AS parts FROM u),
+sfx AS (
+  SELECT url,
+         unnest(list_transform(range(1, len(parts) + 1),
+                i -> array_to_string(list_slice(parts, CAST(i AS INT),
+                                                len(parts)), '.'))) AS rule
+  FROM ls),
+hits AS (
+  SELECT url, rule FROM (
+    SELECT s.url, s.rule,
+           ROW_NUMBER() OVER (PARTITION BY s.url
+                              ORDER BY length(s.rule) DESC, s.rule) AS rk
+    FROM sfx s JOIN b USING (rule)) WHERE rk = 1)
+SELECT u.url, u.host, hits.rule IS NOT NULL AS blocked,
+       hits.rule AS matched_rule
+FROM u LEFT JOIN hits ON hits.url = u.url
+"""
+
     return sql
 
 
@@ -5128,6 +5158,48 @@ def q_host_template_clean(spark, sf_dir):
     return TS.strip_template_lines(d, tmpl)
 
 
+# URL blocklist rules — ONE Python constant; engine table and oracle
+# VALUES both interpolate from it (the LSH_STATS_CAP lesson). Includes a
+# nested pair (site3.bad.test under bad.test) so most-specific-wins is
+# exercised, not just asserted.
+BLOCK_RULES = ["cdn.site3.test", "site5.test", "bad.test", "site3.bad.test"]
+
+
+def _blk_host_sql(d: str) -> str:
+    """Deterministic multi-label host per doc — ONE SQL string valid in
+    both Spark SQL and DuckDB: www./cdn./apex subdomain variants plus a
+    parent-domain class (siteK.bad.test) for suffix-rule matching."""
+    k = f"CAST({d} % 20 AS STRING)"
+    return (
+        f"CASE CAST({d} % 4 AS INT)"
+        f" WHEN 0 THEN 'www.site' || {k} || '.test'"
+        f" WHEN 1 THEN 'cdn.site' || {k} || '.test'"
+        f" WHEN 2 THEN 'site' || {k} || '.test'"
+        f" ELSE 'site' || {k} || '.bad.test' END"
+    )
+
+
+def q_url_blocklist_filter(spark, sf_dir):
+    """Domain blocklist gating (operators/blocklist.blocklist_filter,
+    RefinedWeb §3.1): every URL judged against a rules table with
+    subdomain semantics — a rule blocks the host and all its subdomains;
+    the most specific (longest) matching rule is reported. The host mix
+    exercises exact-host rules, parent-domain rules, and the nested-rule
+    most-specific-wins case."""
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("http://"),
+            F.expr(_blk_host_sql("doc_id")),
+            F.lit("/doc"),
+            F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("url")
+    )
+    rules = spark.createDataFrame([(r,) for r in BLOCK_RULES], "rule string")
+    return BLK.blocklist_filter(urls, rules)
+
+
 BIGRAM_HOLDOUT_MOD = 5  # doc_id % 5 == 0 → held-out scoring split
 
 
@@ -5258,6 +5330,7 @@ QUERIES: dict[str, Callable] = {
     "host_template_lines": q_host_template_lines,
     "host_template_clean": q_host_template_clean,
     "bigram_lm_score": q_bigram_lm_score,
+    "url_blocklist_filter": q_url_blocklist_filter,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
