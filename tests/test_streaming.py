@@ -460,3 +460,36 @@ def test_stream_hll_registers_equal_batch(spark):
         (r["grp"],): r["est_distinct"] for r in SK.hll_distinct(sh).collect()
     }
     assert est_stream == est_batch
+
+
+def test_stream_template_counts_equal_batch(spark):
+    """Template-at-ingest: the drained streaming (host, line) doc-count
+    table must equal the batch template pass's per-line counts (counts
+    are additive across batches because each doc ships its within-doc-
+    distinct lines exactly once)."""
+    from webcrawl_spark.functions import textstats as TS
+
+    q = SE.stream_template_counts(spark, SF, "tmplc_t")
+    _drain(q)
+    got = {
+        (r["grp"], r["line"]): r["n_docs"]
+        for r in spark.sql("select * from tmplc_t").collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lines = (
+        docs.select(
+            F.col("source").alias("grp"),
+            F.col("doc_id").alias("id"),
+            F.explode(F.split(F.col("text"), "\n")).alias("raw"),
+        )
+        .select("grp", "id", F.trim("raw").alias("line"))
+        .filter(F.col("line") != "")
+        .distinct()
+    )
+    want = {
+        (r["grp"], r["line"]): r["n_docs"]
+        for r in lines.groupBy("grp", "line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -340,3 +340,37 @@ def stream_hll_registers(
         .outputMode("complete")
         .start()
     )
+
+
+def stream_template_counts(
+    spark: SparkSession, sf_dir: str, query_name: str
+) -> "StreamingQuery":
+    """Template detection at ingest: the per-(host, line) document counts
+    that :func:`webcrawl_spark.functions.textstats.template_lines` derives
+    batch-side, maintained INCREMENTALLY — a streaming count-aggregate IS
+    the table's merge law (counts are additive across ingest batches)
+    because each arriving document contributes its WITHIN-DOC-DISTINCT
+    lines exactly once (``array_distinct`` inside the row projection, so
+    no cross-batch distinct state is ever needed). At 100 TB/day the
+    running (host, line, n_docs) table is the persisted state a nightly
+    thresholding pass turns into the template blocklist — no raw-line
+    retention, no corpus rescan. Batch-equivalence tested."""
+    d = table_stream(spark, sf_dir, "documents")
+    lines = d.select(
+        F.col("source").alias("grp"),
+        F.explode(
+            F.expr(
+                "array_distinct(filter("
+                "transform(split(text, '\\n'), x -> trim(x)), x -> x != ''))"
+            )
+        ).alias("line"),
+    )
+    counts = lines.groupBy("grp", "line").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        counts.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )
