@@ -79,7 +79,7 @@ BENCH_QUERIES = [
     "hll_vocab_est", "doclen_quantiles", "weighted_sample",
     "link_communities", "hybrid_search_rrf",
     "snapshot_overlap_kmv", "host_template_lines", "host_template_clean",
-    "bigram_lm_score", "url_blocklist_filter",
+    "bigram_lm_score", "url_blocklist_filter", "mixture_weights",
 ]
 
 

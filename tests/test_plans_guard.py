@@ -449,3 +449,14 @@ def test_blocklist_filter_jvm_only_bounded_fanout(spark):
     assert "CartesianProduct" not in p
     assert _nodes(p, "Window") == 0
     assert _nodes(p, "Generate") == 1
+
+
+def test_mixture_weights_single_corpus_scan_family(spark):
+    """The mixture table costs the digest aggregate + semi-join + two
+    |sources|-row rollups; the permille windows run over the rollup, and
+    nothing leaves the JVM."""
+    import webcrawl_spark.queries as Q
+
+    p = _plan(Q.QUERIES["mixture_weights"](spark, SF))
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p

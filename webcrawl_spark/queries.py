@@ -4288,6 +4288,40 @@ SELECT u.url, u.host, hits.rule IS NOT NULL AS blocked,
 FROM u LEFT JOIN hits ON hits.url = u.url
 """
 
+    # mixture_weights: the dedup-survivor rule (min doc_id per md5) and the
+    # integer permille weights replayed exactly; denominators are window
+    # sums over the |sources|-row rollup
+    sql["mixture_weights"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(length(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         md5(text) AS dg
+  FROM documents),
+surv AS (SELECT dg, MIN(doc_id) AS doc_id FROM d GROUP BY dg),
+kept AS (SELECT d.* FROM d JOIN surv ON surv.dg = d.dg
+         AND surv.doc_id = d.doc_id),
+raw AS (SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS tokens_raw
+        FROM d GROUP BY 1),
+ded AS (SELECT source, COUNT(*) AS n_docs_dedup,
+               SUM(n_tokens) AS tokens_dedup
+        FROM kept GROUP BY 1),
+j AS (
+  SELECT raw.source, raw.n_docs, raw.tokens_raw,
+         COALESCE(ded.n_docs_dedup, 0) AS n_docs_dedup,
+         COALESCE(ded.tokens_dedup, 0) AS tokens_dedup
+  FROM raw LEFT JOIN ded USING (source))
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs_dedup AS BIGINT) AS n_docs_dedup,
+       CAST(tokens_raw AS BIGINT) AS tokens_raw,
+       CAST(tokens_dedup AS BIGINT) AS tokens_dedup,
+       CAST(tokens_raw * 1000 // SUM(tokens_raw) OVER () AS BIGINT)
+         AS weight_raw_permille,
+       CAST(tokens_dedup * 1000 // SUM(tokens_dedup) OVER () AS BIGINT)
+         AS weight_dedup_permille
+FROM j
+"""
+
     return sql
 
 
@@ -5217,6 +5251,53 @@ def q_bigram_lm_score(spark, sf_dir):
     )
 
 
+def q_mixture_weights(spark, sf_dir):
+    """Training-mixture accounting (the table every run config starts
+    from): per-source document/token counts and integer-permille mixture
+    weights, BOTH raw and after exact dedup — the dedup-adjusted column is
+    the one that matters, because duplicate-heavy sources shrink once the
+    global exact-dedup survivor pass (operators/textdedup
+    .exact_duplicates semantics: min doc_id per md5 digest) has run.
+    100-TB shape: one token-count projection (zero exchange), a digest
+    min-aggregate on the uniform md5 key, a semi-join of survivors, and
+    two |sources|-row rollups; the permille denominators are global sums
+    over the |sources|-row table, never a second corpus pass."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.expr(r"size(split(lower(trim(text)), '\\s+'))")
+        .cast("long").alias("n_tokens"),
+        F.md5("text").alias("__dg"),
+    )
+    surv = d.groupBy("__dg").agg(F.min("doc_id").alias("doc_id"))
+    kept = d.join(surv, ["__dg", "doc_id"])  # semi: survivors only
+    raw = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_raw"),
+    )
+    ded = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_dedup"),
+        F.sum("n_tokens").alias("tokens_dedup"),
+    )
+    j = raw.join(ded, "source", "left").select(
+        "source", "n_docs", "tokens_raw",
+        F.coalesce("n_docs_dedup", F.lit(0)).alias("n_docs_dedup"),
+        F.coalesce("tokens_dedup", F.lit(0)).alias("tokens_dedup"),
+    )
+    return j.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_docs_dedup").cast("long").alias("n_docs_dedup"),
+        F.col("tokens_raw").cast("long").alias("tokens_raw"),
+        F.col("tokens_dedup").cast("long").alias("tokens_dedup"),
+        F.expr(
+            "cast(tokens_raw * 1000 div sum(tokens_raw) over () as bigint)"
+        ).alias("weight_raw_permille"),
+        F.expr(
+            "cast(tokens_dedup * 1000 div sum(tokens_dedup) over () as bigint)"
+        ).alias("weight_dedup_permille"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "crawl_reach_seen": q_crawl_reach_seen,
     "crawl_frontier_round1": q_crawl_frontier_round1,
@@ -5331,6 +5412,7 @@ QUERIES: dict[str, Callable] = {
     "host_template_clean": q_host_template_clean,
     "bigram_lm_score": q_bigram_lm_score,
     "url_blocklist_filter": q_url_blocklist_filter,
+    "mixture_weights": q_mixture_weights,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
