@@ -76,7 +76,7 @@ BENCH_QUERIES = [
     "knn_graph", "semantic_clusters", "tfidf_topk",
     "cluster_balanced_sample", "srp_pairs", "srp_recall",
     "kmv_vocab_est", "cms_freq_est", "srp_incremental",
-    "hll_vocab_est", "doclen_quantiles", "weighted_sample",
+    "hll_vocab_est", "doclen_quantiles", "ccnet_buckets", "weighted_sample",
     "link_communities", "hybrid_search_rrf",
     "snapshot_overlap_kmv", "host_template_lines", "host_template_clean",
     "bigram_lm_score", "url_blocklist_filter", "mixture_weights",

@@ -477,3 +477,19 @@ def test_vocab_sketches_share_the_shingle_materialization(spark):
             assert "EvalPython" not in p
     finally:
         Q._shingle_cache_clear()
+
+
+def test_ccnet_buckets_sketch_thresholds_no_corpus_window(spark):
+    """The CCNet bucketing must take its per-language thresholds from the
+    additive histogram sketch, never an exact per-language sort of the
+    corpus: every Window in the plan runs over the ≤ |langs|·CCNET_B-row
+    sketch (2 spec groups: the cumulative/total pair), the threshold
+    cross-join is the 2-row q_permille side, and no Python anywhere."""
+    import webcrawl_spark.queries as Q
+
+    p = _plan(Q.QUERIES["ccnet_buckets"](spark, SF))
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the only Sort+Window pair belongs to the sketch-side quantile
+    # interpolation — bounded by |langs|·CCNET_B rows, not the corpus
+    assert _nodes(p, "Window") <= 2

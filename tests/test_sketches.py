@@ -242,3 +242,28 @@ def test_kmv_set_ops_python_replay(spark):
     # and the estimates are in the sketch's error regime vs truth
     true_union = len(set(names_a) | set(names_b))
     assert abs(est_union - true_union) / true_union < 0.4
+
+
+def test_hist_grouped_matches_per_group_global(spark):
+    """hist_counts/hist_quantiles with by=("g",) must answer exactly what
+    the ungrouped sketch answers on each group's values alone — thresholds
+    for one language can never leak across groups (the ccnet_buckets
+    contract)."""
+    groups = {"en": [3, 9, 9, 40, 300, 17, 8], "de": [9, 12, 4000, 1, 1]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r.g, r.q_permille): r.est
+        for r in SK.hist_quantiles(
+            SK.hist_counts(df, by=("g",)), [333, 667], by=("g",)
+        ).collect()
+    }
+    for g, vs in groups.items():
+        solo = {
+            r.q_permille: r.est
+            for r in SK.hist_quantiles(
+                SK.hist_counts(_vals(spark, vs)), [333, 667]
+            ).collect()
+        }
+        for q, e in solo.items():
+            assert got[(g, q)] == e, (g, q, got[(g, q)], e)

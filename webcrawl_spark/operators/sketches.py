@@ -300,52 +300,58 @@ def hll_distinct(hashes: DataFrame) -> DataFrame:
 # equi-width histogram / quantile sketch
 # ---------------------------------------------------------------------------
 
-def hist_counts(values: DataFrame, w: int = HIST_W, b: int = HIST_B) -> DataFrame:
-    """(bucket, cnt) — the additive quantile sketch over a ``v`` column
-    of non-negative integers: bucket = min(v div w, b-1) (values beyond
-    the range clamp into the last bucket). ≤ b persisted rows; merge
-    across shards = cellwise sum. 100-TB shape: keyspace ≤ b, so
-    map-side partial combine collapses the corpus before the (tiny)
-    exchange."""
+def hist_counts(
+    values: DataFrame, w: int = HIST_W, b: int = HIST_B, by: tuple = ()
+) -> DataFrame:
+    """(*by, bucket, cnt) — the additive quantile sketch over a ``v``
+    column of non-negative integers: bucket = min(v div w, b-1) (values
+    beyond the range clamp into the last bucket). ≤ b persisted rows per
+    group; merge across shards = cellwise sum. 100-TB shape: keyspace
+    ≤ |groups|·b, so map-side partial combine collapses the corpus
+    before the (tiny) exchange."""
+    by = list(by)
     return (
         values.select(
-            F.expr(f"cast(least(v div {w}, {b - 1}) as int)").alias("bucket")
+            *by,
+            F.expr(f"cast(least(v div {w}, {b - 1}) as int)").alias("bucket"),
         )
-        .groupBy("bucket")
+        .groupBy(*by, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
 def hist_quantiles(
-    hist: DataFrame, qs_permille: list[int], w: int = HIST_W
+    hist: DataFrame, qs_permille: list[int], w: int = HIST_W, by: tuple = ()
 ) -> DataFrame:
-    """(q_permille, est) — integer quantile estimates from a
+    """(*by, q_permille, est) — integer quantile estimates from a
     :func:`hist_counts` sketch: for each q the target rank is
     ceil(q·N/1000); the estimate interpolates linearly inside the bucket
     where the cumulative count crosses it:
     ``bucket·w + (target - cum_before) · w div cnt`` — all-integer, so
-    cross-engine hash-exact. The window runs over ≤ b rows per q (the
-    sketch, not the corpus)."""
+    cross-engine hash-exact. The windows run over ≤ b rows per group
+    (the sketch, not the corpus)."""
+    by = list(by)
     qs = hist.sparkSession.createDataFrame(
         [(q,) for q in qs_permille], "q_permille int"
     )
     cum = hist.select(
-        "bucket", "cnt",
+        *by, "bucket", "cnt",
         F.sum("cnt").over(
-            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+            Window.partitionBy(*by).orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
         ).alias("cum"),
-        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+        F.sum("cnt").over(Window.partitionBy(*by)).alias("n"),
     )
     return (
-        qs.crossJoin(cum)
+        cum.crossJoin(F.broadcast(qs))
         .withColumn("target", F.expr("(q_permille * n + 999) div 1000"))
         .filter(F.col("cum") >= F.col("target"))
-        .groupBy("q_permille")
+        .groupBy(*by, "q_permille")
         .agg(
             F.min(F.struct("bucket", "cnt", "cum", "target")).alias("__b")
         )
         .select(
-            "q_permille",
+            *by, "q_permille",
             F.expr(
                 f"cast(__b.bucket * {w} + "
                 f"(__b.target - (__b.cum - __b.cnt)) * {w} div __b.cnt "

@@ -3358,6 +3358,76 @@ SELECT CAST(e1.q_permille AS BIGINT) AS q_permille,
 FROM e1 JOIN ex USING (q_permille)
 """
 
+    # ccnet_buckets: the lang_id UNION chain + the unigram-LM micro-nat
+    # recipe + the per-language histogram interpolation, all from the same
+    # shared constants (CCNET_W/CCNET_B/CCNET_QS) the engine uses.
+    _cc_t1, _cc_t2 = CCNET_QS
+    sql["ccnet_buckets"] = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents),
+t2 AS (SELECT id, tok AS term FROM toks WHERE length(tok) > 0),
+v AS (SELECT term, COUNT(*) AS tf FROM t2 GROUP BY term),
+tot AS (SELECT SUM(tf) AS T FROM v),
+lp AS (SELECT term,
+         CAST(round(ln(tf / CAST(T AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+       FROM v, tot),
+lm AS (SELECT t2.id, COUNT(*) AS n_tokens,
+              -(SUM(lp.lp) // COUNT(*)) AS score
+       FROM t2 JOIN lp ON lp.term = t2.term GROUP BY t2.id),
+scored0 AS ({lang_cases}),
+best AS (
+  SELECT id, lang,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY hits DESC, lrank DESC) AS rk
+  FROM scored0),
+langt AS (
+  SELECT d.doc_id AS id, COALESCE(b.lang, 'unknown') AS pred_lang
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN (SELECT id, lang FROM best WHERE rk = 1) b ON b.id = d.doc_id),
+sc AS (
+  SELECT lm.id, langt.pred_lang, lm.n_tokens, lm.score AS v
+  FROM lm JOIN langt ON langt.id = lm.id),
+hist AS (
+  SELECT pred_lang, CAST(least(v // {CCNET_W}, {CCNET_B - 1}) AS INT) AS bucket,
+         COUNT(*) AS cnt
+  FROM sc GROUP BY 1, 2),
+cum AS (
+  SELECT pred_lang, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY pred_lang ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY pred_lang) AS n
+  FROM hist),
+qs AS (SELECT unnest([{_cc_t1}, {_cc_t2}]) AS q_permille),
+crossing AS (
+  SELECT pred_lang, q_permille, bucket, cnt, cum,
+         (q_permille * n + 999) // 1000 AS target,
+         ROW_NUMBER() OVER (PARTITION BY pred_lang, q_permille
+                            ORDER BY bucket) AS rk
+  FROM qs CROSS JOIN cum
+  WHERE cum >= (q_permille * n + 999) // 1000),
+est AS (
+  SELECT pred_lang, q_permille,
+         bucket * {CCNET_W} + (target - (cum - cnt)) * {CCNET_W} // cnt AS est
+  FROM crossing WHERE rk = 1),
+thr AS (
+  SELECT pred_lang,
+         MIN(CASE WHEN q_permille = {_cc_t1} THEN est END) AS t_head,
+         MIN(CASE WHEN q_permille = {_cc_t2} THEN est END) AS t_mid
+  FROM est GROUP BY 1),
+asg AS (
+  SELECT sc.pred_lang,
+         CASE WHEN sc.v <= thr.t_head THEN 'head'
+              WHEN sc.v <= thr.t_mid THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         sc.n_tokens, thr.t_head, thr.t_mid
+  FROM sc JOIN thr ON thr.pred_lang = sc.pred_lang)
+SELECT pred_lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(t_head AS BIGINT) AS t_head, CAST(t_mid AS BIGINT) AS t_mid
+FROM asg GROUP BY 1, 2, 5, 6
+"""
+
     sql["weighted_sample"] = f"""
 WITH pr AS (
   SELECT source, doc_id, n_chars AS weight,
@@ -4924,6 +4994,9 @@ def _shingle_cache_clear() -> None:
     _SHINGLE_CACHE.clear()
 CMS_TOP_N = 10     # heavy hitters probed against the count-min grid
 QHIST_QS = [500, 900, 990]  # quantiles graded by doclen_quantiles (permille)
+CCNET_W = 200_000  # ccnet_buckets: micro-nat histogram bucket width
+CCNET_B = 64       # ccnet_buckets: histogram buckets (≥ W·B clamps into last)
+CCNET_QS = (333, 667)  # ccnet_buckets: head/middle/tail split points (permille)
 WS_K = 5           # weighted-sample size per source
 WS_SCALE = 1 << 20  # priority fixed-point scale (u·SCALE div weight)
 LPA_ITERS = 3      # label-propagation iterations (fixed, deterministic)
@@ -5048,6 +5121,65 @@ def q_doclen_quantiles(spark, sf_dir):
         F.col("est").alias("est_tokens"),
         F.col("exact").alias("exact_tokens"),
         (F.col("est") - F.col("exact")).cast("long").alias("err"),
+    )
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    2020): per predicted language, split the corpus at the 333‰/667‰
+    LM-score percentiles — "head" is the most-fluent third that CCNet
+    keeps by default. The per-doc score is the negated average token
+    log-probability in micro-nats (the corpus-fit unigram LM of
+    ``unigram_lm_score``, so lower = more fluent), the language is the
+    stopword-argmax of ``lang_id``, and — the 100-TB divergence from a
+    literal CCNet port — the percentile thresholds come from the
+    additive histogram sketch (``hist_counts``/``hist_quantiles`` with
+    ``by=("pred_lang",)``), NOT an exact per-language sort: the corpus
+    collapses map-side to ≤ |langs|·CCNET_B rows, the threshold windows
+    run over the sketch only, and the bucket assignment is a map-side
+    comparison after a uniform-key join of the |langs|·2-row threshold
+    table (AQE broadcasts it). All-integer thresholds/compares, so the
+    rollup is engine-exact. Output: one row per (pred_lang, bucket) with
+    doc/token counts and the thresholds used."""
+    d = _t(spark, sf_dir, "documents")
+    lm = TS.unigram_lm_score(d)
+    lang = TS.lang_id(d)
+    scored = (
+        lm.select(
+            F.col("doc_id").alias("id"),
+            "n_tokens",
+            (-F.col("avg_lp_micronat")).alias("v"),
+        )
+        .join(lang, "id")
+    )
+    hist = SK.hist_counts(
+        scored.select("pred_lang", "v"), w=CCNET_W, b=CCNET_B, by=("pred_lang",)
+    )
+    thr = SK.hist_quantiles(hist, list(CCNET_QS), w=CCNET_W, by=("pred_lang",))
+    tw = thr.groupBy("pred_lang").agg(
+        F.min(F.when(F.col("q_permille") == CCNET_QS[0], F.col("est"))).alias("t_head"),
+        F.min(F.when(F.col("q_permille") == CCNET_QS[1], F.col("est"))).alias("t_mid"),
+    )
+    assigned = scored.join(tw, "pred_lang").select(
+        "pred_lang", "n_tokens", "t_head", "t_mid",
+        F.when(F.col("v") <= F.col("t_head"), F.lit("head"))
+        .when(F.col("v") <= F.col("t_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return (
+        assigned.groupBy("pred_lang", "bucket", "t_head", "t_mid")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "pred_lang", "bucket",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("t_head").cast("long").alias("t_head"),
+            F.col("t_mid").cast("long").alias("t_mid"),
+        )
     )
 
 
@@ -5433,6 +5565,7 @@ QUERIES: dict[str, Callable] = {
     "kmv_vocab_est": q_kmv_vocab_est,
     "hll_vocab_est": q_hll_vocab_est,
     "doclen_quantiles": q_doclen_quantiles,
+    "ccnet_buckets": q_ccnet_buckets,
     "weighted_sample": q_weighted_sample,
     "link_communities": q_link_communities,
     "cms_freq_est": q_cms_freq_est,
