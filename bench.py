@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "link_communities", "hybrid_search_rrf",
     "snapshot_overlap_kmv", "host_template_lines", "host_template_clean",
     "bigram_lm_score", "url_blocklist_filter", "mixture_weights",
+    "decontaminate_semantic", "edu_classifier",
 ]
 
 
@@ -200,6 +201,14 @@ def main_default():
     qtimes = run_queries(spark, SF_DIR)
     total = round(time.time() - t_all, 3)
 
+    # Second control AFTER the suite: the box state can drift WITHIN a
+    # run (observed round 5: start-control 0.38 with a suite 2.7x the
+    # clean record — interference arriving mid-run). Bracketing the suite
+    # with two controls makes intra-run drift visible in the record
+    # itself: a reader trusts the suite number only when start and end
+    # controls agree.
+    ctrl_end_s, _ = run_control(spark, docs_path)
+
     out = {
         "metric": "bench suite wall time (crawl + query battery)",
         "value": total,
@@ -209,6 +218,7 @@ def main_default():
         ),
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "control_sec": round(ctrl_s, 3),
+        "control_end_sec": round(ctrl_end_s, 3),
         "crawl": {
             "pages": n_pages,
             "rounds": rounds,

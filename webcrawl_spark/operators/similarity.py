@@ -1437,3 +1437,133 @@ def srp_codes_cached(
             emb, id_col, vec_col, n_planes, dim, scale
         ).localCheckpoint(eager=True)
     return _KMEANS_CACHE[full_key]
+
+
+# Semantic benchmark decontamination (the embedding-space sibling of
+# textdedup.contamination_flags' n-gram pass): Llama 3 / Phi-style eval-set
+# decontamination flags any training document whose embedding is too close
+# to ANY benchmark embedding — catching paraphrases and translations the
+# lexical 8-gram pass misses.
+DECON_SEM_TAU = 0.3
+
+
+def contamination_semantic(
+    corpus: DataFrame, bench: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    bench_id_col: str = "bench_id", bench_vec_col: str = "embedding",
+    tau: float = DECON_SEM_TAU, round_to: int = 4,
+) -> DataFrame:
+    """Flag training vectors with cosine >= ``tau`` against any benchmark
+    vector — semantic eval-set decontamination over the embedding column.
+
+    Returns one row per CONTAMINATED corpus vector:
+    ``(id_col, n_bench_hits, bench_min, max_cos)`` where ``n_bench_hits``
+    counts benchmark vectors within ``tau``, ``bench_min`` is the lowest
+    matching benchmark id (deterministic exemplar), and ``max_cos`` is the
+    strongest match rounded to ``round_to``; the caller anti-joins to drop
+    or audit (the same consumption contract as the n-gram pass).
+
+    Engine-exactness: both engines fold the same array order with the same
+    IEEE double ops (``dot / (na * nb)``), so the raw cosines are
+    bit-identical; the ``>= tau`` gate, COUNT, MIN, and MAX therefore agree
+    exactly, and rounding happens once at the end.
+
+    100-TB shape: the benchmark side is small BY DEFINITION (an eval set —
+    thousands of rows), so it is explicitly broadcast and the corpus is
+    scanned ONCE with a map-side nested-loop score + filter; the only
+    shuffle is the per-document aggregate on the uniform id key (partial
+    combine map-side). If the "benchmark" ever outgrows broadcast, this
+    becomes a delta-vs-corpus candidate problem — exactly what
+    :func:`srp_pairs_incremental` / :func:`neardup_incremental` solve.
+    """
+    va = _prep_normed(corpus, id_col, vec_col, "id", "v", "nm")
+    vb = _prep_normed(bench, bench_id_col, bench_vec_col, "b", "bv", "bn")
+    hits = (
+        va.crossJoin(F.broadcast(vb))
+        .withColumn(
+            "cos", F.expr(dot_sql("v", "bv")) / (F.col("nm") * F.col("bn"))
+        )
+        .filter(F.col("cos") >= tau)
+    )
+    return (
+        hits.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_hits"),
+            F.min("b").alias("bench_min"),
+            F.round(F.max("cos"), round_to).alias("max_cos"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bench_hits", "bench_min", "max_cos",
+        )
+    )
+
+
+# FineWeb-Edu-style model-based quality scoring: a linear regression head
+# over the document's PRECOMPUTED embedding, bucketed into the published
+# 0..5 educational-value scale (keep >= 3). The head's weights here are
+# md5-derived integers so both engines reproduce the decision bit-exactly
+# without shipping a training artifact — the deployment swaps in real
+# learned weights; the plan shape (zero-exchange map-side fold over the
+# vector column) is identical either way.
+EDU_W_SPAN = 17        # integer weights in [-8, 8]
+EDU_W_TAG = "edu#"     # weight-derivation salt
+EDU_SHIFT = 12_000     # bucket = clamp((score + SHIFT) div WIDTH, 0, 5)
+EDU_WIDTH = 4_000
+EDU_KEEP_MIN = 3       # FineWeb-Edu's published keep threshold
+
+
+def edu_weights(dim: int = 64) -> list[int]:
+    """The md5-derived integer weight vector (Python-side constant,
+    interpolated as a plan literal into BOTH engines — the
+    lsh_bucket_stats single-constant lesson applied to a whole model)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{EDU_W_TAG}{d}".encode()).hexdigest()[:8], 16)
+        % EDU_W_SPAN - (EDU_W_SPAN - 1) // 2
+        for d in range(dim)
+    ]
+
+
+def edu_scores(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64, scale: int = 1000,
+) -> DataFrame:
+    """(id, score, edu_score, keep): the FineWeb-Edu quality gate over the
+    embedding column. ``score`` is the exact-BIGINT dot product of the
+    quantized vector (``floor(x * scale + 0.5)`` — the k-means oracle's
+    proven quantization) with the literal weight vector; ``edu_score``
+    clamps ``(score + EDU_SHIFT) div EDU_WIDTH`` into 0..5 (the dividend is
+    clamped non-negative FIRST, so truncating and flooring division agree
+    across engines); ``keep = edu_score >= EDU_KEEP_MIN``.
+
+    100-TB shape: ZERO exchanges — the model rides the plan as a
+    ``dim``-element literal array, the fold is one whole-stage-codegen
+    ``zip_with``+``aggregate`` per row, and every downstream compare is
+    BIGINT. This is the FineWeb-Edu recipe's entire scale story: once
+    embeddings exist, classifier inference is a map-side projection.
+    """
+    w = edu_weights(dim)
+    wlit = "array(" + ", ".join(f"{x}L" for x in w) + ")"
+    q = (
+        f"transform({vec_col}, x -> "
+        f"cast(floor(cast(x as double) * {scale} + 0.5d) as bigint))"
+    )
+    score = (
+        f"aggregate(zip_with({q}, {wlit}, (x, y) -> x * y), "
+        f"0L, (acc, x) -> acc + x)"
+    )
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.expr(score).alias("score"),
+    ).select(
+        "id", "score",
+        F.least(
+            F.lit(5).cast("long"),
+            F.expr(f"greatest(0L, score + {EDU_SHIFT}) div {EDU_WIDTH}"),
+        ).alias("edu_score"),
+    ).select(
+        F.col("id").alias(id_col), "score", "edu_score",
+        (F.col("edu_score") >= EDU_KEEP_MIN).alias("keep"),
+    )

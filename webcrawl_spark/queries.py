@@ -1649,6 +1649,35 @@ def q_embed_neardup(spark, sf_dir):
     return SIM.neardup_pairs(_t(spark, sf_dir, "embeddings"), n=200, threshold=0.3)
 
 
+DECON_SEM_MOD = 61  # benchmark = every 61st vector (9 at sf0.01)
+
+
+def q_decontaminate_semantic(spark, sf_dir):
+    """Embedding-space benchmark decontamination (operators/similarity
+    .contamination_semantic): flag training vectors with cosine >= tau
+    against any benchmark vector — the semantic sibling of the lexical
+    8-gram ``decontaminate`` pass (catches paraphrases the n-gram pass
+    misses). The synthetic eval set is every DECON_SEM_MOD-th vector, so
+    each bench vector flags itself (cos 1.0) plus its near-dups; the
+    benchmark side is broadcast (small by definition), the corpus is
+    scanned once, and the only shuffle is the per-doc aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % DECON_SEM_MOD == 0).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    return SIM.contamination_semantic(emb, bench)
+
+
+def q_edu_classifier(spark, sf_dir):
+    """FineWeb-Edu-style model-based quality gate (operators/similarity
+    .edu_scores): a linear head over the precomputed embedding column,
+    bucketed into the published 0..5 educational-value scale, keep >= 3.
+    Zero exchanges — the md5-derived integer weight vector rides the plan
+    as a literal array and the fold is whole-stage-codegen BIGINT math,
+    so classifier inference at 100 TB is a map-side projection."""
+    return SIM.edu_scores(_t(spark, sf_dir, "embeddings"))
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column metadata plumbing (decode stubbed, deterministic)."""
     d = (
@@ -4392,6 +4421,45 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
 FROM j
 """
 
+    # decontaminate_semantic: the bench side restated from the same
+    # DECON_SEM_MOD filter; cosine is the proven index-ordered fold
+    _sem_cos = _duck_cos64("e.embedding", "b.embedding")
+    sql["decontaminate_semantic"] = f"""
+WITH b AS (
+  SELECT vec_id AS bid, embedding FROM embeddings
+  WHERE vec_id % {DECON_SEM_MOD} = 0),
+p AS (
+  SELECT e.vec_id AS id, b.bid, {_sem_cos} AS cos
+  FROM embeddings e, b)
+SELECT id AS vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+       CAST(MIN(bid) AS BIGINT) AS bench_min,
+       ROUND(MAX(cos), 4) AS max_cos
+FROM p WHERE cos >= {SIM.DECON_SEM_TAU}
+GROUP BY id
+"""
+
+    # edu_classifier: the literal md5-derived weight vector and the
+    # bucket constants interpolate from the SAME Python constants the
+    # engine uses (edu_weights / EDU_SHIFT / EDU_WIDTH / EDU_KEEP_MIN)
+    _edu_w = "[" + ", ".join(str(x) for x in SIM.edu_weights()) + "]"
+    _edu_score = (
+        f"CAST(list_sum(list_transform(range(1, 65), i -> "
+        f"CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+        f" * ({_edu_w})[i])) AS BIGINT)"
+    )
+    sql["edu_classifier"] = f"""
+WITH s AS (SELECT vec_id, {_edu_score} AS score FROM embeddings),
+b AS (
+  SELECT vec_id, score,
+         CAST(least(5, greatest(0, score + {SIM.EDU_SHIFT})
+                       // {SIM.EDU_WIDTH}) AS BIGINT) AS edu_score
+  FROM s)
+SELECT vec_id, score, edu_score,
+       (edu_score >= {SIM.EDU_KEEP_MIN}) AS keep
+FROM b
+"""
+
     return sql
 
 
@@ -5576,6 +5644,8 @@ QUERIES: dict[str, Callable] = {
     "bigram_lm_score": q_bigram_lm_score,
     "url_blocklist_filter": q_url_blocklist_filter,
     "mixture_weights": q_mixture_weights,
+    "decontaminate_semantic": q_decontaminate_semantic,
+    "edu_classifier": q_edu_classifier,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
