@@ -80,7 +80,7 @@ BENCH_QUERIES = [
     "link_communities", "hybrid_search_rrf",
     "snapshot_overlap_kmv", "host_template_lines", "host_template_clean",
     "bigram_lm_score", "url_blocklist_filter", "mixture_weights",
-    "decontaminate_semantic", "edu_classifier",
+    "decontaminate_semantic", "edu_classifier", "duplicate_span_strip",
 ]
 
 

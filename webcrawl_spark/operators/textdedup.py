@@ -1030,6 +1030,66 @@ def duplicate_spans(
     )
 
 
+def duplicate_span_strip(
+    docs: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_words, n_cut, text_clean): the REMOVAL consumer of
+    :func:`duplicate_spans` — cut every word covered by a cross-document
+    duplicated ``n``-gram from the training text, preserving the order of
+    the survivors (ExactSubstr dedup's second half: Lee et al. 2022 cut
+    the flagged spans, they don't just audit them). A word is covered if
+    ANY flagged gram's window ``[pos, pos+n)`` contains it; overlapping
+    windows merge naturally through the (id, word-pos) distinct. Removal
+    operates on the normalized token stream (lowercased,
+    whitespace-collapsed — the same stream the span pass hashes), so
+    ``text_clean`` is single-space-joined survivor tokens; fully-covered
+    documents survive with ``text_clean = ''`` (the downstream length
+    gate is the drop-policy point, as with template stripping).
+
+    100-TB shape: span starts come from :func:`duplicate_spans` (no new
+    corpus scan shape — one gram explode + duplicates-only back-join);
+    the covered-position explode is n rows per flagged span (spans are
+    corpus-rare by the same argument as paragraph_dedup's duplicates);
+    the anti-mark join keys on the uniform (id, wpos) pair; reassembly
+    sorts each document's own token array (array_sort of collected
+    structs — never a window, never the corpus)."""
+    spans = duplicate_spans(docs, n=n, text_col=text_col, id_col=id_col)
+    cov = (
+        spans.select(
+            "id", F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("wpos")
+        )
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("wpos", "word"),
+    )
+    return (
+        words.join(cov, ["id", "wpos"], "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.when(F.col("__c").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_cut"),
+            F.expr(
+                "array_sort(collect_list("
+                "case when __c is null then struct(wpos, word) end))"
+            ).alias("__k"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            "n_cut",
+            F.array_join(
+                F.expr("transform(__k, x -> x.word)"), " "
+            ).alias("text_clean"),
+        )
+    )
+
+
 def url_alias_groups(
     pages: DataFrame, text_col: str = "text", url_col: str = "url"
 ) -> DataFrame:

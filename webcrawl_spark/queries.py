@@ -1117,6 +1117,16 @@ def q_duplicate_spans(spark, sf_dir):
     )
 
 
+def q_duplicate_span_strip(spark, sf_dir):
+    """The REMOVAL half of ExactSubstr dedup (operators/textdedup
+    .duplicate_span_strip): cut every word covered by a cross-document
+    duplicated 8-gram window, preserving survivor order — what Lee et
+    al. 2022 actually do to the training set with the flags
+    ``duplicate_spans`` produces. Same duplicate-injected corpus, so the
+    injected copies lose their duplicated text on both sides."""
+    return TD.duplicate_span_strip(_aug_docs(spark, sf_dir), n=SPAN_N)
+
+
 INV_MIN_TERM_LEN = 4
 INV_K_POSTINGS = 5
 
@@ -2406,6 +2416,36 @@ d AS (SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
       FROM g2 GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2)
 SELECT g2.doc_id, g2.pos, md5(g2.gram) AS gram_hash, d.n_docs, d.n_occurrences
 FROM g2 JOIN d USING (gram)
+"""
+
+    # duplicate_span_strip: the span CTEs restate duplicate_spans' chain,
+    # then covered word positions explode per flagged span and survivors
+    # reassemble with an ordered string_agg (NULL-skipping, so a fully
+    # covered document yields '' via the coalesce)
+    sql["duplicate_span_strip"] = f"""
+WITH aug AS ({_AUG_DOCS_SQL}),
+w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM aug),
+g AS (SELECT doc_id, w, unnest(range(1, len(w) - {SPAN_N} + 2)) AS i
+      FROM w WHERE len(w) >= {SPAN_N}),
+g2 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(list_slice(w, CAST(i AS INT),
+                                    CAST(i + {SPAN_N - 1} AS INT)), ' ') AS gram
+       FROM g),
+d AS (SELECT gram FROM g2 GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+spans AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN d USING (gram)),
+cov AS (SELECT DISTINCT doc_id, wpos FROM
+        (SELECT doc_id, unnest(range(pos, pos + {SPAN_N})) AS wpos FROM spans)),
+words AS (SELECT doc_id, unnest(w) AS word,
+                 unnest(range(0, len(w))) AS wpos FROM w),
+j AS (SELECT words.doc_id, words.wpos, words.word,
+             (cov.wpos IS NOT NULL) AS cut
+      FROM words LEFT JOIN cov
+        ON words.doc_id = cov.doc_id AND words.wpos = cov.wpos)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+       COALESCE(string_agg(CASE WHEN cut THEN NULL ELSE word END,
+                           ' ' ORDER BY wpos), '') AS text_clean
+FROM j GROUP BY doc_id
 """
 
     sql["inverted_index"] = f"""
@@ -5646,6 +5686,7 @@ QUERIES: dict[str, Callable] = {
     "mixture_weights": q_mixture_weights,
     "decontaminate_semantic": q_decontaminate_semantic,
     "edu_classifier": q_edu_classifier,
+    "duplicate_span_strip": q_duplicate_span_strip,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
