@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "snapshot_overlap_kmv", "host_template_lines", "host_template_clean",
     "bigram_lm_score", "url_blocklist_filter", "mixture_weights",
     "decontaminate_semantic", "edu_classifier", "duplicate_span_strip",
+    "wet_extract", "mixture_temperature",
 ]
 
 

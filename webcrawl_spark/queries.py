@@ -3829,11 +3829,44 @@ SELECT id, frame_idx, ts_ms,
 FROM f
 """
 
+    # mixture_temperature: the same three-alpha formulas; DuckDB's
+    # SUM(BIGINT) widens to HUGEINT, the outer CASTs narrow back
+    sql["mixture_temperature"] = """
+WITH r AS (
+  SELECT source,
+         CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
+              AS BIGINT) AS tokens_raw
+  FROM documents GROUP BY source)
+SELECT source, tokens_raw,
+  CAST(tokens_raw * 1000 // SUM(tokens_raw) OVER () AS BIGINT)
+    AS w_a100_permille,
+  CAST(CAST(floor(sqrt(CAST(tokens_raw AS DOUBLE))) AS BIGINT) * 1000
+       // SUM(CAST(floor(sqrt(CAST(tokens_raw AS DOUBLE))) AS BIGINT))
+          OVER () AS BIGINT) AS w_a50_permille,
+  CAST(1000 // COUNT(*) OVER () AS BIGINT) AS w_a0_permille
+FROM r
+"""
+
     # the WARC round-trip oracle is WARC-blind: serializer∘parser must be
     # identity, so the expected output is just the input fields (url/ts
     # formulas mirrored from q_warc_roundtrip; length/digest of the UTF-8
     # payload bytes)
     sql["warc_roundtrip"] = """
+SELECT
+  'http://w' || cast(doc_id % 16 AS varchar) || '.example/doc/'
+            || cast(doc_id AS varchar) AS url,
+  '2026-01-02T03:04:' || lpad(cast(doc_id % 60 AS varchar), 2, '0') || 'Z'
+    AS warc_ts,
+  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+  md5(text) AS payload_md5
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+    # the WET round-trip oracle is WET-blind for the same reason: the
+    # conversion-record serializer∘parser must be identity on the
+    # extracted text, so expected output restates the input fields
+    sql["wet_extract"] = """
 SELECT
   'http://w' || cast(doc_id % 16 AS varchar) || '.example/doc/'
             || cast(doc_id AS varchar) AS url,
@@ -4566,6 +4599,42 @@ def q_warc_roundtrip(spark, sf_dir):
     blobs = WARC.warc_file_blobs(docs, n_files=WARC_N_FILES)
     recs = WARC.records_from_blobs(blobs, "file_id", "content")
     return recs.filter("record_type = 'response'").select(
+        "url",
+        "warc_ts",
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+def q_wet_extract(spark, sf_dir):
+    """WET extraction round trip (sources/warc.wet_file_blobs): the
+    extracted-text layer of the Common Crawl format family (WARC
+    responses + WET conversions + CDX index — this entry completes the
+    trio). Pages' text serializes into ``conversion`` records (one gzip
+    member each, WARC-Refers-To + text/plain headers), the generic record
+    parser reads them back, and the oracle — WET-blind, like the WARC
+    one — recomputes url/ts/length/digest straight from ``documents``:
+    a hash match proves wet-serializer∘parser = identity on every page's
+    extracted text."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter("text is not null")
+        .select(
+            F.concat(
+                F.lit("http://w"), (F.col("doc_id") % 16).cast("string"),
+                F.lit(".example/doc/"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit("2026-01-02T03:04:"),
+                F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+                F.lit("Z"),
+            ).alias("ts"),
+            "text",
+        )
+    )
+    blobs = WARC.wet_file_blobs(docs, n_files=WARC_N_FILES)
+    recs = WARC.records_from_blobs(blobs, "file_id", "content")
+    return recs.filter("record_type = 'conversion'").select(
         "url",
         "warc_ts",
         "content_length",
@@ -5568,6 +5637,40 @@ def q_mixture_weights(spark, sf_dir):
     )
 
 
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-smoothed mixture weights (T5 / mT5 / XLM-R's
+    alpha-sampling): per-source sampling permilles at alpha = 1 (raw
+    token share), alpha = 0.5 (sqrt smoothing — the common multilingual
+    choice), and alpha = 0 (uniform) — the knob that keeps low-resource
+    sources from vanishing in the mix. Integer-exact: the alpha = 0.5
+    column uses floor(sqrt(tokens)) — IEEE sqrt is correctly rounded in
+    both engines and token counts sit far below 2^52, so the floor is
+    engine-identical; permilles are BIGINT truncating division over the
+    |sources|-row rollup. 100-TB shape: one zero-exchange token
+    projection, one uniform-key rollup, window sums over |sources| rows."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(r"size(split(lower(trim(text)), '\\s+'))")
+        .cast("long").alias("n_tokens"),
+    )
+    r = d.groupBy("source").agg(F.sum("n_tokens").alias("tokens_raw"))
+    return r.select(
+        "source",
+        F.col("tokens_raw").cast("long").alias("tokens_raw"),
+        F.expr(
+            "cast(tokens_raw * 1000 div sum(tokens_raw) over () as bigint)"
+        ).alias("w_a100_permille"),
+        F.expr(
+            "cast(floor(sqrt(cast(tokens_raw as double))) as bigint) * 1000 "
+            "div sum(cast(floor(sqrt(cast(tokens_raw as double))) as bigint))"
+            " over ()"
+        ).cast("long").alias("w_a50_permille"),
+        F.expr(
+            "cast(1000 div count(1) over () as bigint)"
+        ).alias("w_a0_permille"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "crawl_reach_seen": q_crawl_reach_seen,
     "crawl_frontier_round1": q_crawl_frontier_round1,
@@ -5687,6 +5790,8 @@ QUERIES: dict[str, Callable] = {
     "decontaminate_semantic": q_decontaminate_semantic,
     "edu_classifier": q_edu_classifier,
     "duplicate_span_strip": q_duplicate_span_strip,
+    "wet_extract": q_wet_extract,
+    "mixture_temperature": q_mixture_temperature,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()

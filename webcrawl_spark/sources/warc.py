@@ -90,7 +90,11 @@ def build_warc_file(
     reader with a byte offset can decompress one record without touching
     the rest; ``gzip.decompress`` on the whole blob transparently reads
     the concatenation). ``records`` rows are ``(record_type, url, ts,
-    payload)``. ``mtime=0`` keeps output byte-deterministic."""
+    payload)`` or ``(record_type, url, ts, payload, extra_headers)`` —
+    the optional 5th element feeds :func:`build_record`'s per-record
+    headers (WET conversion records carry ``WARC-Refers-To`` /
+    ``Content-Type`` this way). ``mtime=0`` keeps output
+    byte-deterministic."""
     out = []
     if warcinfo is not None:
         out.append(
@@ -98,9 +102,13 @@ def build_warc_file(
                 build_record("warcinfo", warcinfo.encode("utf-8")), mtime=0
             )
         )
-    for record_type, url, ts, payload in records:
+    for rec in records:
+        record_type, url, ts, payload = rec[0], rec[1], rec[2], rec[3]
+        extra = rec[4] if len(rec) > 4 else None
         out.append(
-            gzip.compress(build_record(record_type, payload, url, ts), mtime=0)
+            gzip.compress(
+                build_record(record_type, payload, url, ts, extra), mtime=0
+            )
         )
     return b"".join(out)
 
@@ -345,6 +353,56 @@ def warc_file_blobs(docs: DataFrame, n_files: int = 16) -> DataFrame:
         ]
         return pd.DataFrame(
             {"file_id": [fid], "content": [build_warc_file(records)]}
+        )
+
+    return d.groupBy("file_id").applyInPandas(_build, FILE_BLOB_SCHEMA)
+
+
+def wet_file_blobs(docs: DataFrame, n_files: int = 16) -> DataFrame:
+    """WET sibling of :func:`warc_file_blobs`: group ``(url, ts, text)``
+    rows into ``n_files`` in-memory ``.warc.wet.gz`` file blobs — Common
+    Crawl's extracted-text layer, one ``conversion`` record per page whose
+    payload is the UTF-8 extracted text, with the ``WARC-Refers-To``
+    (deterministic ``urn:md5`` of the source URL — a deployment threads
+    the response record's real ID) and ``Content-Type: text/plain``
+    headers the format mandates. Same Common-Crawl file layout as the
+    WARC writer (leading warcinfo, one gzip member per record, mtime=0
+    byte-determinism), so WET files are random-access like CC's own and
+    the generic record parser reads them back unchanged.
+
+    100-TB shape: identical to the WARC writer — one task per output
+    file, Arrow-batched; the upstream extracted-text column comes from
+    the crawl's decode kernel (kernels/textdec.py), proven byte-identical
+    to the reference parser by the crawl goldens."""
+    import hashlib
+
+    d = docs.withColumn(
+        "file_id", F.pmod(F.xxhash64("url"), F.lit(n_files)).cast("int")
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["file_id"].iloc[0])
+        pdf = pdf.sort_values("url", kind="mergesort")
+        records = [
+            (
+                "conversion", u,
+                (None if ts is None or pd.isna(ts) else str(ts)),
+                str(t).encode("utf-8"),
+                [
+                    ("WARC-Refers-To",
+                     f"<urn:md5:{hashlib.md5(str(u).encode()).hexdigest()}>"),
+                    ("Content-Type", "text/plain"),
+                ],
+            )
+            for u, ts, t in zip(pdf["url"], pdf["ts"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            {
+                "file_id": [fid],
+                "content": [
+                    build_warc_file(records, warcinfo="webcrawl_spark wet writer")
+                ],
+            }
         )
 
     return d.groupBy("file_id").applyInPandas(_build, FILE_BLOB_SCHEMA)
