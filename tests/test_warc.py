@@ -173,3 +173,59 @@ def test_wet_blobs_distributed_roundtrip(spark):
         assert (
             f"<urn:md5:{hashlib.md5(u.encode()).hexdigest()}>".encode() in raw
         )
+
+
+def test_wat_blobs_json_envelope_roundtrip(spark):
+    """wat_file_blobs -> records_from_blobs: every metadata record's JSON
+    envelope carries the page's identity, title, and link list in order,
+    with deterministic serialization (sorted keys, no whitespace)."""
+    import json
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("doc_id < 40 and text is not null")
+        .select(
+            F.concat(F.lit("http://w.example/d/"), "doc_id").alias("url"),
+            F.lit("2026-01-02T03:04:05Z").alias("ts"),
+            F.concat(F.lit("t"), "doc_id").alias("title"),
+            F.length("text").cast("long").alias("content_length"),
+            F.array(
+                F.concat(F.lit("http://l.example/a/"), "doc_id"),
+                F.concat(F.lit("http://l.example/b/"), "doc_id"),
+            ).alias("links"),
+        )
+    )
+    blobs = W.wat_file_blobs(docs, n_files=3)
+    recs = W.records_from_blobs(blobs, "file_id", "content")
+    meta = recs.filter("record_type = 'metadata'")
+    got = {}
+    for r in meta.collect():
+        env = json.loads(bytes(r.payload).decode("utf-8"))["Envelope"]
+        hm, pm = env["WARC-Header-Metadata"], env["Payload-Metadata"]
+        html = pm["HTTP-Response-Metadata"]["HTML-Metadata"]
+        assert hm["WARC-Type"] == "response"
+        assert hm["WARC-Target-URI"] == r.url  # record header == envelope
+        got[r.url] = (
+            hm["WARC-Date"], html["Head"]["Title"],
+            pm["Actual-Content-Length"],
+            tuple(l["url"] for l in html["Links"]),
+            tuple(l["path"] for l in html["Links"]),
+        )
+    want = {
+        r.url: (
+            "2026-01-02T03:04:05Z", r.title, r.content_length,
+            tuple(r.links), ("A@/href",) * len(r.links),
+        )
+        for r in docs.collect()
+    }
+    assert got == want
+    # serialization determinism: payload bytes are the canonical dump
+    one = meta.limit(1).collect()[0]
+    env = json.loads(bytes(one.payload).decode("utf-8"))
+    assert bytes(one.payload) == json.dumps(
+        env, separators=(",", ":"), sort_keys=True
+    ).encode("utf-8")
+    # file-level headers
+    raw = gzip.decompress(bytes(blobs.limit(1).collect()[0].content))
+    assert b"WARC-Type: metadata" in raw
+    assert b"Content-Type: application/json" in raw

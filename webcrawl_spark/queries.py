@@ -27,6 +27,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .functions import anchors as ANC
 from .functions import boilerplate as BP
@@ -3878,6 +3879,35 @@ FROM documents
 WHERE text IS NOT NULL
 """
 
+    # wat_extract oracle: WAT-blind AND kernel-blind — every envelope
+    # field restated in closed form from the synth-web generator (url/ts
+    # formulas, title = 'doc'||id, links = the edge function in k order,
+    # content_length = byte length of the reconstructed html string)
+    sql["wat_extract"] = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+ks AS (SELECT unnest(range(0, {SW.MAX_LINKS})) AS k),
+ed AS (SELECT d.doc_id AS src, ks.k AS k,
+              ((d.doc_id * {SW.LINK_MULT} + {SW.LINK_STEP} * ks.k + 1) % 200) AS dst
+       FROM docs d CROSS JOIN ks WHERE ks.k < 2 + (d.doc_id % 4)),
+lk AS (SELECT src,
+              CAST(count(*) AS BIGINT) AS n_links,
+              md5(string_agg({SW.url_sql('dst')}, '|' ORDER BY k)) AS links_md5,
+              string_agg('<a href="' || {SW.url_sql('dst')} || '">t</a>', ''
+                         ORDER BY k) AS anchors
+       FROM ed GROUP BY src)
+SELECT {SW.url_sql('d.doc_id')} AS url,
+  strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(d.doc_id),
+           '%Y-%m-%dT%H:%M:%SZ') AS wat_ts,
+  CAST(octet_length(encode('<html><head><title>doc'
+       || CAST(d.doc_id AS STRING) || '</title></head><body>'
+       || l.anchors || '<p>' || d.text || '</p></body></html>'))
+    AS BIGINT) AS content_length,
+  'doc' || CAST(d.doc_id AS STRING) AS title,
+  l.n_links,
+  l.links_md5
+FROM docs d JOIN lk l ON l.src = d.doc_id
+"""
+
     # cdx_index oracle: the SAME messy-url fixture formula, but the SURT
     # key stated in CLOSED FORM from the id arithmetic — scheme dropped,
     # www label dropped, everything lowercased, :80 dropped / :8080 kept,
@@ -4639,6 +4669,103 @@ def q_wet_extract(spark, sf_dir):
         "warc_ts",
         "content_length",
         F.md5("payload").alias("payload_md5"),
+    )
+
+
+_WAT_META_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _wat_meta_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-page WAT metadata: the REAL link-extraction kernel's hrefs in
+    document order (the same scan the crawler runs), passed through with
+    the page's identity fields."""
+    for pdf in batches:
+        lists = extract_links_batch(
+            pdf["text"], pd.Series("html", index=pdf.index)
+        )
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "ts": pdf["ts"],
+                "title": pdf["title"],
+                "content_length": pdf["content_length"],
+                "links": [[h for h, _lt, _de in found] for found in lists],
+            }
+        )
+
+
+_WAT_JSON_SCHEMA = T.StructType([T.StructField("Envelope", T.StructType([
+    T.StructField("Format", T.StringType()),
+    T.StructField("WARC-Header-Metadata", T.StructType([
+        T.StructField("WARC-Type", T.StringType()),
+        T.StructField("WARC-Target-URI", T.StringType()),
+        T.StructField("WARC-Date", T.StringType()),
+    ])),
+    T.StructField("Payload-Metadata", T.StructType([
+        T.StructField("Actual-Content-Length", T.LongType()),
+        T.StructField("HTTP-Response-Metadata", T.StructType([
+            T.StructField("HTML-Metadata", T.StructType([
+                T.StructField("Head", T.StructType(
+                    [T.StructField("Title", T.StringType())]
+                )),
+                T.StructField("Links", T.ArrayType(T.StructType([
+                    T.StructField("path", T.StringType()),
+                    T.StructField("url", T.StringType()),
+                ]))),
+            ])),
+        ])),
+    ])),
+]))])
+
+
+def q_wat_extract(spark, sf_dir):
+    """WAT metadata round trip (sources/warc.wat_file_blobs): the JSON
+    metadata layer that completes the Common Crawl format family (WARC
+    responses + WAT metadata + WET conversions + CDX index). Each synth
+    page's Title and kernel-extracted link list serialize into a
+    ``metadata`` record's WAT envelope; the generic record parser reads
+    the blobs back and ``from_json`` re-extracts every field from the
+    envelope. The oracle is WAT-blind AND kernel-blind: it restates url /
+    ts / byte-length / title / link count / link digest in CLOSED FORM
+    from the synthetic-web generator formulas (sources/synth_web), so a
+    hash match proves kernel-extract ∘ wat-serialize ∘ parse ∘
+    json-extract equals the generating edge function on every page.
+    ADAPT note: the reference scans links for crawling only
+    (Backend/Crawler.cs link regexes); WAT is how that scan's output is
+    published as a standalone metadata corpus at Common Crawl scale."""
+    pages = SW.synth_pages(spark, sf_dir, 200).select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+        F.regexp_extract("text", "<title>([^<]*)</title>", 1).alias("title"),
+        F.length("html").cast("long").alias("content_length"),
+        "text",
+    )
+    meta = pages.mapInPandas(_wat_meta_stage, _WAT_META_SCHEMA)
+    blobs = WARC.wat_file_blobs(meta, n_files=WARC_N_FILES)
+    recs = WARC.records_from_blobs(blobs, "file_id", "content")
+    env = F.from_json(F.decode("payload", "UTF-8"), _WAT_JSON_SCHEMA)
+    hm = env["Envelope"]["WARC-Header-Metadata"]
+    pm = env["Envelope"]["Payload-Metadata"]
+    html_meta = pm["HTTP-Response-Metadata"]["HTML-Metadata"]
+    return recs.filter("record_type = 'metadata'").select(
+        hm["WARC-Target-URI"].alias("url"),
+        hm["WARC-Date"].alias("wat_ts"),
+        pm["Actual-Content-Length"].alias("content_length"),
+        html_meta["Head"]["Title"].alias("title"),
+        F.size(html_meta["Links"]).cast("long").alias("n_links"),
+        F.md5(
+            F.concat_ws(
+                "|", F.transform(html_meta["Links"], lambda x: x["url"])
+            )
+        ).alias("links_md5"),
     )
 
 
@@ -5792,6 +5919,7 @@ QUERIES: dict[str, Callable] = {
     "duplicate_span_strip": q_duplicate_span_strip,
     "wet_extract": q_wet_extract,
     "mixture_temperature": q_mixture_temperature,
+    "wat_extract": q_wat_extract,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()

@@ -358,6 +358,103 @@ def warc_file_blobs(docs: DataFrame, n_files: int = 16) -> DataFrame:
     return d.groupBy("file_id").applyInPandas(_build, FILE_BLOB_SCHEMA)
 
 
+def wat_file_blobs(docs: DataFrame, n_files: int = 16) -> DataFrame:
+    """WAT sibling of :func:`warc_file_blobs`: group ``(url, ts, title,
+    links, content_length)`` rows into ``n_files`` in-memory
+    ``.warc.wat.gz`` file blobs — Common Crawl's METADATA layer, one
+    ``metadata`` record per page whose payload is the WAT JSON envelope
+    (``Envelope.WARC-Header-Metadata`` identifying the source response +
+    ``Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata``
+    carrying the page's ``Head.Title`` and extracted ``Links`` list in
+    document order). With :func:`warc_file_blobs` (responses),
+    :func:`wet_file_blobs` (conversions) and ``kernels/surt.cdx_index``,
+    this completes the four-format Common Crawl interchange family.
+
+    Determinism: the JSON serializes with sorted keys and no whitespace,
+    records carry ``WARC-Refers-To`` (urn:md5 of the source URL — a
+    deployment threads the response record's real ID) and ``Content-Type:
+    application/json``, and the file layout is the shared one (leading
+    warcinfo, one gzip member per record, mtime=0), so output is
+    byte-stable and the generic record parser reads it back unchanged.
+
+    100-TB shape: identical to the WARC/WET writers — one task per output
+    file, Arrow-batched; the upstream ``links`` column comes from the
+    reference link-extraction kernel (kernels/links.py), so the metadata
+    layer reports exactly what the crawler itself scans."""
+    import hashlib
+    import json as _json
+
+    d = docs.withColumn(
+        "file_id", F.pmod(F.xxhash64("url"), F.lit(n_files)).cast("int")
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["file_id"].iloc[0])
+        pdf = pdf.sort_values("url", kind="mergesort")
+        records = []
+        for u, ts, title, links, clen in zip(
+            pdf["url"], pdf["ts"], pdf["title"], pdf["links"],
+            pdf["content_length"],
+        ):
+            env = {
+                "Envelope": {
+                    "Format": "WARC",
+                    "WARC-Header-Metadata": {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": str(u),
+                        "WARC-Date": (
+                            None if ts is None or pd.isna(ts) else str(ts)
+                        ),
+                    },
+                    "Payload-Metadata": {
+                        "Actual-Content-Length": int(clen),
+                        "HTTP-Response-Metadata": {
+                            "HTML-Metadata": {
+                                "Head": {
+                                    "Title": (
+                                        None
+                                        if title is None or pd.isna(title)
+                                        else str(title)
+                                    )
+                                },
+                                "Links": [
+                                    {"path": "A@/href", "url": str(h)}
+                                    for h in (
+                                        [] if links is None else list(links)
+                                    )
+                                ],
+                            }
+                        },
+                    },
+                }
+            }
+            payload = _json.dumps(
+                env, separators=(",", ":"), sort_keys=True
+            ).encode("utf-8")
+            records.append(
+                (
+                    "metadata", str(u),
+                    (None if ts is None or pd.isna(ts) else str(ts)),
+                    payload,
+                    [
+                        ("WARC-Refers-To",
+                         f"<urn:md5:{hashlib.md5(str(u).encode()).hexdigest()}>"),
+                        ("Content-Type", "application/json"),
+                    ],
+                )
+            )
+        return pd.DataFrame(
+            {
+                "file_id": [fid],
+                "content": [
+                    build_warc_file(records, warcinfo="webcrawl_spark wat writer")
+                ],
+            }
+        )
+
+    return d.groupBy("file_id").applyInPandas(_build, FILE_BLOB_SCHEMA)
+
+
 def wet_file_blobs(docs: DataFrame, n_files: int = 16) -> DataFrame:
     """WET sibling of :func:`warc_file_blobs`: group ``(url, ts, text)``
     rows into ``n_files`` in-memory ``.warc.wet.gz`` file blobs — Common
