@@ -133,3 +133,77 @@ def shard_by_tokens(
             .alias("shard"),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    n_shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Next-fit sequence packing: assemble whole documents into fixed-
+    capacity training sequences (bins of ≤ ``seq_len`` tokens) without
+    splitting any document — the packed-batch assembly step of an LLM
+    fine-tuning / pretraining pipeline (each bin becomes one training
+    sequence; attention masks separate its member docs). Returns
+    ``(shard, bin, pos, doc_id, n_tokens)``: within shard ``doc_id %
+    n_shards``, docs in ``doc_id`` order fill bin 0, 1, … by the next-fit
+    rule — a doc opens a new bin iff the current bin is non-empty and
+    would overflow; an overlong doc (> seq_len tokens) gets a bin of its
+    own. The assignment is a pure function of (doc ids, token counts), so
+    any partitioning, any engine, and the DuckDB oracle's recursive CTE
+    agree exactly.
+
+    100-TB shape: ONE exchange (the shard groupBy); the per-shard fold is
+    a JVM higher-order ``aggregate`` over the shard's sorted (id, tokens)
+    array — zero EvalPython, whole-plan codegen. The fold's accumulator
+    append makes a shard cost O(docs_per_shard²) element copies, so size
+    ``n_shards`` to keep shards at ~10³-10⁴ docs (at any corpus size the
+    shard count is free — bins are numbered within shards). A deployment
+    with mega-shards swaps the fold for a per-shard Arrow stage; the
+    recurrence is identical.
+
+    ADAPT note: no reference analog (the reference stores pages, it does
+    not assemble training batches — Backend/Crawler.cs has no post-fetch
+    corpus stage); this is part of the LLM-pipeline surface mandated by
+    the round brief.
+    """
+    from ..functions.textstats import bpe_token_count
+
+    base = docs.select(
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        bpe_token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    g = base.groupBy("shard").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "n_tokens"))).alias("ds")
+    )
+    acc_t = "array<struct<doc_id: bigint, n_tokens: bigint, bin: bigint, pos: bigint>>"
+    fold = f"""
+      aggregate(
+        ds,
+        named_struct(
+          'bin', cast(0 as bigint), 'fill', cast(0 as bigint),
+          'pos', cast(-1 as bigint), 'acc', cast(array() as {acc_t})),
+        (s, d) -> if(
+          s.fill > 0 and s.fill + d.n_tokens > {int(seq_len)},
+          named_struct(
+            'bin', s.bin + 1, 'fill', d.n_tokens, 'pos', cast(0 as bigint),
+            'acc', s.acc || array(named_struct(
+              'doc_id', d.doc_id, 'n_tokens', d.n_tokens,
+              'bin', s.bin + 1, 'pos', cast(0 as bigint)))),
+          named_struct(
+            'bin', s.bin, 'fill', s.fill + d.n_tokens, 'pos', s.pos + 1,
+            'acc', s.acc || array(named_struct(
+              'doc_id', d.doc_id, 'n_tokens', d.n_tokens,
+              'bin', s.bin, 'pos', s.pos + 1)))),
+        s -> s.acc)
+    """
+    return g.select("shard", F.explode(F.expr(fold)).alias("e")).select(
+        "shard",
+        F.col("e.bin").alias("bin"),
+        F.col("e.pos").alias("pos"),
+        F.col("e.doc_id").alias("doc_id"),
+        F.col("e.n_tokens").alias("n_tokens"),
+    )

@@ -837,6 +837,8 @@ def q_paragraph_dedup_incremental(spark, sf_dir):
 
 
 SHARD_TOKENS = 1000  # tokens per shard (engine AND oracle)
+PACK_SEQ_LEN = 1024  # packed training-sequence capacity (engine AND oracle)
+PACK_SHARDS = 8      # packing shards (engine AND oracle)
 
 
 def q_shard_by_tokens(spark, sf_dir):
@@ -846,6 +848,23 @@ def q_shard_by_tokens(spark, sf_dir):
     the engine must equal at ANY partitioning."""
     return shard_by_tokens(
         _t(spark, sf_dir, "documents"), tokens_per_shard=SHARD_TOKENS
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Next-fit sequence packing (operators/seq.pack_sequences): whole
+    documents assembled into fixed-capacity training sequences (bins of
+    ≤ PACK_SEQ_LEN tokens, never splitting a doc) — the packed-batch
+    assembly step between a cleaned corpus and the training loader. The
+    oracle replays the per-shard next-fit recurrence exactly with a
+    recursive CTE, so the engine's one-exchange JVM fold is pinned
+    row-for-row (bin AND position) at any partitioning."""
+    from .operators.seq import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents").filter("text is not null"),
+        seq_len=PACK_SEQ_LEN,
+        n_shards=PACK_SHARDS,
     )
 
 
@@ -2187,6 +2206,35 @@ SELECT doc_id, n_tokens,
        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
        / {SHARD_TOKENS}.0) AS BIGINT) AS shard
 FROM toks
+"""
+
+    # pack_sequences oracle: the next-fit recurrence replayed exactly —
+    # one recursive-CTE step advances every shard by one doc; the CASE
+    # is the engine fold's branch expression verbatim (new bin iff the
+    # current bin is non-empty and would overflow)
+    sql["pack_sequences"] = f"""
+WITH RECURSIVE base AS (
+  SELECT CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+         CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(regexp_extract_all(text, '{TS.TOKEN_RE}')) AS BIGINT)
+           AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                            ORDER BY doc_id) AS rn
+  FROM documents WHERE text IS NOT NULL),
+pack AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin, n_tokens AS fill, CAST(0 AS BIGINT) AS pos
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.shard, b.rn, b.doc_id, b.n_tokens,
+         CASE WHEN p.fill > 0 AND p.fill + b.n_tokens > {PACK_SEQ_LEN}
+              THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.fill > 0 AND p.fill + b.n_tokens > {PACK_SEQ_LEN}
+              THEN b.n_tokens ELSE p.fill + b.n_tokens END,
+         CASE WHEN p.fill > 0 AND p.fill + b.n_tokens > {PACK_SEQ_LEN}
+              THEN CAST(0 AS BIGINT) ELSE p.pos + 1 END
+  FROM pack p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1)
+SELECT shard, bin, pos, doc_id, n_tokens FROM pack
 """
 
     sql["repetition_stats"] = f"""
@@ -5920,6 +5968,7 @@ QUERIES: dict[str, Callable] = {
     "wet_extract": q_wet_extract,
     "mixture_temperature": q_mixture_temperature,
     "wat_extract": q_wat_extract,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
