@@ -56,3 +56,34 @@ def test_repetition_stats_fractions(spark):
     # no-signal doc: zero counts, NULL fractions (not a perfect score)
     assert (out[3].total_ngrams, out[3].distinct_ngrams) == (0, 0)
     assert out[3].dup_ngram_frac is None and out[3].top_ngram_frac is None
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """3-doc corpus: sentinel bigram table, marginals, micro-nat PMI and
+    the min_count / sentinel-exclusion rules, replayed by hand."""
+    import math
+
+    from webcrawl_spark.functions.textstats import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in pmi_collocations(df, top_k=10, min_count=2).collect()]
+    # bigrams: (<s>,a)x3 (a,b)x2 (b,</s>)x2 (a,c) (c,</s>); T=9
+    # survivors of (c12>=2, w1!=<s>, w2!=</s>): only (a,b); c1(a)=3, c2(b)=2
+    assert got == [("a", "b", 2, 3, 2, round(math.log(2 * 9 / (3 * 2)) * 1e6))]
+
+
+def test_pmi_collocations_order_and_floor(spark):
+    from webcrawl_spark.functions.textstats import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(i, "x y common common z w x y") for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(df, top_k=3, min_count=5).collect()
+    assert len(rows) == 3
+    pmis = [r.pmi_micronat for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    keys = [(-r.pmi_micronat, r.w1, r.w2) for r in rows]
+    assert keys == sorted(keys)

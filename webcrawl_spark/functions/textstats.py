@@ -1163,3 +1163,79 @@ def strip_template_lines(
             ).alias("text_clean"),
         )
     )
+
+
+# ---------------------------------------------------------------- PMI
+# collocation mining (Church & Hanks 1990): sentinel tokens let unigram
+# frequencies and the total derive FROM the bigram count table, so the
+# whole statistic costs ONE corpus pass
+PMI_SENT_L = "<s>"
+PMI_SENT_R = "</s>"
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    top_k: int = 100,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_k`` bigram collocations by pointwise mutual information
+    (Church & Hanks 1990) — ``(w1, w2, c12, c1, c2, pmi_micronat)``,
+    ordered deterministically by (pmi DESC, w1, w2); ``min_count`` floors
+    ``c12`` so singletons can't dominate (their PMI is maximal by
+    construction).
+
+    100-TB shape: ONE corpus pass — tokens (lowercased alpha words)
+    wrapped in ``<s>``/``</s>`` sentinels explode into the bigram count
+    table (map-side partial combine; shuffled rows are
+    vocabulary²-bounded, not token-bounded). Every real token occurs
+    exactly once as a bigram's LEFT (the ``</s>`` sentinel guarantees a
+    successor) and once as its RIGHT, so the unigram marginals c1/c2 and
+    the total T all derive FROM the bigram table — never a second corpus
+    pass (the bigram_lm_score lesson). The marginal joins key on the
+    uniform term columns of count-table-sized inputs (AQE broadcasts
+    when they fit); the top-k is ``orderBy().limit()`` — Spark plans
+    TakeOrdered, never a global sort. The log rounds ONCE to integer
+    micro-nats from an all-double expression evaluated in one fixed
+    order, so engines agree bit-exactly."""
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.expr(
+            f"concat(array('{PMI_SENT_L}'), "
+            f"regexp_extract_all(lower({text_col}), '[a-z]+', 0), "
+            f"array('{PMI_SENT_R}'))"
+        ).alias("__w")
+    )
+    bg = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(__w, 1, size(__w) - 1)").alias("w1"),
+                F.expr("slice(__w, 2, size(__w) - 1)").alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = cb.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = cb.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    total = cb.agg(F.sum("c12").alias("T"))
+    return (
+        cb.filter(
+            (F.col("c12") >= min_count)
+            & (F.col("w1") != PMI_SENT_L)
+            & (F.col("w2") != PMI_SENT_R)
+        )
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "c12", "c1", "c2",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("T").cast("double"))
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                )
+                * 1e6
+            ).cast("long").alias("pmi_micronat"),
+        )
+        .orderBy(F.desc("pmi_micronat"), "w1", "w2")
+        .limit(top_k)
+    )

@@ -868,6 +868,23 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+PMI_TOP_K = 100   # collocation list size (engine AND oracle)
+PMI_MIN_COUNT = 5  # bigram count floor (engine AND oracle)
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Top-k bigram collocations by PMI (functions/textstats
+    .pmi_collocations, Church & Hanks 1990) — corpus-analysis surface for
+    template/phrase discovery. One corpus pass: sentinel bigram counts,
+    marginals and total derived FROM the count table, once-rounded integer
+    micro-nat PMI, TakeOrdered top-k with a total (pmi, w1, w2) order."""
+    return TS.pmi_collocations(
+        _t(spark, sf_dir, "documents"),
+        top_k=PMI_TOP_K,
+        min_count=PMI_MIN_COUNT,
+    )
+
+
 DECON_N = 8  # word n-gram size for decontamination (engine AND oracle)
 DECON_BENCH_FILTER = "doc_id % 97 = 3"  # deterministic eval-set subset
 DECON_BENCH_TEXT = "substr(text, 20, 150)"  # mid-document excerpt
@@ -2235,6 +2252,31 @@ pack AS (
               THEN CAST(0 AS BIGINT) ELSE p.pos + 1 END
   FROM pack p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1)
 SELECT shard, bin, pos, doc_id, n_tokens FROM pack
+"""
+
+    # pmi_collocations oracle: same sentinel construction — marginals and
+    # T from the bigram table, the all-double log expression in the same
+    # evaluation order, the same (pmi DESC, w1, w2) total order
+    sql["pmi_collocations"] = f"""
+WITH toks AS (
+  SELECT ['{TS.PMI_SENT_L}'] || regexp_extract_all(lower(text), '[a-z]+')
+         || ['{TS.PMI_SENT_R}'] AS w
+  FROM documents WHERE text IS NOT NULL),
+bg AS (SELECT unnest(w[1:-2]) AS w1, unnest(w[2:-1]) AS w2 FROM toks),
+cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+c2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM cb GROUP BY 1),
+tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS T FROM cb)
+SELECT b.w1, b.w2, b.c12, c1.c1, c2.c2,
+  CAST(round(ln((CAST(b.c12 AS DOUBLE) * CAST(tot.T AS DOUBLE))
+               / (CAST(c1.c1 AS DOUBLE) * CAST(c2.c2 AS DOUBLE))) * 1e6)
+    AS BIGINT) AS pmi_micronat
+FROM cb b
+JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot
+WHERE b.c12 >= {PMI_MIN_COUNT}
+  AND b.w1 <> '{TS.PMI_SENT_L}' AND b.w2 <> '{TS.PMI_SENT_R}'
+ORDER BY pmi_micronat DESC, b.w1, b.w2
+LIMIT {PMI_TOP_K}
 """
 
     sql["repetition_stats"] = f"""
@@ -5969,6 +6011,7 @@ QUERIES: dict[str, Callable] = {
     "mixture_temperature": q_mixture_temperature,
     "wat_extract": q_wat_extract,
     "pack_sequences": q_pack_sequences,
+    "pmi_collocations": q_pmi_collocations,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
