@@ -1,0 +1,79 @@
+"""In-page Robots Exclusion Protocol: ``<meta name="robots">`` directives
+and per-link ``rel="nofollow"`` — the page-level complement of the
+robots.txt rules (kernels/robots.py / operators/robotsparse.py).
+
+ADAPT note: the reference honors robots.txt only (Backend/Crawler.cs
+robots handling; its link scanner never reads rel attributes,
+Crawler.cs:2172-2182). Meta-robots / nofollow gating is the other half of
+the REP every production crawler and every crawl-derived training corpus
+applies (noindex pages must not be stored/trained on; nofollow links must
+not be followed), so the engine carries it as a first-class stage.
+
+100-TB shape: everything here is ONE zero-exchange whole-stage-codegen
+projection plus the single anchor-tag ``Generate`` (explode) — the page
+flags are computed BEFORE the explode and ride through it, so no join
+reunites flags with links. All patterns are RE2-safe constants the DuckDB
+oracle interpolates verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# the meta tag's content attribute (name/content order fixed, the common
+# emitted form; case-insensitive)
+META_ROBOTS_RE = '(?i)<meta\\s+name="robots"\\s+content="([^"]*)"'
+# directive matching inside the content list: comma/space separated,
+# whole-token (noindexfoo must not match)
+NOINDEX_RE = "(?i)(^|[,\\s])noindex([,\\s]|$)"
+NOFOLLOW_RE = "(?i)(^|[,\\s])nofollow([,\\s]|$)"
+# one <a ...> open tag; href and rel read from the tag separately
+A_TAG_RE = "(?i)<a\\s[^>]*>"
+A_HREF_RE = '(?i)href="([^"]*)"'
+A_REL_NOFOLLOW_RE = '(?i)rel="[^"]*nofollow[^"]*"'
+
+
+def meta_robots(
+    pages: DataFrame, text_col: str = "text", url_col: str = "url"
+) -> DataFrame:
+    """Per-page directive flags: ``(url, noindex, nofollow)``. Absent or
+    empty meta tag → both false. Zero exchanges."""
+    content = F.regexp_extract(F.col(text_col), META_ROBOTS_RE, 1)
+    return pages.select(
+        F.col(url_col).alias("url"),
+        content.rlike(NOINDEX_RE).alias("noindex"),
+        content.rlike(NOFOLLOW_RE).alias("nofollow"),
+    )
+
+
+def gated_links(
+    pages: DataFrame, text_col: str = "text", url_col: str = "url"
+) -> DataFrame:
+    """One row per ``<a>`` tag: ``(url, href, page_noindex,
+    page_nofollow, link_nofollow, followed)`` — ``followed`` is the REP
+    verdict (page-level nofollow blocks every link; ``rel="nofollow"``
+    blocks its own). Hrefless anchors yield ``href = ''`` and are never
+    followed. The page flags project before the explode and ride through
+    it: one scan, one Generate, zero exchanges, zero joins."""
+    content = F.regexp_extract(F.col(text_col), META_ROBOTS_RE, 1)
+    tags = F.regexp_extract_all(F.col(text_col), F.lit(A_TAG_RE), F.lit(0))
+    exploded = pages.select(
+        F.col(url_col).alias("url"),
+        content.rlike(NOINDEX_RE).alias("page_noindex"),
+        content.rlike(NOFOLLOW_RE).alias("page_nofollow"),
+        F.explode(tags).alias("tag"),
+    )
+    link_nofollow = F.col("tag").rlike(A_REL_NOFOLLOW_RE)
+    href = F.regexp_extract("tag", A_HREF_RE, 1)
+    return exploded.select(
+        "url",
+        href.alias("href"),
+        "page_noindex",
+        "page_nofollow",
+        link_nofollow.alias("link_nofollow"),
+        (
+            ~F.col("page_nofollow")
+            & ~link_nofollow
+            & (href != F.lit(""))
+        ).alias("followed"),
+    )

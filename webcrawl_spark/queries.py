@@ -885,6 +885,48 @@ def q_pmi_collocations(spark, sf_dir):
     )
 
 
+def q_nofollow_gate(spark, sf_dir):
+    """In-page REP gating (functions/metarobots.gated_links): per-anchor
+    follow verdicts under <meta name="robots"> noindex/nofollow and
+    rel="nofollow", over a deterministically messy fixture (upper/lower
+    case variants, multi-directive contents, hrefless anchors). The
+    oracle restates every flag in CLOSED FORM from the id formulas —
+    extraction, case folding, whole-token directive matching and the
+    gating rule are all end-to-end checked. One scan, one Generate, zero
+    exchanges (plan-guarded in tests/test_metarobots.py)."""
+    meta = """
+      CASE CAST(doc_id % 8 AS INT)
+        WHEN 1 THEN '<meta name="robots" content="noindex">'
+        WHEN 5 THEN '<META NAME="robots" CONTENT="NOINDEX">'
+        WHEN 2 THEN '<meta name="robots" content="nofollow">'
+        WHEN 6 THEN '<META NAME="robots" CONTENT="NOFOLLOW">'
+        WHEN 3 THEN '<meta name="robots" content="noindex, nofollow">'
+        WHEN 7 THEN '<META NAME="robots" CONTENT="NOINDEX, NOFOLLOW">'
+        ELSE '' END"""
+    anchors = """
+      concat_ws('', transform(sequence(0, cast(doc_id % 3 as int)),
+        k -> concat('<a href="http://t.test/x', cast(doc_id as string), '_',
+                    cast(k as string), '.html"',
+                    CASE WHEN (doc_id + k) % 3 = 0 THEN
+                      CASE WHEN (doc_id + k) % 6 = 3
+                           THEN ' rel="NoFollow"' ELSE ' rel="nofollow"' END
+                    ELSE '' END, '>x</a>')))"""
+    hrefless = "IF(doc_id % 11 = 0, '<a name=\"anch\">x</a>', '')"
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://s.test/p"), F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+        F.expr(
+            f"concat('<html><head>', {meta}, '</head><body>', "
+            f"{anchors}, {hrefless}, '</body></html>')"
+        ).alias("text"),
+    )
+    from .functions.metarobots import gated_links
+
+    return gated_links(pages)
+
+
 DECON_N = 8  # word n-gram size for decontamination (engine AND oracle)
 DECON_BENCH_FILTER = "doc_id % 97 = 3"  # deterministic eval-set subset
 DECON_BENCH_TEXT = "substr(text, 20, 150)"  # mid-document excerpt
@@ -2277,6 +2319,31 @@ WHERE b.c12 >= {PMI_MIN_COUNT}
   AND b.w1 <> '{TS.PMI_SENT_L}' AND b.w2 <> '{TS.PMI_SENT_R}'
 ORDER BY pmi_micronat DESC, b.w1, b.w2
 LIMIT {PMI_TOP_K}
+"""
+
+    # nofollow_gate oracle: every flag restated in closed form from the
+    # fixture's id formulas — the engine's regex extraction and gating
+    # rule must reproduce the generating function exactly
+    sql["nofollow_gate"] = """
+WITH docs AS (SELECT doc_id AS d FROM documents),
+flag AS (
+  SELECT d,
+    CAST(d % 8 AS INT) IN (1, 3, 5, 7) AS page_noindex,
+    CAST(d % 8 AS INT) IN (2, 3, 6, 7) AS page_nofollow
+  FROM docs),
+ks AS (SELECT unnest(range(0, 3)) AS k),
+links AS (SELECT d, k FROM docs CROSS JOIN ks WHERE k <= d % 3)
+SELECT 'http://s.test/p' || CAST(f.d AS STRING) || '.html' AS url,
+  'http://t.test/x' || CAST(f.d AS STRING) || '_' || CAST(l.k AS STRING)
+    || '.html' AS href,
+  f.page_noindex, f.page_nofollow,
+  ((f.d + l.k) % 3 = 0) AS link_nofollow,
+  (NOT f.page_nofollow AND NOT ((f.d + l.k) % 3 = 0)) AS followed
+FROM links l JOIN flag f ON f.d = l.d
+UNION ALL
+SELECT 'http://s.test/p' || CAST(d AS STRING) || '.html', '',
+  page_noindex, page_nofollow, FALSE, FALSE
+FROM flag WHERE d % 11 = 0
 """
 
     sql["repetition_stats"] = f"""
@@ -6012,6 +6079,7 @@ QUERIES: dict[str, Callable] = {
     "wat_extract": q_wat_extract,
     "pack_sequences": q_pack_sequences,
     "pmi_collocations": q_pmi_collocations,
+    "nofollow_gate": q_nofollow_gate,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
