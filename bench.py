@@ -54,7 +54,7 @@ BENCH_QUERIES = [
     "dedup_clusters", "dedup_simhash", "simhash_hamming",
     "dedup_simhash_incremental",
     "ngram_jaccard", "lang_id", "quality_score", "repetition_stats", "token_count",
-    "gopher_filter", "topk_terms", "pmi_collocations", "lang_balanced_sample", "crawl_snapshot_diff",
+    "gopher_filter", "topk_terms", "pmi_collocations", "pmi_incremental", "lang_balanced_sample", "crawl_snapshot_diff",
     "recrawl_ranks", "unigram_lm_score",
     "c4_clean", "chunk_by_tokens", "bm25_search", "dedup_keep_best",
     "duplicate_spans", "inverted_index", "anchor_text_stats",

@@ -87,3 +87,46 @@ def test_pmi_collocations_order_and_floor(spark):
     assert pmis == sorted(pmis, reverse=True)
     keys = [(-r.pmi_micronat, r.w1, r.w2) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_pmi_incremental_merge_equals_batch(spark):
+    """Delta counts merged into stored state reconstruct the whole-corpus
+    collocation list exactly; the plan tokenizes ONLY the delta (one
+    Generate; the stored side enters as Scan ExistingRDD)."""
+    import io
+    import contextlib
+
+    from webcrawl_spark.functions.textstats import (
+        bigram_counts,
+        pmi_collocations,
+        pmi_incremental,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma d{i % 7} alpha beta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    stored = bigram_counts(df.where("doc_id >= 10")).localCheckpoint(
+        eager=True
+    )
+    inc = pmi_incremental(df.where("doc_id < 10"), stored, 50, 2)
+    batch = pmi_collocations(df, 50, 2)
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        inc.explain("formatted")
+    plan = buf.getvalue()
+    gen = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and "Generate" in line.split(")", 1)[-1]
+    )
+    # the count table is lineage-cut before the 4-consumer finisher, so
+    # the final plan holds NO tokenize subtree at all (neither corpus nor
+    # delta is re-read) and starts from the one materialization
+    assert gen == 0
+    assert "Scan ExistingRDD" in plan and "Scan parquet" not in plan
+    assert "EvalPython" not in plan

@@ -1198,6 +1198,13 @@ def pmi_collocations(
     TakeOrdered, never a global sort. The log rounds ONCE to integer
     micro-nats from an all-double expression evaluated in one fixed
     order, so engines agree bit-exactly."""
+    return pmi_from_counts(bigram_counts(docs, text_col), top_k, min_count)
+
+
+def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The mergeable sentinel-bigram count table ``(w1, w2, c12)`` —
+    additive state: counts from two corpus slices union+sum into the
+    whole-corpus table (the basis of :func:`pmi_incremental`)."""
     toks = docs.filter(F.col(text_col).isNotNull()).select(
         F.expr(
             f"concat(array('{PMI_SENT_L}'), "
@@ -1213,7 +1220,52 @@ def pmi_collocations(
             )
         ).alias("bg")
     ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    return bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+
+
+def pmi_incremental(
+    delta_docs: DataFrame,
+    stored_counts: DataFrame,
+    top_k: int = 100,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental PMI maintenance — an ADDITIVE-STATE member of the
+    delta-vs-corpus family (the anchor_stats_incremental shape): tokenize
+    ONLY the delta, merge its bigram counts into the persisted
+    :func:`bigram_counts` state by sum, and recompute the collocation
+    list from the merged table. The corpus text is never re-read; the
+    battery oracle is the WHOLE-CORPUS PMI SQL, so a hash match proves
+    the merge reconstructs the batch answer exactly.
+
+    100-TB shape: the merge is one uniform-key (w1, w2) sum over
+    state-table-sized inputs (the delta side is small by definition, AQE
+    broadcasts it); marginals/total/top-k are the batch finisher
+    unchanged."""
+    merged = (
+        stored_counts.unionByName(bigram_counts(delta_docs, text_col))
+        .groupBy("w1", "w2")
+        .agg(F.sum("c12").alias("c12"))
+    )
+    return pmi_from_counts(merged, top_k, min_count)
+
+
+def pmi_from_counts(
+    cb: DataFrame, top_k: int = 100, min_count: int = 5
+) -> DataFrame:
+    """Finisher shared by the batch and incremental paths: marginals and
+    total FROM the count table, micro-nat PMI, TakeOrdered top-k.
+
+    The count table is referenced FOUR times (candidate filter, both
+    marginals, the total), so it is lineage-cut first — consumers read
+    the one materialization (``Scan ExistingRDD``); without the cut each
+    reference re-runs the tokenize+aggregate subtree (the dsir_weights
+    3-scan lesson), re-reading the corpus up to 4×."""
+    from ..operators.ckpt import cut
+
+    cb = cut(cb, False)
     c1 = cb.groupBy("w1").agg(F.sum("c12").alias("c1"))
     c2 = cb.groupBy("w2").agg(F.sum("c12").alias("c2"))
     total = cb.agg(F.sum("c12").alias("T"))

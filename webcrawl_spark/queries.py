@@ -927,6 +927,29 @@ def q_nofollow_gate(spark, sf_dir):
     return gated_links(pages)
 
 
+PMI_SPLIT = 400  # docs below are "today's delta", the rest persisted state
+
+
+def q_pmi_incremental(spark, sf_dir):
+    """Incremental PMI maintenance (functions/textstats.pmi_incremental):
+    the eighth delta-vs-corpus family member, additive-state flavor —
+    ONLY the delta's text is tokenized; yesterday's persisted (w1, w2,
+    c12) bigram table merges by sum and the collocation list recomputes
+    from the merged state. The oracle is the WHOLE-CORPUS PMI SQL, so a
+    hash match proves merge exactness (the anchor_stats_incremental
+    shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    stored = TS.bigram_counts(
+        docs.where(f"doc_id >= {PMI_SPLIT}")
+    ).localCheckpoint(eager=True)  # the persisted state table stand-in
+    return TS.pmi_incremental(
+        docs.where(f"doc_id < {PMI_SPLIT}"),
+        stored,
+        top_k=PMI_TOP_K,
+        min_count=PMI_MIN_COUNT,
+    )
+
+
 DECON_N = 8  # word n-gram size for decontamination (engine AND oracle)
 DECON_BENCH_FILTER = "doc_id % 97 = 3"  # deterministic eval-set subset
 DECON_BENCH_TEXT = "substr(text, 20, 150)"  # mid-document excerpt
@@ -2320,6 +2343,9 @@ WHERE b.c12 >= {PMI_MIN_COUNT}
 ORDER BY pmi_micronat DESC, b.w1, b.w2
 LIMIT {PMI_TOP_K}
 """
+    # merge exactness: the incremental path must reconstruct the
+    # whole-corpus answer bit-for-bit
+    sql["pmi_incremental"] = sql["pmi_collocations"]
 
     # nofollow_gate oracle: every flag restated in closed form from the
     # fixture's id formulas — the engine's regex extraction and gating
@@ -6080,6 +6106,7 @@ QUERIES: dict[str, Callable] = {
     "pack_sequences": q_pack_sequences,
     "pmi_collocations": q_pmi_collocations,
     "nofollow_gate": q_nofollow_gate,
+    "pmi_incremental": q_pmi_incremental,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
