@@ -493,3 +493,22 @@ def test_stream_template_counts_equal_batch(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_bigram_counts_equal_batch(spark):
+    """PMI-state-at-ingest: the drained streaming (w1, w2) count table
+    must equal the batch bigram_counts table — the additive merge law
+    that makes pmi_incremental's stored state maintainable at ingest."""
+    from webcrawl_spark.functions.textstats import bigram_counts
+
+    q = SE.stream_bigram_counts(spark, SF, "bgc_t")
+    _drain(q)
+    got = {
+        (r["w1"], r["w2"]): r["c12"]
+        for r in spark.sql("select * from bgc_t").collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    want = {
+        (r["w1"], r["w2"]): r["c12"] for r in bigram_counts(docs).collect()
+    }
+    assert got == want and len(got) > 0

@@ -374,3 +374,47 @@ def stream_template_counts(
         .outputMode("complete")
         .start()
     )
+
+
+def stream_bigram_counts(
+    spark: SparkSession, sf_dir: str, query_name: str
+) -> "StreamingQuery":
+    """PMI state at ingest: the sentinel bigram count table that
+    :func:`webcrawl_spark.functions.textstats.bigram_counts` derives
+    batch-side, maintained INCREMENTALLY — a streaming count-aggregate IS
+    the table's merge law (bigram counts are additive across ingest
+    batches; each arriving document contributes its own bigrams exactly
+    once, no cross-batch state beyond the running counts). At 100 TB/day
+    the running (w1, w2, c12) table is the persisted state
+    ``pmi_from_counts`` / ``pmi_incremental`` turn into the collocation
+    list on demand — no raw-text retention, no corpus rescan.
+    Batch-equivalence tested."""
+    from ..functions.textstats import PMI_SENT_L, PMI_SENT_R
+
+    d = table_stream(spark, sf_dir, "documents")
+    bg = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            F.expr(
+                f"concat(array('{PMI_SENT_L}'), "
+                f"regexp_extract_all(lower(text), '[a-z]+', 0), "
+                f"array('{PMI_SENT_R}'))"
+            ).alias("__w")
+        )
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(__w, 1, size(__w) - 1)").alias("w1"),
+                    F.expr("slice(__w, 2, size(__w) - 1)").alias("w2"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    return (
+        counts.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )
