@@ -34,6 +34,13 @@ def test_directive_whole_token_only(spark):
     }
 
 
+def test_null_text_has_no_directives(spark):
+    df = spark.createDataFrame([("u", None)], "url string, text string")
+    r = meta_robots(df).collect()[0]
+    assert (r.noindex, r.nofollow) == (False, False)
+    assert gated_links(df).count() == 0  # and no link rows
+
+
 def test_page_nofollow_blocks_every_link(spark):
     html = (
         '<meta name="robots" content="nofollow">'

@@ -41,6 +41,15 @@ def test_next_fit_hand_replay(spark):
     ]
 
 
+def test_null_text_counts_zero_tokens(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (8, None), (16, "d e")], "doc_id long, text string"
+    )
+    got = _rows(pack_sequences(df, seq_len=4, n_shards=8))
+    # NULL-text doc packs as 0 tokens and never poisons the running fill
+    assert got == [(0, 0, 0, 0, 3), (0, 0, 1, 8, 0), (0, 1, 0, 16, 2)]
+
+
 def test_overlong_first_doc_gets_bin_zero(spark):
     df = spark.createDataFrame(
         [(0, "a b c d e f g h"), (8, "x y")], "doc_id long, text string"

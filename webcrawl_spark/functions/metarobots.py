@@ -39,10 +39,12 @@ def meta_robots(
     """Per-page directive flags: ``(url, noindex, nofollow)``. Absent or
     empty meta tag → both false. Zero exchanges."""
     content = F.regexp_extract(F.col(text_col), META_ROBOTS_RE, 1)
+    # NULL text (a fetch-failed page) carries no directives — flags are
+    # false, not NULL
     return pages.select(
         F.col(url_col).alias("url"),
-        content.rlike(NOINDEX_RE).alias("noindex"),
-        content.rlike(NOFOLLOW_RE).alias("nofollow"),
+        F.coalesce(content.rlike(NOINDEX_RE), F.lit(False)).alias("noindex"),
+        F.coalesce(content.rlike(NOFOLLOW_RE), F.lit(False)).alias("nofollow"),
     )
 
 

@@ -171,10 +171,15 @@ def pack_sequences(
     """
     from ..functions.textstats import bpe_token_count
 
+    # NULL text counts as 0 tokens (the row still packs — the downstream
+    # loader's length gate owns dropping empties), so a NULL can never
+    # poison the fold's running fill
     base = docs.select(
         (F.col(id_col) % n_shards).cast("int").alias("shard"),
         F.col(id_col).cast("long").alias("doc_id"),
-        bpe_token_count(text_col).cast("long").alias("n_tokens"),
+        F.coalesce(bpe_token_count(text_col).cast("long"), F.lit(0)).alias(
+            "n_tokens"
+        ),
     )
     g = base.groupBy("shard").agg(
         F.array_sort(F.collect_list(F.struct("doc_id", "n_tokens"))).alias("ds")
