@@ -44,6 +44,7 @@ from .operators import similarity as SIM
 from .operators import sketches as SK
 from .operators import snapshot as SNAP
 from .operators import textdedup as TD
+from .operators.feeds import parse_feeds, rfc822_date_sql
 from .operators.robotsparse import parse_robots
 from .operators.seq import shard_by_tokens
 from .operators.sitemap import parse_sitemaps
@@ -567,6 +568,77 @@ def q_sitemap_parse(spark, sf_dir):
     # different str() repr
     return parse_sitemaps(bodies).withColumn(
         "lastmod", F.col("lastmod").cast("string")
+    )
+
+
+def _feed_body_sql(h: str) -> str:
+    """Deterministic per-host RSS/Atom feed XML — ONE SQL string valid in
+    both Spark SQL and DuckDB. Branches: hid%3=0 hosts serve an Atom feed
+    (one full entry, one link-less entry that must be dropped, one
+    title-less entry with an entity-escaped href); others RSS 2.0 (one
+    full item incl. weekday'd RFC 822 pubDate, one link-less item, one
+    whitespace-padded entity-escaped link with no title/guid/pubDate, and
+    on even hids a fourth item with a weekday-less single-digit-day
+    pubDate)."""
+    s = f"CAST({h} AS STRING)"
+    nl = "chr(10)"
+    d = f"CAST(1 + {h} % 28 AS STRING)"
+    mon = (
+        f"substr('JanFebMarAprMayJunJulAugSepOctNovDec',"
+        f" CAST(1 + ({h} % 12) * 3 AS INT), 3)"
+    )
+    mm = f"lpad(CAST(1 + {h} % 12 AS STRING), 2, '0')"
+    dd = f"lpad(CAST(1 + {h} % 28 AS STRING), 2, '0')"
+    return (
+        f"CASE WHEN {h} % 3 = 0 THEN"
+        f" '<?xml version=\"1.0\"?><feed><title>Feed ' || {s} || '</title>'"
+        f" || '<entry><title>Alpha &amp; beta ' || {s} || '</title>"
+        f"<link href=\"http://site' || {s} || '.test/a/1\"/>"
+        f"<id>urn:site' || {s} || ':1</id>"
+        f"<updated>2024-' || {mm} || '-' || {dd} || 'T10:00:00Z</updated></entry>'"
+        f" || '<entry><title>No link entry</title><id>urn:site' || {s} || ':2</id>"
+        f"<updated>2024-01-01T00:00:00Z</updated></entry>'"
+        f" || '<entry><link rel=\"alternate\" href=\"http://site' || {s} ||"
+        f" '.test/a/2?x=1&amp;y=2\"/></entry>'"
+        f" || '</feed>'"
+        f" ELSE"
+        f" '<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>"
+        f"<title>Site ' || {s} || '</title>'"
+        f" || '<item><title>Post one</title>"
+        f"<link>http://site' || {s} || '.test/blog/1</link>"
+        f"<guid isPermaLink=\"false\">tag:site' || {s} || ':1</guid>"
+        f"<pubDate>Tue, ' || {d} || ' ' || {mon} ||"
+        f" ' 2024 04:05:06 GMT</pubDate></item>'"
+        f" || '<item><title>No link item</title>"
+        f"<guid>tag:site' || {s} || ':2</guid></item>'"
+        f" || '<item><link>' || {nl} || '  http://site' || {s} ||"
+        f" '.test/blog/2?a=1&amp;b=2 </link></item>'"
+        f" || CASE WHEN {h} % 2 = 0 THEN '<item><title>Extra &amp; post</title>"
+        f"<link>http://site' || {s} || '.test/blog/3</link>"
+        f"<pubDate>1 Feb 2024 00:00:00 GMT</pubDate></item>' ELSE '' END"
+        f" || '</channel></rss>'"
+        f" END"
+    )
+
+
+def q_feed_parse(spark, sf_dir):
+    """RSS 2.0 / Atom feed bodies → URL-discovery rows (the third
+    discovery edge next to robots_parse and sitemap_parse — see
+    operators/feeds.parse_feeds)."""
+    hid = SW.host_id_expr("doc_id")
+    bodies = (
+        _t(spark, sf_dir, "documents")
+        .select(F.expr(hid).alias("hid"))
+        .distinct()
+        .select(
+            F.expr("'site' || CAST(hid AS STRING) || '.test'").alias("host"),
+            F.expr(_feed_body_sql("hid")).alias("body"),
+        )
+    )
+    # published re-cast date→string for the hash compare (same reason as
+    # sitemap_parse's lastmod: date repr differs across engines' pandas)
+    return parse_feeds(bodies).withColumn(
+        "published", F.col("published").cast("string")
     )
 
 
@@ -2084,6 +2156,53 @@ SELECT host, kind,
   CAST(TRY_CAST(substr(rawmod, 1, 10) AS DATE) AS STRING) AS lastmod,
   CASE WHEN kind = 'url' THEN coalesce(TRY_CAST(rawpri AS DOUBLE), 0.5)
        ELSE TRY_CAST(rawpri AS DOUBLE) END AS priority
+FROM fields WHERE rawloc <> ''
+"""
+
+    # independent RSS/Atom parse in DuckDB (RE2 regexp_extract_all; body
+    # synthesis SQL + the backslash-free RFC 822 date surgery shared
+    # textually with the engine via _feed_body_sql / rfc822_date_sql)
+    _dec = (
+        "replace(replace(replace(replace(replace({x}, '&lt;', '<'),"
+        " '&gt;', '>'), '&quot;', '\"'), '&apos;', chr(39)), '&amp;', '&')"
+    )
+    sql["feed_parse"] = f"""
+WITH hosts AS (SELECT DISTINCT {hid} AS hid FROM documents),
+bodies AS (
+  SELECT 'site' || CAST(hid AS STRING) || '.test' AS host,
+         {_feed_body_sql("hid")} AS body
+  FROM hosts
+),
+rss_e AS (
+  SELECT host, 'rss' AS kind,
+         unnest(regexp_extract_all(body, '(?s)<item>(.*?)</item>', 1)) AS entry
+  FROM bodies WHERE contains(body, '<rss')
+),
+atom_e AS (
+  SELECT host, 'atom' AS kind,
+         unnest(regexp_extract_all(body, '(?s)<entry>(.*?)</entry>', 1)) AS entry
+  FROM bodies WHERE contains(body, '<feed') AND NOT contains(body, '<rss')
+),
+fields AS (
+  SELECT host, kind,
+    CASE WHEN kind = 'rss'
+         THEN coalesce(regexp_extract(entry, '(?s)<link>\\s*(.*?)\\s*</link>', 1), '')
+         ELSE coalesce(regexp_extract(entry, '<link[^>]*href\\s*=\\s*"([^"]*)"', 1), '') END AS rawloc,
+    coalesce(regexp_extract(entry, '(?s)<title>\\s*(.*?)\\s*</title>', 1), '') AS rawtitle,
+    CASE WHEN kind = 'rss'
+         THEN coalesce(regexp_extract(entry, '(?s)<guid[^>]*>\\s*(.*?)\\s*</guid>', 1), '')
+         ELSE coalesce(regexp_extract(entry, '(?s)<id>\\s*(.*?)\\s*</id>', 1), '') END AS rawguid,
+    CASE WHEN kind = 'rss'
+         THEN coalesce(regexp_extract(entry, '(?s)<pubDate>\\s*(.*?)\\s*</pubDate>', 1), '')
+         ELSE coalesce(regexp_extract(entry, '(?s)<updated>\\s*(.*?)\\s*</updated>', 1), '') END AS rawdate
+  FROM (SELECT * FROM rss_e UNION ALL SELECT * FROM atom_e)
+)
+SELECT host, kind,
+  {_dec.format(x="rawloc")} AS loc,
+  CASE WHEN rawtitle = '' THEN NULL ELSE {_dec.format(x="rawtitle")} END AS title,
+  CASE WHEN rawguid = '' THEN NULL ELSE {_dec.format(x="rawguid")} END AS guid,
+  CAST(CASE WHEN kind = 'rss' THEN {rfc822_date_sql("rawdate")}
+       ELSE TRY_CAST(substr(rawdate, 1, 10) AS DATE) END AS STRING) AS published
 FROM fields WHERE rawloc <> ''
 """
 
@@ -5994,6 +6113,7 @@ QUERIES: dict[str, Callable] = {
     "robots_filter": q_robots_filter,
     "robots_parse": q_robots_parse,
     "sitemap_parse": q_sitemap_parse,
+    "feed_parse": q_feed_parse,
     "politeness_topk": q_politeness_topk,
     "politeness_topk_ranked": q_politeness_topk_ranked,
     "seen_antijoin": q_seen_antijoin,
