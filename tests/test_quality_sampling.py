@@ -12,6 +12,7 @@ from webcrawl_spark.functions.textstats import (
     unigram_lm_score,
 )
 from webcrawl_spark.operators.snapshot import (
+    change_rate_estimate,
     recrawl_ranks,
     snapshot_diff,
     snapshot_diff_stats,
@@ -218,3 +219,56 @@ def test_host_quality_rollup_charges_cross_host_dups(spark):
     out = {r.host: r for r in host_quality_rollup(docs).collect()}
     assert out["a.test"].n_dups == 1 and out["b.test"].n_dups == 1
     assert out["a.test"].dup_permille == 333  # div(1000, 3)
+
+
+def test_change_rate_estimate_hand_computed(spark):
+    import math
+
+    # u_never: 4 obs, 0 changes → λ̂ = -ln(3.5/3.5)·3/3 = 0, revisit NULL
+    # u_every: 4 obs, 3/3 changes → λ̂ = -ln(0.5/3.5)·3/3 (the X=n edge)
+    # u_gap:   obs at snaps 0,2,3 → n=2, span=3, 1 change
+    # u_once:  single observation → no pair evidence, dropped
+    hist = spark.createDataFrame(
+        [
+            ("u_never", 0, "a"), ("u_never", 1, "a"),
+            ("u_never", 2, "a"), ("u_never", 3, "a"),
+            ("u_every", 0, "a"), ("u_every", 1, "b"),
+            ("u_every", 2, "c"), ("u_every", 3, "d"),
+            ("u_gap", 0, "a"), ("u_gap", 2, "a"), ("u_gap", 3, "b"),
+            ("u_once", 1, "z"),
+        ],
+        "url string, snap int, digest string",
+    )
+    out = {r.url: r for r in change_rate_estimate(hist).collect()}
+    assert "u_once" not in out and len(out) == 3
+
+    r = out["u_never"]
+    assert (r.n_obs, r.n_changes, r.span) == (3, 0, 3)
+    assert r.lambda_micro == 0 and r.revisit_snaps is None
+
+    r = out["u_every"]
+    assert (r.n_obs, r.n_changes, r.span) == (3, 3, 3)
+    expected = round(-math.log(0.5 / 3.5) * 1e6)
+    assert r.lambda_micro == expected
+    assert r.revisit_snaps == 1  # ceil(1e6 / 1945910) = 1
+
+    r = out["u_gap"]
+    assert (r.n_obs, r.n_changes, r.span) == (2, 1, 3)
+    expected = round(-math.log(1.5 / 2.5) * 2 / 3 * 1e6)
+    assert r.lambda_micro == expected
+    assert r.revisit_snaps == 3  # ceil(1e6 / 340573) = 3
+
+
+def test_change_rate_single_exchange_plan(spark):
+    import re
+
+    hist = spark.createDataFrame(
+        [("u", 0, "a"), ("u", 1, "b")], "url string, snap int, digest string"
+    )
+    plan = (
+        change_rate_estimate(hist)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the lag window and the per-url aggregate share one url partitioning
+    assert len(re.findall(r"\bExchange\b", plan)) == 1
+    assert "EvalPython" not in plan

@@ -29,6 +29,7 @@ def main(argv=None):
     ap.add_argument("--robots", help="robots rules parquet/csv (host, path_prefix, allow, crawl_delay)")
     ap.add_argument("--robots-raw", help="raw robots.txt bodies parquet (host, body) — parsed distributed via operators/robotsparse")
     ap.add_argument("--sitemaps", help="sitemap XML bodies parquet (host, body) — <url> locs become extra seeds (operators/sitemap)")
+    ap.add_argument("--feeds", help="RSS/Atom feed bodies parquet (host, body) — item/entry locs become extra seeds (operators/feeds)")
     ap.add_argument("--user-agent", default="amwc", help="product token for robots group matching (default amwc)")
     ap.add_argument("--max-rounds", type=int, default=None)
     ap.add_argument("--max-connections", type=int, default=None)
@@ -61,8 +62,8 @@ def main(argv=None):
     if args.seeds_file:
         with open(args.seeds_file) as f:
             seeds += [line.strip() for line in f if line.strip()]
-    if not seeds and not args.sitemaps:
-        ap.error("no seeds given (--seeds, --seeds-file, or --sitemaps)")
+    if not seeds and not args.sitemaps and not args.feeds:
+        ap.error("no seeds given (--seeds, --seeds-file, --sitemaps, or --feeds)")
 
     from pyspark.sql import SparkSession
 
@@ -88,6 +89,12 @@ def main(argv=None):
 
         sm = parse_sitemaps(spark.read.parquet(args.sitemaps))
         seeds += [r.loc for r in sm.where(sm.kind == "url").select("loc").collect()]
+
+    if args.feeds:
+        from webcrawl_spark.operators.feeds import parse_feeds
+
+        fd = parse_feeds(spark.read.parquet(args.feeds))
+        seeds += [r.loc for r in fd.select("loc").collect()]
 
     cfg = CrawlConfig(
         max_connections=args.max_connections,

@@ -56,6 +56,81 @@ def snapshot_diff_stats(diff: DataFrame) -> DataFrame:
 RECRAWL_SCALE = 1000
 
 
+# λ̂ in integer micro-units (ONE rounding point; the unigram_lm_score
+# recipe) — SHARED verbatim between the engine (F.expr) and the DuckDB
+# oracle so the float multiply/divide order is bit-identical. Expects
+# columns n_obs, n_changes, span in scope. The estimator is Cho &
+# Garcia-Molina 2003 ("Estimating frequency of change", §4.2): the
+# bias-corrected r̂ = -ln((n - X + 0.5) / (n + 0.5)) per access, rescaled
+# by n/span to a per-snapshot-interval rate when observations have gaps.
+LAMBDA_MICRO_SQL = (
+    "CAST(round((-ln((n_obs - n_changes + 0.5) / (n_obs + 0.5)))"
+    " * n_obs / span * 1000000.0) AS BIGINT)"
+)
+
+# revisit interval in whole snapshots from the ALREADY-ROUNDED micro rate:
+# integer-in, correctly-rounded IEEE divide, ceil — exact in any engine.
+REVISIT_SQL = (
+    "CASE WHEN lambda_micro > 0"
+    " THEN CAST(ceil(1000000.0 / lambda_micro) AS BIGINT) END"
+)
+
+
+def change_rate_estimate(history: DataFrame) -> DataFrame:
+    """Poisson change-rate estimation over an N-snapshot crawl history —
+    the generalization of the two-snapshot ``snapshot_diff`` that adaptive
+    recrawl scheduling actually needs (Cho & Garcia-Molina 2003).
+
+    ``history`` is ``(url, snap, digest)`` — one row per observation of a
+    URL in snapshot ``snap`` (an integer index; equally spaced crawls).
+    Per URL: ``n_obs`` consecutive-observation pairs, ``n_changes`` pairs
+    whose digest differs, ``span`` = last−first snapshot, and the
+    bias-corrected rate ``λ̂ = -ln((n−X+0.5)/(n+0.5)) · n/span`` in
+    integer micro-changes-per-snapshot (well-defined even at X=n, where
+    the naive MLE diverges). ``revisit_snaps = ⌈1/λ̂⌉`` is the suggested
+    recrawl interval; NULL for never-observed-to-change URLs (λ̂=0 —
+    schedule at the crawl's maximum interval). URLs observed once have no
+    pair evidence and are dropped.
+
+    100-TB shape: ONE exchange on the uniform ``url`` key — the lag
+    window and the per-url aggregate share the partitioning; everything
+    after is a scalar projection. History tables are append-only crawl
+    logs, so at real scale this runs over an Iceberg-bucketed table with
+    the same zero-extra-shuffle property as snapshot_diff (PLANS.md).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("snap")
+    pairs = history.select(
+        "url",
+        F.col("snap").cast("long").alias("snap"),
+        "digest",
+        F.lag("digest").over(w).alias("__prev"),
+    )
+    agg = (
+        pairs.groupBy("url")
+        .agg(
+            F.count("__prev").alias("n_obs"),
+            F.sum(
+                F.when(
+                    F.col("__prev").isNotNull()
+                    & (F.col("digest") != F.col("__prev")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_changes"),
+            (F.max("snap") - F.min("snap")).alias("span"),
+        )
+        .where(F.col("n_obs") > 0)
+    )
+    return agg.select(
+        "url",
+        "n_obs",
+        "n_changes",
+        "span",
+        F.expr(LAMBDA_MICRO_SQL).alias("lambda_micro"),
+    ).withColumn("revisit_snaps", F.expr(REVISIT_SQL))
+
+
 def recrawl_ranks(diff: DataFrame, scale: int = RECRAWL_SCALE) -> DataFrame:
     """Turn a snapshot diff into the ``(url, rank)`` table the crawler's
     rank-weighted priority consumes (``functions/rankprio.py`` /

@@ -642,6 +642,70 @@ def q_feed_parse(spark, sf_dir):
     )
 
 
+def _disc_robots_sql(h: str) -> str:
+    """Deterministic per-host robots.txt bodies for the DISCOVERY battery
+    entry (separate from ``_robots_body_sql`` so the robots_parse fixture
+    stays byte-stable): exercises ``Sitemap:`` extraction — canonical
+    spacing, lowercase no-space field, leading indentation (hid%7=0),
+    empty-value drop (hid%5=0), and a comment line that must be
+    stripped."""
+    s = f"CAST({h} AS STRING)"
+    nl = "chr(10)"
+    return (
+        f"'# discovery robots for site' || {s} || {nl}"
+        f" || 'User-agent: *' || {nl}"
+        f" || 'Disallow: /private' || {nl}"
+        f" || 'Sitemap: http://site' || {s} || '.test/maps/a.xml' || {nl}"
+        f" || CASE WHEN {h} % 2 = 0 THEN"
+        f" 'sitemap:http://site' || {s} || '.test/feed.xml' || {nl}"
+        f" ELSE '' END"
+        f" || CASE WHEN {h} % 7 = 0 THEN"
+        f" '  Sitemap: http://site' || {s} || '.test/maps/extra.xml' || {nl}"
+        f" ELSE '' END"
+        f" || CASE WHEN {h} % 5 = 0 THEN 'Sitemap:' || {nl} ELSE '' END"
+    )
+
+
+# "yesterday's crawl fetched every host's front article" — the seen set
+# the discovery anti-join removes; ONE string shared by both engines
+def _disc_seen_sql(h: str) -> str:
+    return (
+        f"'http://site' || CAST({h} AS STRING) || '.test' ||"
+        f" CASE WHEN {h} % 3 = 0 THEN '/a/1' ELSE '/blog/1' END"
+    )
+
+
+def q_url_discovery(spark, sf_dir):
+    """Discovery-trio capstone (operators/discovery.discover_urls): robots
+    ``Sitemap:`` lines + sitemap urlset/index + RSS/Atom entries union into
+    one deduplicated candidate table, seen anti-joined (§2 op-10 pattern).
+    Multi-source rows are exercised by construction: hid%4=3 hosts' index
+    children are ALSO their robots Sitemap target (sources =
+    'robots+sitemap_index')."""
+    from .operators.discovery import discover_urls
+
+    hid = SW.host_id_expr("doc_id")
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .select(F.expr(hid).alias("hid"))
+        .distinct()
+    )
+
+    def bodies(body_sql):
+        return hosts.select(
+            F.expr("'site' || CAST(hid AS STRING) || '.test'").alias("host"),
+            F.expr(body_sql).alias("body"),
+        )
+
+    seen = hosts.select(F.expr(_disc_seen_sql("hid")).alias("url"))
+    return discover_urls(
+        bodies(_disc_robots_sql("hid")),
+        bodies(_sitemap_body_sql("hid")),
+        bodies(_feed_body_sql("hid")),
+        seen,
+    )
+
+
 def q_politeness_topk(spark, sf_dir):
     """Per-host politeness top-k (§2 ops 2-3) — drives the ENGINE's actual
     selection code path (`plans.round.select_polite`, the same function the
@@ -1501,6 +1565,46 @@ def q_recrawl_ranks(spark, sf_dir):
     return SNAP.recrawl_ranks(diff)
 
 
+CR_SNAPS = 4  # crawl-history depth (engine AND oracle)
+# presence: a gap at snap 1 for %7=2 urls (span>n case) and a
+# single-observation url class (%11=5, no pair evidence → dropped)
+_CR_FILTER = (
+    "NOT (doc_id % 7 = 2 AND snap = 1)"
+    " AND NOT (doc_id % 11 = 5 AND snap > 0)"
+)
+# digest version v = floor(snap·(doc_id%5)/4): %5=0 never changes (λ̂=0),
+# %5=4 changes every pair (X=n — the bias-corrected estimator's edge),
+# %5=1..3 change at staircase points; exact integer+md5, ONE shared string
+_CR_DIGEST = (
+    "md5('d' || CAST(doc_id AS STRING) || ':' ||"
+    " CAST(CAST(floor((snap * (doc_id % 5)) / 4.0) AS INT) AS STRING))"
+)
+
+
+def q_change_rate(spark, sf_dir):
+    """Adaptive recrawl scheduling (operators/snapshot
+    .change_rate_estimate): Cho & Garcia-Molina bias-corrected Poisson
+    change rate per url over a CR_SNAPS-deep crawl history, with gaps,
+    never-changing urls, every-snapshot-changing urls (the X=n edge),
+    and single-observation urls that must be dropped."""
+    hist = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(CR_SNAPS - 1))).alias(
+                "snap"
+            ),
+        )
+        .where(_CR_FILTER)
+        .select(
+            F.expr(SW.url_sql("doc_id")).alias("url"),
+            "snap",
+            F.expr(_CR_DIGEST).alias("digest"),
+        )
+    )
+    return SNAP.change_rate_estimate(hist)
+
+
 def q_dedup_minhash_sig(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return TD.minhash_signatures(docs, num_hashes=8, k=5).select(
@@ -2204,6 +2308,92 @@ SELECT host, kind,
   CAST(CASE WHEN kind = 'rss' THEN {rfc822_date_sql("rawdate")}
        ELSE TRY_CAST(substr(rawdate, 1, 10) AS DATE) END AS STRING) AS published
 FROM fields WHERE rawloc <> ''
+"""
+
+    # independent discovery-trio union in DuckDB: robots Sitemap: lines
+    # re-derived from line splitting, sitemap/feed locs from the same
+    # regex CTEs as their own oracles; dedup via string_agg(DISTINCT) +
+    # COUNT(*), seen removed with NOT IN (fixture SQL shared textually)
+    sql["url_discovery"] = f"""
+WITH hosts AS (SELECT DISTINCT {hid} AS hid FROM documents),
+rb AS (
+  SELECT 'site' || CAST(hid AS STRING) || '.test' AS host,
+         {_disc_robots_sql("hid")} AS body
+  FROM hosts
+),
+rb_lines AS (
+  SELECT host, trim(regexp_replace(unnest(string_split(body, chr(10))), '#.*', '')) AS line
+  FROM rb
+),
+rb_urls AS (
+  SELECT host, trim(substring(line, instr(line, ':') + 1)) AS loc,
+         'robots' AS source
+  FROM rb_lines
+  WHERE lower(line) LIKE 'sitemap:%'
+    AND trim(substring(line, instr(line, ':') + 1)) <> ''
+),
+sm AS (
+  SELECT 'site' || CAST(hid AS STRING) || '.test' AS host,
+         {_sitemap_body_sql("hid")} AS body
+  FROM hosts
+),
+sm_url AS (
+  SELECT host, 'sitemap' AS source,
+         unnest(regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)) AS entry
+  FROM sm WHERE contains(body, '<urlset')
+),
+sm_idx AS (
+  SELECT host, 'sitemap_index' AS source,
+         unnest(regexp_extract_all(body, '(?s)<sitemap>(.*?)</sitemap>', 1)) AS entry
+  FROM sm WHERE contains(body, '<sitemapindex')
+),
+sm_urls AS (
+  SELECT host,
+    replace(replace(replace(replace(replace(
+      coalesce(regexp_extract(entry, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1), ''),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', chr(39)), '&amp;', '&') AS loc,
+    source
+  FROM (SELECT * FROM sm_url UNION ALL SELECT * FROM sm_idx)
+  WHERE coalesce(regexp_extract(entry, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1), '') <> ''
+),
+fb AS (
+  SELECT 'site' || CAST(hid AS STRING) || '.test' AS host,
+         {_feed_body_sql("hid")} AS body
+  FROM hosts
+),
+fd_rss AS (
+  SELECT host, unnest(regexp_extract_all(body, '(?s)<item>(.*?)</item>', 1)) AS entry,
+         'rss' AS kind
+  FROM fb WHERE contains(body, '<rss')
+),
+fd_atom AS (
+  SELECT host, unnest(regexp_extract_all(body, '(?s)<entry>(.*?)</entry>', 1)) AS entry,
+         'atom' AS kind
+  FROM fb WHERE contains(body, '<feed') AND NOT contains(body, '<rss')
+),
+fd_urls AS (
+  SELECT host,
+    replace(replace(replace(replace(replace(rawloc,
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', chr(39)), '&amp;', '&') AS loc,
+    'feed' AS source
+  FROM (
+    SELECT host,
+      CASE WHEN kind = 'rss'
+           THEN coalesce(regexp_extract(entry, '(?s)<link>\\s*(.*?)\\s*</link>', 1), '')
+           ELSE coalesce(regexp_extract(entry, '<link[^>]*href\\s*=\\s*"([^"]*)"', 1), '') END AS rawloc
+    FROM (SELECT * FROM fd_rss UNION ALL SELECT * FROM fd_atom)
+  ) WHERE rawloc <> ''
+),
+uni AS (
+  SELECT * FROM rb_urls UNION ALL SELECT * FROM sm_urls UNION ALL SELECT * FROM fd_urls
+),
+seen AS (SELECT {_disc_seen_sql("hid")} AS url FROM hosts)
+SELECT host, loc,
+       string_agg(DISTINCT source, '+' ORDER BY source) AS sources,
+       COUNT(*) AS n_refs
+FROM uni
+WHERE loc NOT IN (SELECT url FROM seen)
+GROUP BY host, loc
 """
 
     sql["politeness_topk"] = """
@@ -3028,6 +3218,35 @@ SELECT d.url,
        + CASE WHEN d.status = 'changed' THEN {SNAP.RECRAWL_SCALE} ELSE 0 END
        AS BIGINT) AS rank
 FROM d JOIN r ON r.host = d.host
+"""
+
+    # change-rate: lag-window replay; λ̂ and revisit math SHARED verbatim
+    # (snapshot.LAMBDA_MICRO_SQL / REVISIT_SQL) so the float op order is
+    # bit-identical; history synthesis from the same _CR_* constants
+    sql["change_rate"] = f"""
+WITH hist AS (
+  SELECT {SW.url_sql("doc_id")} AS url, snap, {_CR_DIGEST} AS digest
+  FROM (SELECT doc_id, unnest(generate_series(0, {CR_SNAPS - 1})) AS snap
+        FROM documents)
+  WHERE {_CR_FILTER}
+),
+pairs AS (
+  SELECT url, snap, digest,
+         lag(digest) OVER (PARTITION BY url ORDER BY snap) AS __prev
+  FROM hist
+),
+agg AS (
+  SELECT url, COUNT(__prev) AS n_obs,
+         CAST(SUM(CASE WHEN __prev IS NOT NULL AND digest <> __prev
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         CAST(MAX(snap) - MIN(snap) AS BIGINT) AS span
+  FROM pairs GROUP BY url HAVING COUNT(__prev) > 0
+)
+SELECT url, n_obs, n_changes, span, lambda_micro,
+       {SNAP.REVISIT_SQL} AS revisit_snaps
+FROM (SELECT url, n_obs, n_changes, span,
+             {SNAP.LAMBDA_MICRO_SQL} AS lambda_micro
+      FROM agg)
 """
 
     mh_cols = ",\n  ".join(
@@ -6114,6 +6333,7 @@ QUERIES: dict[str, Callable] = {
     "robots_parse": q_robots_parse,
     "sitemap_parse": q_sitemap_parse,
     "feed_parse": q_feed_parse,
+    "url_discovery": q_url_discovery,
     "politeness_topk": q_politeness_topk,
     "politeness_topk_ranked": q_politeness_topk_ranked,
     "seen_antijoin": q_seen_antijoin,
@@ -6137,6 +6357,7 @@ QUERIES: dict[str, Callable] = {
     "lang_balanced_sample": q_lang_balanced_sample,
     "crawl_snapshot_diff": q_crawl_snapshot_diff,
     "recrawl_ranks": q_recrawl_ranks,
+    "change_rate": q_change_rate,
     "unigram_lm_score": q_unigram_lm_score,
     "c4_clean": q_c4_clean,
     "chunk_by_tokens": q_chunk_by_tokens,
