@@ -272,3 +272,35 @@ def test_change_rate_single_exchange_plan(spark):
     # the lag window and the per-url aggregate share one url partitioning
     assert len(re.findall(r"\bExchange\b", plan)) == 1
     assert "EvalPython" not in plan
+
+
+def test_change_rate_ranks_feed_priority_fold(spark):
+    """The adaptive-recrawl loop closes: change_rate_ranks output is a
+    valid ranks table for the crawler's shared priority fold — the
+    every-snapshot-changing url sorts ahead of the never-changing one
+    within the same base class."""
+    from webcrawl_spark.functions.rankprio import fold_rank_priority
+    from webcrawl_spark.operators.snapshot import change_rate_ranks
+
+    hist = spark.createDataFrame(
+        [
+            ("http://h.test/hot", 0, "a"), ("http://h.test/hot", 1, "b"),
+            ("http://h.test/hot", 2, "c"), ("http://h.test/hot", 3, "d"),
+            ("http://h.test/cold", 0, "a"), ("http://h.test/cold", 1, "a"),
+            ("http://h.test/cold", 2, "a"), ("http://h.test/cold", 3, "a"),
+        ],
+        "url string, snap int, digest string",
+    )
+    ranks = change_rate_ranks(change_rate_estimate(hist))
+    got_ranks = {r.url: r.rank for r in ranks.collect()}
+    assert got_ranks["http://h.test/hot"] == 1945  # -ln(0.5/3.5)·1e6 div 1e3
+    assert got_ranks["http://h.test/cold"] == 0
+    frontier = spark.createDataFrame(
+        [("http://h.test/hot", 3), ("http://h.test/cold", 3)],
+        "url string, priority long",
+    )
+    got = {
+        r.url: r.priority
+        for r in fold_rank_priority(frontier, ranks).collect()
+    }
+    assert got["http://h.test/hot"] < got["http://h.test/cold"]

@@ -512,3 +512,31 @@ def test_stream_bigram_counts_equal_batch(spark):
         (r["w1"], r["w2"]): r["c12"] for r in bigram_counts(docs).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_feed_discovery_equal_batch(spark):
+    """Discovery-at-ingest: the drained streaming (host, loc) reference
+    counts must equal the batch parse of the same per-doc feed bodies —
+    the additive merge law that lets the frontier's discovery state be
+    maintained at ingest (parse_feeds is stateless and narrow)."""
+    from webcrawl_spark.operators.feeds import parse_feeds
+    from webcrawl_spark.queries import _feed_body_sql
+
+    q = SE.stream_feed_discovery(spark, SF, "feeddisc_t")
+    _drain(q)
+    got = {
+        (r["host"], r["loc"]): r["n_refs"]
+        for r in spark.sql("select * from feeddisc_t").collect()
+    }
+    bodies = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.expr("'site' || CAST(doc_id AS STRING) || '.test'").alias("host"),
+        F.expr(_feed_body_sql("doc_id")).alias("body"),
+    )
+    want = {
+        (r["host"], r["loc"]): r["n_refs"]
+        for r in parse_feeds(bodies)
+        .groupBy("host", "loc")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -131,6 +131,24 @@ def change_rate_estimate(history: DataFrame) -> DataFrame:
     ).withColumn("revisit_snaps", F.expr(REVISIT_SQL))
 
 
+def change_rate_ranks(est: DataFrame) -> DataFrame:
+    """Turn :func:`change_rate_estimate` output into the ``(url, rank)``
+    table the crawler's rank-weighted priority consumes
+    (``functions/rankprio.fold_rank_priority`` / ``config.rank_priority``)
+    — the ADAPTIVE-recrawl loop closure, next to the two-snapshot
+    ``recrawl_ranks``: urls with a higher estimated change rate are
+    revisited sooner. ``rank = λ̂ in milli-changes-per-snapshot`` (integer
+    div of the already-rounded micro rate — exact in any engine); the
+    priority fold clamps to its RANK_SPAN downstream. Zero exchanges —
+    a scalar projection of the estimate table."""
+    return est.select(
+        "url",
+        F.expr(f"CAST(lambda_micro div {RECRAWL_SCALE} AS BIGINT)").alias(
+            "rank"
+        ),
+    )
+
+
 def recrawl_ranks(diff: DataFrame, scale: int = RECRAWL_SCALE) -> DataFrame:
     """Turn a snapshot diff into the ``(url, rank)`` table the crawler's
     rank-weighted priority consumes (``functions/rankprio.py`` /

@@ -418,3 +418,38 @@ def stream_bigram_counts(
         .outputMode("complete")
         .start()
     )
+
+
+def stream_feed_discovery(
+    spark: SparkSession, sf_dir: str, query_name: str
+) -> "StreamingQuery":
+    """Discovery at ingest: the per-(host, loc) reference-count table that
+    :func:`webcrawl_spark.operators.discovery.discover_urls` derives
+    batch-side from the feed edge, maintained INCREMENTALLY — a streaming
+    count-aggregate IS the table's merge law (reference counts are
+    additive across ingest batches; ``parse_feeds`` is a stateless narrow
+    projection, so each arriving feed body contributes its entries exactly
+    once). At Common-Crawl scale the running (host, loc, n_refs) table is
+    the persisted discovery state the frontier's seen anti-join consumes
+    each round — feeds are re-fetched constantly (they are the freshest
+    channel), and the count accumulates re-announcements as a freshness
+    signal without retaining any body. Batch-equivalence tested."""
+    from ..operators.feeds import parse_feeds
+    from ..queries import _feed_body_sql
+
+    d = table_stream(spark, sf_dir, "documents")
+    bodies = d.select(
+        F.expr("'site' || CAST(doc_id AS STRING) || '.test'").alias("host"),
+        F.expr(_feed_body_sql("doc_id")).alias("body"),
+    )
+    counts = (
+        parse_feeds(bodies)
+        .groupBy("host", "loc")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )
+    return (
+        counts.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )
