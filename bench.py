@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "url_canonicalize", "link_extract", "link_pagerank", "link_hits",
     "mime_infer", "server_mime_retype",
     "robots_filter", "robots_parse", "sitemap_parse", "nofollow_gate",
+    "feed_parse", "url_discovery", "change_rate",
     "politeness_topk", "politeness_topk_ranked", "seen_antijoin", "min_depth_merge",
     "global_budget_limit", "query_string_cap", "retry_union",
     "pricing_summary", "join_agg_revenue", "window_running_sum",
