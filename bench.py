@@ -192,6 +192,9 @@ def main_default():
     docs_path = os.path.join(SF_DIR, "documents.parquet")
     run_control(spark, docs_path)  # warm python workers + parquet footer
     ctrl_s, _ = run_control(spark, docs_path)
+    run_shuffle_control(spark)  # warm the shuffle path once
+    ctrl_sh_s = run_shuffle_control(spark)
+    ctrl_job_ms = run_job_latency_control(spark)
 
     t_all = time.time()
     n_base = 5000 if "0.1" in SF_DIR else 500
@@ -221,6 +224,8 @@ def main_default():
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "control_sec": round(ctrl_s, 3),
         "control_end_sec": round(ctrl_end_s, 3),
+        "control_shuffle_sec": round(ctrl_sh_s, 3),
+        "control_job_ms": round(ctrl_job_ms, 1),
         "crawl": {
             "pages": n_pages,
             "rounds": rounds,
@@ -298,6 +303,38 @@ def run_control(spark, pages_path: str):
     t0 = time.time()
     total = df.mapInPandas(stage, "n long").agg(F.sum("n")).first()[0]
     return time.time() - t0, int(total)
+
+
+def run_shuffle_control(spark):
+    """Second machine-state control: ONE fixed zero-engine SHUFFLE
+    (range → repartition(32) → sum). The Arrow control above is pure
+    compute and misses the axis the crawl leg lives on — scheduler
+    latency + shuffle write/fetch. Round-5 session 13 observed a box
+    where the Arrow control matched the clean reference (0.23-0.37 vs
+    0.30) while this stage and trivial-job latency ran ~1.5-1.7x slower,
+    inflating ONLY the many-small-jobs crawl leg (26.5s -> 44-45s on
+    bit-identical code). Recording both controls makes the two slowdown
+    classes separately normalizable."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    spark.range(10_000_000).repartition(32).agg(F.sum("id")).collect()
+    return time.time() - t0
+
+
+def run_job_latency_control(spark):
+    """Third control: median wall time of a trivial single-stage job
+    (milliseconds) — pure driver/scheduler round-trip, no data. The
+    crawl pays ~20 such round-trips per round (AQE stage jobs, state
+    writes, checkpoint cuts), so its fixed floor scales with THIS number,
+    not with Arrow throughput."""
+    samples = []
+    for _ in range(11):
+        t0 = time.time()
+        spark.range(100).selectExpr("count(*)").collect()
+        samples.append(time.time() - t0)
+    samples.sort()
+    return samples[len(samples) // 2] * 1000.0
 
 
 def main_scaling():
