@@ -171,3 +171,66 @@ def test_integer_hits_hand_computed():
         for row in con.execute(ORACLE_SQL["link_hits"]).fetchall()
     }
     assert got == {d: (a[d], h[d]) for d in range(n)}
+
+
+def test_integer_host_trust_rank_hand_computed():
+    """Independent expectation for host_rank / trust_rank: replay the host
+    aggregation (self-loop drop, link-count weights) and the weighted
+    integer recurrence in plain Python on the generator formula, then pin
+    the DuckDB oracle to it. n=600 truncates to the 500 docs present at
+    sf0.001 — the spec follows the TABLE, exactly as the oracle's
+    ``doc_id < 600`` filter does; link targets keep the mod-600 range."""
+    from collections import defaultdict
+
+    n_docs, mod = 500, 600
+
+    def host(d):
+        return 0 if d % 5 == 0 else d % 32
+
+    w = defaultdict(int)
+    for d in range(n_docs):
+        for k in range(2 + d % 4):
+            dst = (d * 31 + 7 * k + 1) % mod
+            hs, hd = host(d), host(dst)
+            if hs != hd:
+                w[(hs, hd)] += 1
+    hosts = sorted({host(d) for d in range(n_docs)})
+    assert hosts == list(range(32))  # 500 docs cover every host id
+    ow = defaultdict(int)
+    for (hs, _), c in w.items():
+        ow[hs] += c
+
+    def run(r0, restart):
+        r = dict(r0)
+        for _ in range(3):
+            contrib = defaultdict(int)
+            for (hs, hd), c in w.items():
+                contrib[hd] += (r[hs] * c) // ow[hs]
+            r = {h: restart(h) + (85 * contrib[h]) // 100 for h in hosts}
+        return r
+
+    pr = run({h: 1_000_000 for h in hosts}, lambda h: 150_000)
+    tr = run(
+        {h: (1_000_000 if h < 4 else 0) for h in hosts},
+        lambda h: 150_000 if h < 4 else 0,
+    )
+    # structural sanity: the mega-host (0) out-ranks the median host under
+    # PageRank (it holds ~23% of pages, so it receives far more in-links);
+    # TrustRank keeps seed hosts hot and gives every non-seed LESS mass
+    # than its PageRank value (restart mass only flows to seeds)
+    assert pr[0] > sorted(pr.values())[16]
+    assert all(tr[h] < pr[h] for h in hosts if h >= 4)
+    assert sum(tr.values()) < sum(pr.values())
+
+    from webcrawl_spark.queries import ORACLE_SQL
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    got_pr = dict(con.execute(ORACLE_SQL["host_rank"]).fetchall())
+    got_tr = dict(con.execute(ORACLE_SQL["trust_rank"]).fetchall())
+    assert got_pr == pr
+    assert got_tr == tr

@@ -279,6 +279,115 @@ def q_link_hits(spark, sf_dir):
     )
 
 
+def _host_graph(spark, sf_dir, n):
+    """Host-level link graph: the page edge formula aggregated to
+    (hsrc, hdst, w) with intra-host links dropped — the Common Crawl
+    domain-graph construction rule (inter-domain hyperlinks only,
+    weight = link count). Host 0 is the generator's deliberate mega-host
+    (~23% of pages), so the host graph inherits realistic skew. Returns
+    (hosts, hedges, hout): node set, weighted edges, per-source out-weight.
+    ONE aggregation shuffle builds the graph; at web scale (10^8 hosts)
+    every key below is the uniform host id."""
+    from .sources.synth_web import LINK_MULT, LINK_STEP, host_id_expr
+
+    docs = _t(spark, sf_dir, "documents").filter(f"doc_id < {n}").select("doc_id")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, 1 + cast(doc_id % 4 as int)), "
+                f"k -> (doc_id * {LINK_MULT} + {LINK_STEP} * k + 1) % {n})"
+            )
+        ).alias("dst"),
+    )
+    hosts = docs.select(
+        F.expr(host_id_expr("doc_id")).cast("long").alias("h")
+    ).distinct()
+    hedges = (
+        edges.select(
+            F.expr(host_id_expr("src")).cast("long").alias("hsrc"),
+            F.expr(host_id_expr("dst")).cast("long").alias("hdst"),
+        )
+        .filter("hsrc <> hdst")
+        .groupBy("hsrc", "hdst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    hout = hedges.groupBy("hsrc").agg(F.sum("w").alias("ow"))
+    return hosts, hedges, hout
+
+
+def q_host_rank(spark, sf_dir):
+    """Weighted integer PageRank over the HOST graph (3 iterations,
+    damping 0.85) — Common Crawl's domain-ranks product: the
+    crawl-budget allocator above the page-level ``link_pagerank``
+    (rank hosts, then spend politeness budget on high-rank hosts
+    first; ``config.rank_priority`` consumes the rollup). Edge mass is
+    weighted: each host splits its rank over out-LINKS, not out-hosts
+    (``(r * w) div ow`` per edge, truncating per-edge BEFORE the sum so
+    every engine agrees bit-for-bit). Per iteration: one uniform-key
+    groupBy(hdst) + a left join back to the node set; the rank table is
+    hosts-sized (10^8 rows at web scale, never assumed broadcast-able —
+    AQE may pick a broadcast when it measures small, as here at 32
+    hosts). Dangling mass (a host whose every link is intra-host) leaks,
+    matching the page-level sibling's no-redistribution contract."""
+    hosts, hedges, hout = _host_graph(spark, sf_dir, 600)
+    hw = hedges.join(hout, "hsrc")
+    ranks = hosts.select("h", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(3):
+        contrib = (
+            hw.join(ranks.select(F.col("h").alias("hsrc"), "r"), "hsrc")
+            .select("hdst", F.expr("(r * w) div ow").alias("c"))
+            .groupBy("hdst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            hosts.join(contrib.withColumnRenamed("hdst", "h"), "h", "left")
+            .select(
+                "h",
+                (
+                    F.lit(150000)
+                    + F.expr("(85 * coalesce(contrib, 0)) div 100")
+                ).cast("long").alias("r"),
+            )
+        )
+    return ranks.select(F.col("h").alias("host"), F.col("r").alias("hrank"))
+
+
+def q_trust_rank(spark, sf_dir):
+    """Seeded TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004)
+    over the same host graph — the spam-demotion signal: restart mass
+    goes ONLY to a vetted seed set (hosts 0-3 here, standing in for a
+    human-reviewed whitelist), so hosts reachable only through spam-farm
+    neighborhoods decay toward zero instead of inheriting generic
+    PageRank mass. Same all-integer recurrence as ``host_rank`` with the
+    uniform 150000 restart replaced by a per-host seed indicator; the
+    seed set is a WHERE clause on the node id, not data — nothing to
+    broadcast. Deployments subtract: crawl-priority = host_rank scaled
+    by trust_rank/host_rank ratio (the 2004 paper's demotion rule)."""
+    hosts, hedges, hout = _host_graph(spark, sf_dir, 600)
+    hw = hedges.join(hout, "hsrc")
+    seed = F.expr("CASE WHEN h < 4 THEN 1000000 ELSE 0 END")
+    restart = F.expr("CASE WHEN h < 4 THEN 150000 ELSE 0 END")
+    ranks = hosts.select("h", seed.cast("long").alias("r"))
+    for _ in range(3):
+        contrib = (
+            hw.join(ranks.select(F.col("h").alias("hsrc"), "r"), "hsrc")
+            .select("hdst", F.expr("(r * w) div ow").alias("c"))
+            .groupBy("hdst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            hosts.join(contrib.withColumnRenamed("hdst", "h"), "h", "left")
+            .select(
+                "h",
+                (
+                    restart + F.expr("(85 * coalesce(contrib, 0)) div 100")
+                ).cast("long").alias("r"),
+            )
+        )
+    return ranks.select(F.col("h").alias("host"), F.col("r").alias("trank"))
+
+
 _CANON_SCHEMA = "doc_id long, url string, host string, url_key string"
 
 
@@ -2092,6 +2201,52 @@ h0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS v FROM docs),
 {_hits_half.format(r='h', i=2, key='src', other='dst', src='a2')}
 SELECT a2.id AS doc_id, a2.v AS authority, h2.v AS hub
 FROM a2 JOIN h2 ON h2.id = a2.id
+"""
+
+    # host graph shared by host_rank / trust_rank: page edges aggregated
+    # to hosts, self-loops dropped, per-edge truncating division BEFORE
+    # the contribution sum (matches the engine's (r*w) div ow exactly)
+    _hg = f"""
+hosts AS (SELECT DISTINCT CAST({SW.host_id_expr('doc_id')} AS BIGINT) AS h FROM docs),
+hedges AS (
+  SELECT CAST({SW.host_id_expr('src')} AS BIGINT) AS hsrc,
+         CAST({SW.host_id_expr('dst')} AS BIGINT) AS hdst,
+         COUNT(*) AS w
+  FROM edges
+  WHERE {SW.host_id_expr('src')} <> {SW.host_id_expr('dst')}
+  GROUP BY 1, 2),
+hout AS (SELECT hsrc, SUM(w) AS ow FROM hedges GROUP BY hsrc)"""
+    _hr_iter = """
+c{i} AS (
+  SELECT e.hdst AS h, CAST(SUM((r{p}.r * e.w) // o.ow) AS BIGINT) AS contrib
+  FROM hedges e JOIN hout o ON o.hsrc = e.hsrc
+  JOIN r{p} ON r{p}.h = e.hsrc GROUP BY e.hdst),
+r{i} AS (
+  SELECT hosts.h,
+         CAST({restart} + (85 * COALESCE(c{i}.contrib, 0)) // 100 AS BIGINT) AS r
+  FROM hosts LEFT JOIN c{i} ON c{i}.h = hosts.h)"""
+    _hr = _hr_iter.replace("{restart}", "150000")
+    sql["host_rank"] = f"""
+WITH {SW.edges_sql(600)},
+{_hg},
+r0 AS (SELECT h, CAST(1000000 AS BIGINT) AS r FROM hosts),
+{_hr.format(i=1, p=0)},
+{_hr.format(i=2, p=1)},
+{_hr.format(i=3, p=2)}
+SELECT h AS host, r AS hrank FROM r3
+"""
+    _tr = _hr_iter.replace(
+        "{restart}", "(CASE WHEN hosts.h < 4 THEN 150000 ELSE 0 END)"
+    )
+    sql["trust_rank"] = f"""
+WITH {SW.edges_sql(600)},
+{_hg},
+r0 AS (SELECT h, CAST(CASE WHEN h < 4 THEN 1000000 ELSE 0 END AS BIGINT) AS r
+       FROM hosts),
+{_tr.format(i=1, p=0)},
+{_tr.format(i=2, p=1)},
+{_tr.format(i=3, p=2)}
+SELECT h AS host, r AS trank FROM r3
 """
 
     sql["url_canonicalize"] = f"""
@@ -6325,6 +6480,8 @@ QUERIES: dict[str, Callable] = {
     "crawl_bfs_trace": q_crawl_bfs_trace,
     "link_pagerank": q_link_pagerank,
     "link_hits": q_link_hits,
+    "host_rank": q_host_rank,
+    "trust_rank": q_trust_rank,
     "url_canonicalize": q_url_canonicalize,
     "link_extract": q_link_extract,
     "mime_infer": q_mime_infer,
