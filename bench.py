@@ -58,7 +58,8 @@ BENCH_QUERIES = [
     "ngram_jaccard", "lang_id", "quality_score", "repetition_stats", "token_count",
     "gopher_filter", "topk_terms", "pmi_collocations", "pmi_incremental", "lang_balanced_sample", "crawl_snapshot_diff",
     "recrawl_ranks", "unigram_lm_score",
-    "c4_clean", "chunk_by_tokens", "bm25_search", "dedup_keep_best",
+    "c4_clean", "chunk_by_tokens", "bm25_search", "phrase_search",
+    "dedup_keep_best",
     "duplicate_spans", "inverted_index", "anchor_text_stats",
     "host_quality_rollup", "training_set_build", "strip_boilerplate",
     "anchor_stats_incremental", "url_alias_groups",

@@ -283,3 +283,64 @@ def test_inverted_index_salt_invariant_and_capped(spark):
     common = [r for r in a if r.term == "common"][0]
     assert common.df == 8                      # df exact, not capped
     assert common.postings == "1:0:1,2:0:1,3:0:1"  # postings capped at k
+
+
+def _phrase_py(texts: dict, phrase: list[str]):
+    """Plain-Python spec for phrase_search: scan every adjacent window."""
+    n = len(phrase)
+    out = {}
+    for i, t in enumerate(texts):
+        toks = t.lower().strip().split()
+        ends = [
+            j + n - 1
+            for j in range(len(toks) - n + 1)
+            if toks[j:j + n] == phrase
+        ]
+        if ends:
+            out[i] = (len(ends), min(ends) - (n - 1))
+    return out
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    [
+        ["big", "data"],                 # plain bigram
+        ["big", "data", "engine"],       # 3-term fold (two intersections)
+        ["go", "go"],                    # repeated term: same position list
+    ],
+)
+def test_phrase_search_matches_python_spec(spark, phrase):
+    from webcrawl_spark.functions.textstats import phrase_search
+
+    texts = [
+        "big data engine for big data jobs",     # 2x 'big data', 1x 3-term
+        "data big engine go go go stop",         # reversed pair; 'go go' x2
+        "big big data data engine engine",       # adjacency edge cases
+        "nothing here matches anything else",    # no phrase terms at all
+        "big data",                              # phrase at document end
+        "go stop go stop go",                    # 'go' present, never adjacent
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.id: (r.n_matches, r.first_pos)
+        for r in phrase_search(docs, phrase, k=10).collect()
+    }
+    assert got == _phrase_py(texts, phrase)
+
+
+def test_phrase_search_topk_and_rank_total_order(spark):
+    from webcrawl_spark.functions.textstats import phrase_search
+
+    docs = spark.createDataFrame(
+        [(i, ("hit me " * (1 + i % 3)).strip()) for i in range(9)],
+        "doc_id long, text string",
+    )
+    rows = phrase_search(docs, ["hit", "me"], k=4).collect()
+    # ties on n_matches break by ascending id; rank is 1..k dense
+    assert [r.rank for r in rows] == [1, 2, 3, 4]
+    assert [(r.n_matches, r.id) for r in rows] == sorted(
+        [(r.n_matches, r.id) for r in rows], key=lambda x: (-x[0], x[1])
+    )
+    assert rows[0].n_matches == 3 and rows[0].id == 2

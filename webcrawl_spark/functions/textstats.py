@@ -630,6 +630,71 @@ def inverted_index(
     )
 
 
+def phrase_search(
+    docs: DataFrame, phrase: list[str], k: int = 20,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact consecutive-phrase retrieval over the whitespace
+    tokenization ``bm25_rank`` and ``inverted_index`` share: return the
+    top ``k`` documents containing ``phrase`` as adjacent tokens, as
+    ``(id, n_matches, first_pos, rank)`` ordered by (matches desc, id).
+
+    The adjacency test is an ARRAY FOLD, not a join chain: per document,
+    each phrase term's sorted position list is collected once, then
+    ``array_intersect(transform(prev, p -> p + 1), positions(next))``
+    folds left-to-right — after the fold the array holds the END
+    positions of complete phrase occurrences (``n_matches = size``,
+    ``first_pos = min - (n-1)``). A term repeated in the phrase reuses
+    the same position list and the shift-intersect still demands real
+    adjacent copies (unit-tested).
+
+    100-TB shape: tokens filter to the |phrase|-bounded term set BEFORE
+    any aggregate (the bm25_rank rule), so the one corpus-sized exchange
+    is the per-(id, term) position collect on uniform keys — bounded per
+    document by that document's own occurrences of the phrase terms; the
+    fold is a zero-exchange projection; an n-term phrase costs n-1 array
+    intersections instead of n-1 shuffled positional self-joins (what
+    the DuckDB oracle deliberately runs instead); top-k is
+    orderBy+limit (TakeOrdered), never a global sort.
+    """
+    terms = [t.lower() for t in phrase]
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "term"),
+    ).filter(F.col("term").isin(*terms))
+    pt = toks.groupBy("id", "term").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
+    )
+    per_doc = pt.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "ps"))).alias("m")
+    )
+    cur = F.coalesce(F.col("m")[terms[0]], F.array().cast("array<int>"))
+    for t in terms[1:]:
+        cur = F.array_intersect(
+            F.transform(cur, lambda p: p + 1),
+            F.coalesce(F.col("m")[t], F.array().cast("array<int>")),
+        )
+    hits = (
+        per_doc.select("id", cur.alias("ends"))
+        .filter(F.size("ends") > 0)
+        .select(
+            "id",
+            F.size("ends").cast("long").alias("n_matches"),
+            (F.array_min("ends") - (len(terms) - 1)).cast("long")
+            .alias("first_pos"),
+        )
+    )
+    top = hits.orderBy(F.desc("n_matches"), F.asc("id")).limit(k)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("n_matches"), F.asc("id"))
+        ).cast("long"),
+    )
+
+
 # Domain-level filtering thresholds (RefinedWeb §3.1-style: whole hosts
 # are dropped when they are too small to judge, score poorly on average,
 # or serve mostly duplicated content). One constant set, interpolated

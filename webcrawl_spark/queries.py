@@ -1391,6 +1391,22 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+PHRASE_QUERY = ("value", "table")   # engine AND oracle
+PHRASE_TOPK = 20
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact consecutive-phrase retrieval (functions/textstats
+    .phrase_search): top-k documents containing the PHRASE_QUERY tokens
+    adjacently. The engine folds per-term position arrays with
+    shift-intersect (zero joins after the token filter); the oracle runs
+    the classic positional self-join chain — deliberately different
+    machinery proving the same relation."""
+    return TS.phrase_search(
+        _t(spark, sf_dir, "documents"), list(PHRASE_QUERY), k=PHRASE_TOPK
+    ).select(F.col("id").alias("doc_id"), "n_matches", "first_pos", "rank")
+
+
 RRF_K = 60          # the standard reciprocal-rank-fusion constant
 RRF_POOL = 30       # candidate pool per ranking leg
 RRF_TOPK = 10       # fused results returned
@@ -3023,6 +3039,31 @@ r AS (SELECT id, CAST(n_hits AS BIGINT) AS n_hits,
         CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, id) AS BIGINT) AS rank
       FROM s)
 SELECT id AS doc_id, n_hits, score_micro, rank FROM r WHERE rank <= {BM25_TOPK}
+"""
+
+    # phrase oracle: the classic positional self-join chain (one CTE per
+    # adjacency step) — deliberately NOT the engine's array fold
+    _ph = [t.lower() for t in PHRASE_QUERY]
+    _ph_steps = ",\n".join(
+        f"m{i} AS (SELECT m{i-1}.id AS id, t.pos FROM m{i-1} "
+        f"JOIN toks t ON t.id = m{i-1}.id AND t.pos = m{i-1}.pos + 1 "
+        f"AND t.term = '{_ph[i]}')"
+        for i in range(1, len(_ph))
+    )
+    sql["phrase_search"] = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+toks AS (
+  SELECT doc_id AS id, unnest(w) AS term, unnest(range(0, len(w))) AS pos FROM w),
+m0 AS (SELECT id, pos FROM toks WHERE term = '{_ph[0]}'),
+{_ph_steps},
+g AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        CAST(MIN(pos) - {len(_ph) - 1} AS BIGINT) AS first_pos
+      FROM m{len(_ph) - 1} GROUP BY id),
+r AS (SELECT id, n_matches, first_pos,
+        CAST(ROW_NUMBER() OVER (ORDER BY n_matches DESC, id) AS BIGINT) AS rank
+      FROM g)
+SELECT id AS doc_id, n_matches, first_pos, rank FROM r WHERE rank <= {PHRASE_TOPK}
 """
 
     sql["hybrid_search_rrf"] = f"""
@@ -6519,6 +6560,7 @@ QUERIES: dict[str, Callable] = {
     "c4_clean": q_c4_clean,
     "chunk_by_tokens": q_chunk_by_tokens,
     "bm25_search": q_bm25_search,
+    "phrase_search": q_phrase_search,
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "dedup_keep_best": q_dedup_keep_best,
     "duplicate_spans": q_duplicate_spans,
