@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "host_rank", "trust_rank",
     "mime_infer", "server_mime_retype",
     "robots_filter", "robots_parse", "sitemap_parse", "nofollow_gate",
+    "rel_canonical",
     "feed_parse", "url_discovery", "change_rate",
     "politeness_topk", "politeness_topk_ranked", "seen_antijoin", "min_depth_merge",
     "global_budget_limit", "query_string_cap", "retry_union",
@@ -199,7 +200,8 @@ def main_default():
     ctrl_job_ms = run_job_latency_control(spark)
 
     t_all = time.time()
-    n_base = 5000 if "0.1" in SF_DIR else 500
+    # endswith, not substring: "0.1" in SF_DIR would match sf0.01 too
+    n_base = 5000 if SF_DIR.rstrip("/").endswith("sf0.1") else 500
     crawl_s, n_urls, n_dedup, rounds, n_pages = run_crawl(
         spark, SF_DIR, MULT,
         n_seeds=max(4, n_base * MULT // 50),
@@ -352,7 +354,8 @@ def main_scaling():
     """
     import tempfile as _tf
 
-    n_base = 5000 if "0.1" in SF_DIR else 500
+    # endswith, not substring: "0.1" in SF_DIR would match sf0.01 too
+    n_base = 5000 if SF_DIR.rstrip("/").endswith("sf0.1") else 500
     n_hosts = max(32, n_base * SCALING_MULT // 2500)
     pages_dir = os.path.join(
         _tf.gettempdir(), f"bench_pages_x{SCALING_MULT}_h{n_hosts}"
@@ -715,7 +718,8 @@ def run_control_vec(spark, vecs_path: str):
 
 
 def _pages_dir_for(mult: int) -> tuple[str, int, int]:
-    n_base = 5000 if "0.1" in SF_DIR else 500
+    # endswith, not substring: "0.1" in SF_DIR would match sf0.01 too
+    n_base = 5000 if SF_DIR.rstrip("/").endswith("sf0.1") else 500
     n_hosts = max(32, n_base * mult // 2500)
     pages_dir = os.path.join(
         tempfile.gettempdir(), f"bench_pages_x{mult}_h{n_hosts}"

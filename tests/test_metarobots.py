@@ -88,3 +88,38 @@ def test_plan_zero_exchange_zero_python(spark):
     assert nodes("Exchange") == 0
     assert nodes("Generate") == 1  # the single anchor-tag explode
     assert "EvalPython" not in plan and "Join" not in plan
+
+
+def test_rel_canonical_election_ladder(spark):
+    from webcrawl_spark.functions.metarobots import rel_canonical
+
+    rows = [
+        # declared target: canonical is the target, one hop
+        ("http://a.test/1", '<link rel="canonical" href="http://a.test/0">'),
+        # upper-case attribute names still match
+        ("http://a.test/2", '<LINK REL="canonical" HREF="http://a.test/0">'),
+        # explicit self-declaration
+        ("http://a.test/0", '<link rel="canonical" href="http://a.test/0">'),
+        # empty href falls back to self
+        ("http://a.test/3", '<link rel="canonical" href="">'),
+        # no declaration at all
+        ("http://a.test/4", "<html>plain</html>"),
+        # NULL text (fetch-failed page)
+        ("http://a.test/5", None),
+        # chain head: 6 -> 4, and 4 is its own canonical above — the
+        # one-hop rule must NOT rewrite 6 to 4's canonical-of-canonical
+        ("http://a.test/6", '<link rel="canonical" href="http://a.test/4">'),
+    ]
+    got = {
+        r.url: (r.canonical_url, r.is_self, r.n_aliases)
+        for r in rel_canonical(
+            spark.createDataFrame(rows, "url string, text string")
+        ).collect()
+    }
+    assert got["http://a.test/1"] == ("http://a.test/0", False, 3)
+    assert got["http://a.test/2"] == ("http://a.test/0", False, 3)
+    assert got["http://a.test/0"] == ("http://a.test/0", True, 3)
+    assert got["http://a.test/3"] == ("http://a.test/3", True, 1)
+    assert got["http://a.test/4"] == ("http://a.test/4", True, 2)
+    assert got["http://a.test/5"] == ("http://a.test/5", True, 1)
+    assert got["http://a.test/6"] == ("http://a.test/4", False, 2)

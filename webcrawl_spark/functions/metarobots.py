@@ -79,3 +79,47 @@ def gated_links(
             & (href != F.lit(""))
         ).alias("followed"),
     )
+
+
+# the canonical link element (rel/href order fixed, the common emitted
+# form; case-insensitive) — the third in-page directive next to
+# meta-robots and rel=nofollow
+LINK_CANONICAL_RE = '(?i)<link\\s+rel="canonical"\\s+href="([^"]*)"'
+
+
+def rel_canonical(
+    pages: DataFrame, text_col: str = "text", url_col: str = "url"
+) -> DataFrame:
+    """``<link rel="canonical">`` election + alias-group rollup:
+    ``(url, canonical_url, is_self, n_aliases)`` — the in-page
+    canonicalization signal a crawl-derived corpus folds into URL-alias
+    dedup (the declared twin of ``url_alias_groups``' content-digest
+    grouping: syndicated/parameterized copies NAME their original even
+    when bytes differ).
+
+    One-hop rule: the declared target IS the canonical; chains are
+    deliberately not followed (the production treatment — a chained
+    canonical is unreliable and search engines ignore it). No, empty, or
+    unparseable declaration → the page is its own canonical; NULL text
+    (a fetch-failed page) likewise.
+
+    100-TB shape: the election is a zero-exchange projection; the
+    rollup is one count aggregate on the canonical url (uniform key —
+    a mega-group is one hash-agg key, combined map-side, never a
+    window) plus the join reuniting sizes with members (AQE broadcasts
+    only when the group table measures small)."""
+    decl = F.regexp_extract(F.col(text_col), LINK_CANONICAL_RE, 1)
+    canonical = F.coalesce(
+        F.when(decl != "", decl), F.col(url_col)
+    )
+    per_page = pages.select(
+        F.col(url_col).alias("url"),
+        canonical.alias("canonical_url"),
+        (canonical == F.col(url_col)).alias("is_self"),
+    )
+    groups = per_page.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_aliases")
+    )
+    return per_page.join(groups, "canonical_url").select(
+        "url", "canonical_url", "is_self", "n_aliases"
+    )

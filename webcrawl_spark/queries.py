@@ -1391,6 +1391,42 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_rel_canonical(spark, sf_dir):
+    """In-page canonical-URL election (functions/metarobots
+    .rel_canonical): ``<link rel="canonical">`` one-hop election +
+    alias-group rollup over a deterministically messy fixture (case
+    variants, explicit-self, EMPTY href that must fall back to self,
+    undeclared pages). The oracle restates the elected canonical in
+    CLOSED FORM from the id formulas (it never parses) and computes the
+    rollup with its own GROUP BY — extraction, fallback ladder, and
+    group sizes all end-to-end checked."""
+    link = """
+      CASE
+        WHEN doc_id % 11 = 0 THEN '<link rel="canonical" href="">'
+        WHEN doc_id % 7 = 0 THEN concat(
+          '<link rel="canonical" href="http://s.test/p',
+          cast(doc_id as string), '.html">')
+        WHEN doc_id % 3 <> 0 THEN concat(
+          CASE WHEN doc_id % 2 = 1 THEN '<LINK REL="canonical" HREF="'
+               ELSE '<link rel="canonical" href="' END,
+          'http://s.test/p', cast(doc_id - doc_id % 3 as string),
+          '.html">')
+        ELSE '' END"""
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://s.test/p"), F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+        F.expr(
+            f"concat('<html><head>', {link}, "
+            f"'</head><body>doc</body></html>')"
+        ).alias("text"),
+    )
+    from .functions.metarobots import rel_canonical
+
+    return rel_canonical(pages)
+
+
 PHRASE_QUERY = ("value", "table")   # engine AND oracle
 PHRASE_TOPK = 20
 
@@ -2830,6 +2866,26 @@ LIMIT {PMI_TOP_K}
     # nofollow_gate oracle: every flag restated in closed form from the
     # fixture's id formulas — the engine's regex extraction and gating
     # rule must reproduce the generating function exactly
+    # rel_canonical oracle: the elected canonical in CLOSED FORM from the
+    # fixture's id ladder (empty-href and explicit-self both collapse to
+    # self; only d%3<>0 non-special docs point at their group head), the
+    # rollup recomputed with an independent GROUP BY
+    sql["rel_canonical"] = """
+WITH pages AS (
+  SELECT 'http://s.test/p' || CAST(doc_id AS STRING) || '.html' AS url,
+    CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0 OR doc_id % 3 = 0
+         THEN 'http://s.test/p' || CAST(doc_id AS STRING) || '.html'
+         ELSE 'http://s.test/p' || CAST(doc_id - doc_id % 3 AS STRING)
+              || '.html'
+    END AS canonical_url
+  FROM documents),
+g AS (SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_aliases
+      FROM pages GROUP BY 1)
+SELECT p.url, p.canonical_url, p.canonical_url = p.url AS is_self,
+       g.n_aliases
+FROM pages p JOIN g USING (canonical_url)
+"""
+
     sql["nofollow_gate"] = """
 WITH docs AS (SELECT doc_id AS d FROM documents),
 flag AS (
@@ -6646,6 +6702,7 @@ QUERIES: dict[str, Callable] = {
     "pack_sequences": q_pack_sequences,
     "pmi_collocations": q_pmi_collocations,
     "nofollow_gate": q_nofollow_gate,
+    "rel_canonical": q_rel_canonical,
     "pmi_incremental": q_pmi_incremental,
 }
 
