@@ -43,7 +43,8 @@ BENCH_QUERIES = [
     "url_canonicalize", "link_extract", "link_pagerank", "link_hits",
     "host_rank", "trust_rank",
     "mime_infer", "server_mime_retype",
-    "robots_filter", "robots_parse", "sitemap_parse", "nofollow_gate",
+    "robots_filter", "robots_wildcard", "robots_parse", "sitemap_parse",
+    "nofollow_gate",
     "rel_canonical",
     "feed_parse", "url_discovery", "change_rate",
     "politeness_topk", "politeness_topk_ranked", "seen_antijoin", "min_depth_merge",

@@ -143,3 +143,62 @@ def test_sitemap_urls_global_extraction(spark):
         "http://s.test/maps/other.xml",
         "http://s.test/maps/root.xml",
     ]
+
+
+def test_wildcard_patterns_rfc9309():
+    """RFC 9309 §2.2.3 special characters: ``*`` spans any sequence,
+    trailing ``$`` anchors end-of-path, a mid-pattern ``$`` is literal,
+    and specificity is the RAW pattern length (* and $ counted)."""
+    import pandas as pd
+
+    rules = pd.DataFrame(
+        {
+            "host": ["h"] * 6,
+            "path_prefix": [
+                "/img/*.png$",   # 11: block pngs under /img, exact suffix
+                "/img/pub*",     # 9: re-allow the public subtree
+                "/img",          # 4: block the tree
+                "/a*c*e$",       # multi-star with anchor
+                "/lit$eral",     # mid-pattern $ is a literal character
+                "",              # matches everything (lowest specificity)
+            ],
+            "allow": [False, True, False, False, False, True],
+            "crawl_delay": [None] * 6,
+        }
+    )
+    idx = build_rule_index(rules)
+    cases = [
+        ("/img/x.png", False),        # anchored block wins
+        ("/img/x.png.bak", False),    # NOT the $ rule ('/img' blocks it)
+        ("/img/pub/x.png", False),    # 11 > 9: block still wins on pngs
+        ("/img/pub/x.gif", True),     # re-allowed subtree
+        ("/img/other.gif", False),    # '/img' tree block
+        ("/abcde", False),            # /a*c*e$ spans
+        ("/abcdef", True),            # $ anchor rejects the longer path
+        ("/lit$eral-rest", False),    # literal $ matched as itself
+        ("/anything", True),          # '' allow
+    ]
+    hosts = pd.Series(["h"] * len(cases))
+    paths = pd.Series([p for p, _ in cases])
+    got = list(robots_allowed(hosts, paths, idx))
+    assert got == [e for _, e in cases], list(zip(cases, got))
+
+
+def test_wildcard_index_is_broadcast_picklable():
+    import pandas as pd
+    import pickle
+
+    rules = pd.DataFrame(
+        {
+            "host": ["h"],
+            "path_prefix": ["/x/*.mp4$"],
+            "allow": [False],
+            "crawl_delay": [None],
+        }
+    )
+    idx = pickle.loads(pickle.dumps(build_rule_index(rules)))
+    assert list(
+        robots_allowed(
+            pd.Series(["h", "h"]), pd.Series(["/x/a.mp4", "/x/a.mp3"]), idx
+        )
+    ) == [False, True]

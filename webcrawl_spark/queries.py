@@ -570,6 +570,55 @@ def _robots_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+_WILD_RULES = pd.DataFrame(
+    [
+        (f"site{h}.test", pat, allow, None)
+        for h in range(32)
+        if h % 8 != 3          # leave some hosts ruleless (short-circuit path)
+        for pat, allow in [
+            ("/doc*7.html$", False),   # len 12: ids ending in 7
+            ("/doc13*", True),         # len 7: ids starting 13 re-allowed
+            ("/doc1*", False),         # len 6: ids starting 1 blocked
+        ]
+    ],
+    columns=["host", "path_prefix", "allow", "crawl_delay"],
+)
+
+
+def _robots_wild_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    idx = build_rule_index(_WILD_RULES)
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "host": pdf["host"],
+                "path": pdf["path"],
+                "allowed": robots_allowed(pdf["host"], pdf["path"], idx).astype(bool),
+            }
+        )
+
+
+def q_robots_wildcard(spark, sf_dir):
+    """RFC 9309 wildcard-rule decisions (kernels/robots): ``*`` and
+    trailing ``$`` patterns under the longest-raw-pattern specificity
+    rule — '/doc*7.html$' (12) beats '/doc13*' (7) beats '/doc1*' (6),
+    so an id ending in 7 is blocked even when a shorter allow matches.
+    Hosts with hid % 8 = 3 carry no rules (the short-circuit path). The
+    oracle restates every verdict in CLOSED FORM with LIKE predicates on
+    the id string — the matcher, the specificity order, and the
+    anchoring are all end-to-end checked against independent machinery."""
+    hid = SW.host_id_expr("doc_id")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(f"concat('site', cast({hid} as string), '.test')").alias("host"),
+            F.expr("concat('/doc', cast(doc_id as string), '.html')").alias("path"),
+        )
+        .mapInPandas(_robots_wild_stage, _ROBOTS_SCHEMA)
+    )
+
+
 def q_robots_filter(spark, sf_dir):
     """Robots rules longest-prefix decisions (north_rule addition)."""
     hid = SW.host_id_expr("doc_id")
@@ -2362,6 +2411,21 @@ SELECT doc_id,
   'site' || CAST({hid} AS STRING) || '.test' AS host,
   '/doc' || CAST(doc_id AS STRING) || '.html' AS path,
   NOT (({hid}) % 4 = 1 AND ('/doc' || CAST(doc_id AS STRING) || '.html') LIKE '/doc1%') AS allowed
+FROM documents
+"""
+
+    # wildcard verdicts in closed form: specificity order restated as a
+    # CASE ladder over LIKE predicates on the id string (longest pattern
+    # first), ruleless hosts first of all
+    sql["robots_wildcard"] = f"""
+SELECT doc_id,
+  'site' || CAST({hid} AS STRING) || '.test' AS host,
+  '/doc' || CAST(doc_id AS STRING) || '.html' AS path,
+  CASE WHEN ({hid}) % 8 = 3 THEN TRUE
+       WHEN CAST(doc_id AS STRING) LIKE '%7' THEN FALSE
+       WHEN CAST(doc_id AS STRING) LIKE '13%' THEN TRUE
+       WHEN CAST(doc_id AS STRING) LIKE '1%' THEN FALSE
+       ELSE TRUE END AS allowed
 FROM documents
 """
 
@@ -6584,6 +6648,7 @@ QUERIES: dict[str, Callable] = {
     "mime_infer": q_mime_infer,
     "server_mime_retype": q_server_mime_retype,
     "robots_filter": q_robots_filter,
+    "robots_wildcard": q_robots_wildcard,
     "robots_parse": q_robots_parse,
     "sitemap_parse": q_sitemap_parse,
     "feed_parse": q_feed_parse,
