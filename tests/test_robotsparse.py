@@ -202,3 +202,31 @@ def test_wildcard_index_is_broadcast_picklable():
             pd.Series(["h", "h"]), pd.Series(["/x/a.mp4", "/x/a.mp3"]), idx
         )
     ) == [False, True]
+
+
+BODY_WILDCARDS = """User-agent: *
+Disallow: /*.pdf$
+Disallow: /cgi/*/raw
+Allow: /cgi/pub*/raw
+"""
+
+
+def test_parse_to_wildcard_decisions(spark):
+    """parse → build_rule_index → RFC 9309 wildcard decisions: the parser
+    passes * and $ through untouched and the kernel interprets them —
+    the full robots loop handles wildcard lines end-to-end."""
+    rules = _parse(spark, {"w.test": BODY_WILDCARDS})
+    idx = build_rule_index(rules)
+    hosts = pd.Series(["w.test"] * 5)
+    paths = pd.Series(
+        [
+            "/docs/a.pdf",        # anchored block
+            "/docs/a.pdf.html",   # $ rejects the longer path
+            "/cgi/x/raw",         # star-segment block
+            "/cgi/pub9/raw",      # longer allow overrides (13 > 11)
+            "/cgi/pub",           # no rule matches
+        ]
+    )
+    assert list(robots_allowed(hosts, paths, idx)) == [
+        False, True, False, True, True,
+    ]
