@@ -65,7 +65,7 @@ BENCH_QUERIES = [
     "duplicate_spans", "inverted_index", "anchor_text_stats",
     "host_quality_rollup", "training_set_build", "strip_boilerplate",
     "anchor_stats_incremental", "url_alias_groups",
-    "fingerprint", "corpus_clean_pipeline", "corpus_split_stats", "shard_by_tokens", "pack_sequences", "cosine_topk", "ann_ivf_topk", "ann_recall", "embed_neardup",
+    "fingerprint", "corpus_clean_pipeline", "corpus_split_stats", "shard_by_tokens", "seeded_shuffle", "pack_sequences", "cosine_topk", "ann_ivf_topk", "ann_recall", "embed_neardup",
     "embed_neardup_ann", "embed_neardup_incremental",
     "embed_neardup_incr_recall", "neardup_recall", "multimodal_meta",
     "multimodal_audio_meta", "multimodal_video_meta",

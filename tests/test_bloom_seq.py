@@ -95,3 +95,37 @@ def test_shard_by_tokens_partitioning_invariant(spark):
         }
         assert {k: v[1] for k, v in out.items()} == expect, parts
         assert all(out[i][0] == toks[i] for i in range(40))
+
+
+def test_seeded_shuffle_parallelism_invariant_and_spec(spark):
+    """Same seed → identical order at 1/2/8 partitions, matching a plain
+    Python replay of the MINSTD recurrence; a different seed produces a
+    genuinely different permutation of the same position set."""
+    from webcrawl_spark.operators.seq import SHUF_MOD, SHUF_MULT, seeded_shuffle
+
+    ids = list(range(97))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+    def spec(seed):
+        def key(i):
+            r1 = ((i + seed) * SHUF_MULT) % SHUF_MOD
+            return (r1 * SHUF_MULT) % SHUF_MOD
+        ordered = sorted(ids, key=lambda i: (key(i), i))
+        return {i: (key(i), p) for p, i in enumerate(ordered)}
+
+    expected = spec(7)
+    results = []
+    for parts in (1, 2, 8):
+        got = {
+            r.doc_id: (r.shuffle_key, r.shuffle_pos)
+            for r in seeded_shuffle(docs, seed=7, num_partitions=parts).collect()
+        }
+        results.append(got)
+    assert results[0] == results[1] == results[2] == expected
+
+    other = {
+        r.doc_id: r.shuffle_pos
+        for r in seeded_shuffle(docs, seed=8).collect()
+    }
+    assert sorted(other.values()) == list(range(len(ids)))
+    assert other != {i: p for i, (_, p) in expected.items()}

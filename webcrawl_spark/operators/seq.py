@@ -212,3 +212,54 @@ def pack_sequences(
         F.col("e.doc_id").alias("doc_id"),
         F.col("e.n_tokens").alias("n_tokens"),
     )
+
+
+# Lehmer / MINSTD constants for the cross-engine shuffle key: pure BIGINT
+# arithmetic both engines evaluate identically, no float, no engine hash
+SHUF_MULT = 48271
+SHUF_MOD = 2147483647  # 2^31 - 1 (prime)
+
+
+def shuffle_key_sql(id_expr: str, seed: int) -> str:
+    """The seeded shuffle key as ONE SQL string valid in Spark SQL and
+    DuckDB: two MINSTD rounds over (id + seed). Stays inside BIGINT for
+    id + seed < ~1.9e14 (first product < 2^63); collisions are broken by
+    id downstream, so the key only needs dispersion, not uniqueness."""
+    r1 = f"((({id_expr}) + {seed}) * {SHUF_MULT}) % {SHUF_MOD}"
+    return f"(({r1}) * {SHUF_MULT}) % {SHUF_MOD}"
+
+
+def seeded_shuffle(
+    docs: DataFrame,
+    seed: int,
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every document
+    a position 0..N-1 ordered by a seeded integer hash of its id — the
+    step between a packed/sharded corpus and the training loader (a new
+    ``seed`` gives a fresh epoch order; the same seed reproduces it
+    exactly on any cluster). Returns ``(id_col, shuffle_key,
+    shuffle_pos)``.
+
+    The key is two MINSTD rounds (:func:`shuffle_key_sql`) — plain
+    BIGINT arithmetic shared textually with the DuckDB oracle, never an
+    engine hash builtin (Spark's xxhash64 and DuckDB's hash disagree by
+    construction). Position assignment reuses
+    :func:`assign_global_seq`'s distributed prefix sum (range partition
+    by (key, id) → P-row count collect → broadcast offsets →
+    within-partition window) — never a single-partition window; ties on
+    the key break by id, so the order is total and
+    parallelism-invariant."""
+    keyed = docs.select(
+        F.col(id_col),
+        F.expr(shuffle_key_sql(id_col, seed)).cast("long").alias("shuffle_key"),
+    )
+    out = assign_global_seq(
+        keyed,
+        ["shuffle_key", id_col],
+        start=0,
+        out_col="shuffle_pos",
+        num_partitions=num_partitions,
+    )
+    return out.select(id_col, "shuffle_key", "shuffle_pos")

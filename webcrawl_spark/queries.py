@@ -1145,6 +1145,20 @@ def q_shard_by_tokens(spark, sf_dir):
     )
 
 
+SHUFFLE_SEED = 20260820  # engine AND oracle
+
+
+def q_seeded_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle (operators/seq
+    .seeded_shuffle): global position by a seeded two-round MINSTD key
+    shared textually with the oracle — same seed, same order, any
+    parallelism. The oracle is the single ordered window the engine's
+    distributed prefix sum must equal."""
+    from .operators.seq import seeded_shuffle
+
+    return seeded_shuffle(_t(spark, sf_dir, "documents"), seed=SHUFFLE_SEED)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Next-fit sequence packing (operators/seq.pack_sequences): whole
     documents assembled into fixed-capacity training sequences (bins of
@@ -2856,6 +2870,22 @@ FROM marked GROUP BY id
         return _duck_word_ngrams(w, n, distinct=False)
 
     # shard packing oracle: the single-window cumsum DuckDB can afford
+    # seeded shuffle oracle: the same two-round MINSTD key expression
+    # (operators/seq.shuffle_key_sql, shared textually), position from one
+    # ordered window the engine's distributed prefix sum must equal
+    from .operators.seq import shuffle_key_sql as _sks
+
+    sql["seeded_shuffle"] = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST({_sks('doc_id', SHUFFLE_SEED)} AS BIGINT) AS shuffle_key
+  FROM documents)
+SELECT doc_id, shuffle_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+         AS shuffle_pos
+FROM keyed
+"""
+
     # at sf scale — the engine's distributed prefix sum must equal it
     sql["shard_by_tokens"] = f"""
 WITH toks AS (
@@ -6671,6 +6701,7 @@ QUERIES: dict[str, Callable] = {
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
     "shard_by_tokens": q_shard_by_tokens,
+    "seeded_shuffle": q_seeded_shuffle,
     "gopher_filter": q_gopher_filter,
     "topk_terms": q_topk_terms,
     "lang_balanced_sample": q_lang_balanced_sample,
