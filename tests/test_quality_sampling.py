@@ -304,3 +304,29 @@ def test_change_rate_ranks_feed_priority_fold(spark):
         for r in fold_rank_priority(frontier, ranks).collect()
     }
     assert got["http://h.test/hot"] < got["http://h.test/cold"]
+
+
+def test_host_rank_feeds_priority_fold(spark):
+    """The domain-rank loop closes: host_rank output rolled to URL ranks
+    is a valid table for the crawler's shared priority fold — a URL on
+    the high-rank host sorts ahead of a same-class URL on the low-rank
+    host, and the base class still dominates the rank."""
+    from webcrawl_spark.functions.rankprio import fold_rank_priority
+    from webcrawl_spark.operators.graph import host_ranks_to_url_ranks
+
+    host_ranks = spark.createDataFrame(
+        [("big.test", 4_000_000), ("small.test", 160_000)],
+        "host string, hrank long",
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("http://big.test/a", 3),    # same class, high-rank host
+            ("http://small.test/a", 3),  # same class, low-rank host
+            ("http://small.test/r", 2),  # BETTER class, low-rank host
+        ],
+        "url string, priority long",
+    )
+    ranks = host_ranks_to_url_ranks(host_ranks, frontier.select("url"))
+    got = {r.url: r.priority for r in fold_rank_priority(frontier, ranks).collect()}
+    assert got["http://big.test/a"] < got["http://small.test/a"]
+    assert got["http://small.test/r"] < got["http://big.test/a"]

@@ -148,3 +148,35 @@ def star_contract(
             break
         prev_digest = digest
     return cur.select(F.col("u").alias("a"), F.col("v").alias("b"))
+
+
+def host_ranks_to_url_ranks(host_ranks: DataFrame, urls: DataFrame,
+                            rank_div: int = 8) -> DataFrame:
+    """Roll a host-level rank table (``host`` string, ``hrank`` long —
+    the ``host_rank`` / ``trust_rank`` output with ids rendered as
+    hostnames) down to the ``(url, rank)`` table
+    ``functions/rankprio.fold_rank_priority`` / ``config.rank_priority``
+    consumes — the DOMAIN-RANK crawl-budget allocator: within a priority
+    class, URLs on high-rank hosts are fetched first. The third rank
+    producer next to ``recrawl_ranks`` (two-snapshot churn) and
+    ``change_rate_ranks`` (multi-snapshot Poisson estimate); producers
+    compose by summing rank tables (the fold clamps downstream).
+
+    ``rank = hrank div rank_div`` maps PageRank mass (1e6 per node
+    start) into the fold's clamp range; integer division, engine-exact.
+    Host extraction is the same regex ``recrawl_ranks`` uses; ONE
+    uniform-key join on host — a mega-host fans its rank to its URLs in
+    the join (map-side after AQE broadcasts the |hosts|-sized rank
+    table when it measures small; never assumed)."""
+    host = F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1)
+    return (
+        urls.select("url", host.alias("__host"))
+        .join(
+            host_ranks.select(
+                F.col("host").alias("__host"),
+                F.expr(f"CAST(hrank div {rank_div} AS BIGINT)").alias("rank"),
+            ),
+            "__host",
+        )
+        .select("url", "rank")
+    )
