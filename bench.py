@@ -71,7 +71,8 @@ BENCH_QUERIES = [
     "multimodal_audio_meta", "multimodal_video_meta",
     # crawl_host_stats is battery-only: like crawl_bfs_trace it runs a FULL
     # crawl, which the bench measures once as crawl_bfs_full instead
-    "multimodal_frame_patches", "warc_roundtrip", "wat_extract", "cdx_index",
+    "multimodal_frame_patches", "warc_roundtrip", "warc_revisit",
+    "wat_extract", "cdx_index",
     "redirect_resolve",
     "fatal_error_routing", "ngram_jaccard_lsh",
     "hash_classifier", "dsir_weights", "semdedup",

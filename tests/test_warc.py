@@ -229,3 +229,44 @@ def test_wat_blobs_json_envelope_roundtrip(spark):
     raw = gzip.decompress(bytes(blobs.limit(1).collect()[0].content))
     assert b"WARC-Type: metadata" in raw
     assert b"Content-Type: application/json" in raw
+
+
+def test_revisit_blobs_headers_and_classification(spark):
+    """revisit_file_blobs: unchanged url → payload-free revisit record
+    whose HEADER BLOCK carries the identical-payload-digest profile, the
+    urn:md5 payload digest, and the refers-to pointers (fields the
+    generic parser does not surface — verified here on the raw bytes);
+    changed and first-seen urls → full response records."""
+    rows = [
+        # (url, ts, payload, prev_digest, prev_ts)
+        ("http://r.test/same", "2026-08-01T00:00:00Z", b"stable body",
+         __import__("hashlib").md5(b"stable body").hexdigest(),
+         "2026-07-01T00:00:00Z"),
+        ("http://r.test/changed", "2026-08-01T00:00:00Z", b"new body",
+         __import__("hashlib").md5(b"old body").hexdigest(),
+         "2026-07-01T00:00:00Z"),
+        ("http://r.test/fresh", "2026-08-01T00:00:00Z", b"first visit",
+         None, None),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "url string, ts string, payload binary, prev_digest string,"
+        " prev_ts string",
+    )
+    blobs = {r.file_id: bytes(r.content)
+             for r in W.revisit_file_blobs(docs, n_files=1).collect()}
+    raw = gzip.decompress(b"".join(blobs.values()))
+    recs = list(W.parse_warc_stream(raw))
+    by_url = {u: (t, clen, p) for t, u, ts, clen, p in recs if u}
+    assert by_url["http://r.test/same"][0] == "revisit"
+    assert by_url["http://r.test/same"][1] == 0
+    assert by_url["http://r.test/changed"] == ("response", 8, b"new body")
+    assert by_url["http://r.test/fresh"] == ("response", 11, b"first visit")
+
+    # the revisit record's raw header block
+    head = raw.split(b"WARC-Type: revisit", 1)[1].split(b"\r\n\r\n", 1)[0]
+    dig = __import__("hashlib").md5(b"stable body").hexdigest()
+    assert b"WARC-Profile: " + W.REVISIT_PROFILE.encode() in head
+    assert f"WARC-Payload-Digest: urn:md5:{dig}".encode() in head
+    assert b"WARC-Refers-To-Target-URI: http://r.test/same" in head
+    assert b"WARC-Refers-To-Date: 2026-07-01T00:00:00Z" in head

@@ -4731,6 +4731,37 @@ FROM documents
 WHERE text IS NOT NULL
 """
 
+    # revisit oracle: WARC-blind closed form of the mixed record stream —
+    # classification from the perturbation formulas, revisit rows pinned
+    # to zero octets and the empty-payload digest
+    sql["warc_revisit"] = f"""
+WITH cur AS (
+  SELECT doc_id, text,
+    CASE WHEN doc_id % {SNAP_CHG_MOD} = 0 THEN text || 'v2' ELSE text END
+      AS body,
+    doc_id % {SNAP_CHG_MOD} = 0 AS changed
+  FROM documents WHERE text IS NOT NULL AND doc_id % {SNAP_DEL_MOD} <> 3),
+refetched AS (
+  SELECT 'http://w' || cast(doc_id % 16 AS varchar) || '.example/doc/'
+           || cast(doc_id AS varchar) AS url,
+    CASE WHEN changed THEN 'response' ELSE 'revisit' END AS record_type,
+    '{REVISIT_TS}' AS warc_ts,
+    CASE WHEN changed THEN CAST(octet_length(encode(body)) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS content_length,
+    CASE WHEN changed THEN md5(body) ELSE md5('') END AS payload_md5
+  FROM cur),
+fresh AS (
+  SELECT 'http://w' || cast((doc_id + {SNAP_NEW_OFS}) % 16 AS varchar)
+           || '.example/doc/' || cast(doc_id + {SNAP_NEW_OFS} AS varchar)
+           AS url,
+    'response' AS record_type,
+    '{REVISIT_TS}' AS warc_ts,
+    CAST(octet_length(encode('fresh' || text)) AS BIGINT) AS content_length,
+    md5('fresh' || text) AS payload_md5
+  FROM documents WHERE text IS NOT NULL AND doc_id < {SNAP_NEW_N})
+SELECT * FROM refetched UNION ALL SELECT * FROM fresh
+"""
+
     # the WET round-trip oracle is WET-blind for the same reason: the
     # conversion-record serializer∘parser must be identity on the
     # extracted text, so expected output restates the input fields
@@ -5499,6 +5530,62 @@ def q_warc_roundtrip(spark, sf_dir):
         "url",
         "warc_ts",
         "content_length",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+REVISIT_TS = "2026-08-01T00:00:00Z"
+REVISIT_PREV_TS = "2026-07-01T00:00:00Z"
+
+
+def q_warc_revisit(spark, sf_dir):
+    """WARC revisit layer (sources/warc.revisit_file_blobs, ISO 28500
+    §6.7.2 identical-payload-digest — Common Crawl's dedup'd refetch
+    records): the snapshot-diff scenario written as an archive. The
+    previous capture's digest table joins today's fetches; unchanged
+    pages serialize as payload-free ``revisit`` records, changed and
+    first-seen pages as full responses; the generic parser reads the
+    mixed archive back. The oracle is WARC-blind: it restates type /
+    byte length / payload digest per url straight from the perturbation
+    formulas (changed = d%{chg}=0, vanished = d%{del}=3, fresh = d <
+    {new}). A hash match proves the classification AND
+    serializer∘parser identity on the mixed record stream."""
+    d = _t(spark, sf_dir, "documents").filter("text is not null")
+    url = F.concat(
+        F.lit("http://w"), (F.col("doc_id") % 16).cast("string"),
+        F.lit(".example/doc/"), F.col("doc_id").cast("string"),
+    )
+    fresh_id = F.col("doc_id") + SNAP_NEW_OFS
+    url_fresh = F.concat(
+        F.lit("http://w"), (fresh_id % 16).cast("string"),
+        F.lit(".example/doc/"), fresh_id.cast("string"),
+    )
+    prev = d.select(
+        url.alias("url"),
+        F.md5("text").alias("prev_digest"),
+        F.lit(REVISIT_PREV_TS).alias("prev_ts"),
+    )
+    body = F.when(
+        (F.col("doc_id") % SNAP_CHG_MOD) == 0,
+        F.concat(F.col("text"), F.lit("v2")),
+    ).otherwise(F.col("text"))
+    cur = d.filter(f"doc_id % {SNAP_DEL_MOD} <> 3").select(
+        url.alias("url"),
+        F.lit(REVISIT_TS).alias("ts"),
+        F.encode(body, "UTF-8").alias("payload"),
+    )
+    fresh = d.filter(f"doc_id < {SNAP_NEW_N}").select(
+        url_fresh.alias("url"),
+        F.lit(REVISIT_TS).alias("ts"),
+        F.encode(F.concat(F.lit("fresh"), F.col("text")), "UTF-8").alias(
+            "payload"
+        ),
+    )
+    docs2 = cur.unionByName(fresh).join(prev, "url", "left")
+    blobs = WARC.revisit_file_blobs(docs2, n_files=WARC_N_FILES)
+    recs = WARC.records_from_blobs(blobs, "file_id", "content")
+    return recs.filter("record_type <> 'warcinfo'").select(
+        "url", "record_type", "warc_ts", "content_length",
         F.md5("payload").alias("payload_md5"),
     )
 
@@ -6750,6 +6837,7 @@ QUERIES: dict[str, Callable] = {
     "multimodal_video_meta": q_multimodal_video_meta,
     "multimodal_frame_patches": q_multimodal_frame_patches,
     "warc_roundtrip": q_warc_roundtrip,
+    "warc_revisit": q_warc_revisit,
     "cdx_index": q_cdx_index,
     "crawl_host_stats": q_crawl_host_stats,
     "redirect_resolve": q_redirect_resolve,

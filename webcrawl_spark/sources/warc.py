@@ -503,3 +503,68 @@ def wet_file_blobs(docs: DataFrame, n_files: int = 16) -> DataFrame:
         )
 
     return d.groupBy("file_id").applyInPandas(_build, FILE_BLOB_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# revisit layer (CC's deduplicated refetch records)
+# ---------------------------------------------------------------------------
+
+REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
+def revisit_file_blobs(docs: DataFrame, n_files: int = 16) -> DataFrame:
+    """Dedup-aware WARC writing — the REVISIT layer (ISO 28500 §6.7.2,
+    the ``identical-payload-digest`` profile Common Crawl applies to
+    unchanged refetches): a page whose payload digest equals the
+    previous capture's becomes a ``revisit`` record with an EMPTY
+    payload and ``WARC-Payload-Digest`` / ``WARC-Refers-To-Target-URI``
+    / ``WARC-Refers-To-Date`` headers pointing at that capture; changed
+    and first-seen pages get full ``response`` records. At CC scale the
+    revisit layer is most of the archive's dedup win — unchanged bodies
+    are stored once per epoch, not once per crawl.
+
+    ``docs`` rows: ``(url, ts, payload, prev_digest, prev_ts)`` with
+    ``prev_*`` NULL when the url was not previously captured (the
+    persisted digest table is the dedup analog of the frontier seen
+    set). The digest comparison is a JVM ``md5`` projection BEFORE the
+    Arrow stage; grouping/serialization mirror
+    :func:`warc_file_blobs` (one gzip member per record, mtime=0,
+    url-sorted within file — byte-deterministic)."""
+    d = docs.withColumn(
+        "__revisit",
+        F.col("prev_digest").isNotNull()
+        & (F.md5("payload") == F.col("prev_digest")),
+    ).withColumn(
+        "file_id", F.pmod(F.xxhash64("url"), F.lit(n_files)).cast("int")
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["file_id"].iloc[0])
+        pdf = pdf.sort_values("url", kind="mergesort")
+        records = []
+        for u, ts, p, pdig, pts, rev in zip(
+            pdf["url"], pdf["ts"], pdf["payload"], pdf["prev_digest"],
+            pdf["prev_ts"], pdf["__revisit"],
+        ):
+            ts_s = None if ts is None or pd.isna(ts) else str(ts)
+            if bool(rev):
+                records.append(
+                    (
+                        "revisit", u, ts_s, b"",
+                        [
+                            ("WARC-Profile", REVISIT_PROFILE),
+                            ("WARC-Payload-Digest", f"urn:md5:{pdig}"),
+                            ("WARC-Refers-To-Target-URI", u),
+                            ("WARC-Refers-To-Date", str(pts)),
+                        ],
+                    )
+                )
+            else:
+                records.append(("response", u, ts_s, bytes(p)))
+        return pd.DataFrame(
+            {"file_id": [fid], "content": [build_warc_file(records)]}
+        )
+
+    return d.groupBy("file_id").applyInPandas(_build, FILE_BLOB_SCHEMA)
