@@ -45,7 +45,7 @@ BENCH_QUERIES = [
     "mime_infer", "server_mime_retype",
     "robots_filter", "robots_wildcard", "robots_parse", "sitemap_parse",
     "nofollow_gate",
-    "rel_canonical",
+    "rel_canonical", "meta_refresh",
     "feed_parse", "url_discovery", "change_rate",
     "politeness_topk", "politeness_topk_ranked", "seen_antijoin", "min_depth_merge",
     "global_budget_limit", "query_string_cap", "retry_union",

@@ -69,3 +69,35 @@ def test_seen_antijoin(spark):
     assert "http://a.test/blog/1" not in rows
     assert "http://a.test/maps/a.xml" not in rows
     assert len(rows) == 3
+
+
+def test_refresh_fourth_edge(spark):
+    """pages= adds meta-refresh targets as the fourth edge: resolved
+    targets enter the union (deduped against the other edges, source-
+    tagged), unresolved relatives never do."""
+    one = lambda body: spark.createDataFrame(  # noqa: E731
+        [("a.test", body)], "host string, body string"
+    )
+    pages = spark.createDataFrame(
+        [
+            # absolute target duplicating a feed entry → sources merge
+            ("http://p.test/a",
+             '<meta http-equiv="refresh" content="0;url=http://a.test/blog/1">'),
+            # root-relative resolves against the page origin
+            ("http://p.test/b",
+             '<meta http-equiv="refresh" content="3;url=/landing.html">'),
+            # path-relative stays unresolved → contributes nothing
+            ("http://p.test/c",
+             '<meta http-equiv="refresh" content="1;url=rel.html">'),
+            ("http://p.test/d", "<html>no refresh</html>"),
+        ],
+        "url string, text string",
+    )
+    out = discover_urls(
+        one(ROBOTS), one(SITEMAP_INDEX), one(FEED), None, pages=pages
+    ).toPandas()
+    rows = {r.loc: (r.sources, r.n_refs) for r in out.itertuples()}
+    assert rows["http://a.test/blog/1"] == ("feed+refresh", 2)
+    assert rows["http://p.test/landing.html"] == ("refresh", 1)
+    assert not any("rel.html" in k for k in rows)
+    assert len(rows) == 6

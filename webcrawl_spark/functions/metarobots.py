@@ -86,6 +86,54 @@ def gated_links(
 # meta-robots and rel=nofollow
 LINK_CANONICAL_RE = '(?i)<link\\s+rel="canonical"\\s+href="([^"]*)"'
 
+# meta refresh (the fourth in-page directive): delay;url=target
+META_REFRESH_RE = (
+    '(?i)<meta\\s+http-equiv="refresh"\\s+content="'
+    '(\\d+)\\s*;\\s*url=([^"]+)"'
+)
+# an absolute URI (scheme present) / the page's scheme://host origin
+_ABS_URI_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
+_ORIGIN_RE = "^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)"
+
+
+def meta_refresh(
+    pages: DataFrame, text_col: str = "text", url_col: str = "url"
+) -> DataFrame:
+    """``<meta http-equiv="refresh">`` client-side redirects — a URL
+    discovery edge the reference's five scan regexes never read
+    (Crawler.cs:2190-2200 extracts only the meta CHARSET): production
+    crawlers follow refresh targets as redirects and corpus pipelines
+    treat an instant refresh (delay 0) as an alias. One row per
+    declaring page: ``(url, delay_s, target_raw, target)`` — ``target``
+    resolves absolute and root-relative ('/path') forms against the
+    page's origin; other relative forms keep ``target = NULL`` (the
+    documented subset — full RFC 3986 merging lives in the fetch-path
+    kernel, not this zero-exchange projection)."""
+    delay = F.regexp_extract(F.col(text_col), META_REFRESH_RE, 1)
+    raw = F.regexp_extract(F.col(text_col), META_REFRESH_RE, 2)
+    origin = F.regexp_extract(F.col(url_col), _ORIGIN_RE, 1)
+    resolved = (
+        F.when(raw.rlike(_ABS_URI_RE), raw)
+        # protocol-relative '//host/x' is NOT root-relative — unresolved
+        .when(raw.startswith("//"), F.lit(None).cast("string"))
+        .when(raw.startswith("/"), F.concat(origin, raw))
+    )
+    return (
+        pages.select(
+            F.col(url_col).alias("url"),
+            delay.alias("__delay"),
+            raw.alias("target_raw"),
+            resolved.alias("target"),
+        )
+        .filter(F.col("target_raw") != "")
+        .select(
+            "url",
+            F.col("__delay").cast("long").alias("delay_s"),
+            "target_raw",
+            "target",
+        )
+    )
+
 
 def rel_canonical(
     pages: DataFrame, text_col: str = "text", url_col: str = "url"

@@ -1,4 +1,4 @@
-"""URL-discovery union: the three ingestion edges → one frontier feed.
+"""URL-discovery union: the out-of-band ingestion edges → one frontier feed.
 
 The reference discovers URLs from exactly one channel — scanning fetched
 bodies (Crawler.cs ``ScanForLinks``, the five regexes in kernels/links.py).
@@ -10,6 +10,8 @@ implemented as its own single-scan parser:
 - ``sitemap.parse_sitemaps`` — ``<urlset>`` page URLs and
   ``<sitemapindex>`` child sitemaps
 - ``feeds.parse_feeds`` — RSS 2.0 / Atom syndication entries
+- ``metarobots.meta_refresh`` (optional 4th edge) — in-page
+  ``<meta http-equiv="refresh">`` client-side redirect targets
 
 This operator is the capstone that merges them into ONE deduplicated
 candidate table ``(host, loc, sources, n_refs)`` and optionally anti-joins
@@ -46,10 +48,14 @@ def discover_urls(
     sitemap_bodies: DataFrame,
     feed_bodies: DataFrame,
     seen: DataFrame | None = None,
+    pages: DataFrame | None = None,
 ) -> DataFrame:
-    """Union the three discovery edges into one deduplicated candidate
-    table. ``seen`` (a one-column ``url`` frame, e.g. ``SparkCrawler
-    .seen()``'s keys) removes already-crawled URLs via left-anti join."""
+    """Union the discovery edges into one deduplicated candidate table.
+    ``seen`` (a one-column ``url`` frame, e.g. ``SparkCrawler.seen()``'s
+    keys) removes already-crawled URLs via left-anti join. ``pages``
+    (url, text) adds the FOURTH edge: ``<meta http-equiv="refresh">``
+    client-side redirect targets (``functions/metarobots.meta_refresh``
+    — resolved targets only), source-tagged ``refresh``."""
     rb = sitemap_urls(robots_bodies).select(
         "host",
         F.col("sitemap_url").alias("loc"),
@@ -65,9 +71,24 @@ def discover_urls(
     fd = parse_feeds(feed_bodies).select(
         "host", "loc", F.lit("feed").alias("source")
     )
+    edges = rb.unionByName(sm).unionByName(fd)
+    if pages is not None:
+        from ..functions.metarobots import meta_refresh
+
+        mr = (
+            meta_refresh(pages)
+            .filter(F.col("target").isNotNull())
+            .select(
+                F.regexp_extract(
+                    "target", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1
+                ).alias("host"),
+                F.col("target").alias("loc"),
+                F.lit("refresh").alias("source"),
+            )
+        )
+        edges = edges.unionByName(mr)
     out = (
-        rb.unionByName(sm)
-        .unionByName(fd)
+        edges
         .groupBy("host", "loc")
         .agg(
             F.array_join(F.sort_array(F.collect_set("source")), "+").alias(

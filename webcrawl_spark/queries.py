@@ -1490,6 +1490,40 @@ def q_rel_canonical(spark, sf_dir):
     return rel_canonical(pages)
 
 
+def q_meta_refresh(spark, sf_dir):
+    """Meta-refresh redirect extraction (functions/metarobots
+    .meta_refresh): the fourth in-page directive and the fourth
+    discovery edge (operators/discovery.discover_urls ``pages=``). The
+    fixture ladder exercises absolute targets, root-relative resolution
+    against the page origin, protocol-relative and path-relative forms
+    that must stay unresolved (NULL target), delay parsing with spaces,
+    case variants, and undeclared pages (absent from the output). The
+    oracle restates every row in CLOSED FORM from the id formulas."""
+    meta = """
+      CASE CAST(doc_id % 5 AS INT)
+        WHEN 1 THEN concat('<meta http-equiv="refresh" content="0;url=',
+          'http://ext', cast(doc_id % 9 as string), '.test/land',
+          cast(doc_id as string), '.html">')
+        WHEN 2 THEN concat('<META HTTP-EQUIV="refresh" CONTENT="5 ; url=',
+          '/next', cast(doc_id as string), '.html">')
+        WHEN 3 THEN '<meta http-equiv="refresh" content="30;url=//cdn.test/x">'
+        WHEN 4 THEN '<meta http-equiv="refresh" content="2;url=relative.html">'
+        ELSE '' END"""
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://s"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".test/page"), F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+        F.expr(
+            f"concat('<html><head>', {meta}, '</head><body>b</body></html>')"
+        ).alias("text"),
+    )
+    from .functions.metarobots import meta_refresh
+
+    return meta_refresh(pages)
+
+
 PHRASE_QUERY = ("value", "table")   # engine AND oracle
 PHRASE_TOPK = 20
 
@@ -2960,6 +2994,34 @@ LIMIT {PMI_TOP_K}
     # nofollow_gate oracle: every flag restated in closed form from the
     # fixture's id formulas — the engine's regex extraction and gating
     # rule must reproduce the generating function exactly
+    # meta_refresh oracle: declaring pages only, delay/raw/resolved all
+    # in closed form — root-relative resolves against the page origin,
+    # protocol-relative and path-relative stay NULL
+    sql["meta_refresh"] = """
+WITH base AS (
+  SELECT doc_id,
+    'http://s' || CAST(doc_id % 7 AS STRING) || '.test/page'
+      || CAST(doc_id AS STRING) || '.html' AS url,
+    'http://s' || CAST(doc_id % 7 AS STRING) || '.test' AS origin,
+    CAST(doc_id % 5 AS INT) AS k
+  FROM documents WHERE doc_id % 5 <> 0)
+SELECT url,
+  CAST(CASE k WHEN 1 THEN 0 WHEN 2 THEN 5 WHEN 3 THEN 30 ELSE 2 END
+       AS BIGINT) AS delay_s,
+  CASE k
+    WHEN 1 THEN 'http://ext' || CAST(doc_id % 9 AS STRING) || '.test/land'
+                || CAST(doc_id AS STRING) || '.html'
+    WHEN 2 THEN '/next' || CAST(doc_id AS STRING) || '.html'
+    WHEN 3 THEN '//cdn.test/x'
+    ELSE 'relative.html' END AS target_raw,
+  CASE k
+    WHEN 1 THEN 'http://ext' || CAST(doc_id % 9 AS STRING) || '.test/land'
+                || CAST(doc_id AS STRING) || '.html'
+    WHEN 2 THEN origin || '/next' || CAST(doc_id AS STRING) || '.html'
+    ELSE NULL END AS target
+FROM base
+"""
+
     # rel_canonical oracle: the elected canonical in CLOSED FORM from the
     # fixture's id ladder (empty-href and explicit-self both collapse to
     # self; only d%3<>0 non-special docs point at their group head), the
@@ -6887,6 +6949,7 @@ QUERIES: dict[str, Callable] = {
     "pmi_collocations": q_pmi_collocations,
     "nofollow_gate": q_nofollow_gate,
     "rel_canonical": q_rel_canonical,
+    "meta_refresh": q_meta_refresh,
     "pmi_incremental": q_pmi_incremental,
 }
 
