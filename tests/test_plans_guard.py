@@ -493,3 +493,63 @@ def test_ccnet_buckets_sketch_thresholds_no_corpus_window(spark):
     # the only Sort+Window pair belongs to the sketch-side quantile
     # interpolation — bounded by |langs|·CCNET_B rows, not the corpus
     assert _nodes(p, "Window") <= 2
+
+
+def test_phrase_search_single_scan_fold_jvm_only(spark):
+    """phrase_search: ONE corpus scan + ONE Generate (the token explode),
+    the adjacency fold is pure projection (no join chain), top-k is
+    TakeOrdered, no Python anywhere."""
+    import webcrawl_spark.queries as Q
+
+    p = _plan(Q.QUERIES["phrase_search"](spark, SF))
+    assert "EvalPython" not in p
+    assert _nodes(p, "Scan parquet") == 1
+    assert _nodes(p, "Generate") == 1
+    assert _nodes(p, "TakeOrderedAndProject") == 1
+    assert _nodes(p, "SortMergeJoin") == 0 and _nodes(p, "BroadcastHashJoin") == 0
+
+
+def test_host_trust_rank_uniform_key_jvm_only(spark):
+    """host_rank / trust_rank: per-iteration uniform-key aggregates +
+    joins, zero Python, no cartesian products."""
+    import webcrawl_spark.queries as Q
+
+    for name in ("host_rank", "trust_rank"):
+        p = _plan(Q.QUERIES[name](spark, SF))
+        assert "EvalPython" not in p, name
+        assert _nodes(p, "CartesianProduct") == 0, name
+
+
+def test_rel_canonical_election_zero_exchange_before_rollup(spark):
+    """rel_canonical: the election is projection-only; the only
+    exchanges belong to the rollup aggregate + member join."""
+    from webcrawl_spark.functions.metarobots import rel_canonical
+
+    df = spark.createDataFrame([("u", "t")], "url string, text string")
+    p = _plan(rel_canonical(df))
+    assert "EvalPython" not in p
+    assert _nodes(p, "Generate") == 0
+
+
+def test_meta_refresh_zero_exchange_zero_python(spark):
+    from webcrawl_spark.functions.metarobots import meta_refresh
+
+    df = spark.createDataFrame([("u", "t")], "url string, text string")
+    p = _plan(meta_refresh(df))
+    assert "EvalPython" not in p
+    assert _nodes(p, "Exchange") == 0
+    assert _nodes(p, "Generate") == 0
+
+
+def test_seeded_shuffle_range_partition_no_global_window(spark):
+    """seeded_shuffle: range exchange + within-partition window — never a
+    single-partition global sort window."""
+    from webcrawl_spark.operators.seq import seeded_shuffle
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    p = _plan(seeded_shuffle(docs, seed=1))
+    assert "EvalPython" not in p
+    # the plan reads the post-range-repartition checkpoint (ExistingRDD);
+    # the position window partitions by __pid — never SinglePartition
+    assert "hashpartitioning(__pid" in p
+    assert "SinglePartition" not in p
