@@ -540,3 +540,67 @@ def test_stream_feed_discovery_equal_batch(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_revisit_classify_equals_batch(spark, tmp_path):
+    """Revisit-at-ingest: pages arriving as THREE micro-batches must get
+    exactly the one-shot classification — per-row verdicts depend only
+    on the row's digest and the static previous-capture table."""
+    base = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 120")
+    )
+    # previous capture: digests of docs < 100 as-fetched
+    prev = base.filter("doc_id < 100").select(
+        F.expr("concat('http://r.test/', doc_id)").alias("url"),
+        F.md5("text").alias("prev_digest"),
+        F.lit("2026-07-01T00:00:00Z").alias("prev_ts"),
+    )
+    # today's fetch: every 4th doc changed; docs >= 100 are first-seen
+    pages = base.select(
+        F.expr("concat('http://r.test/', doc_id)").alias("url"),
+        F.lit("2026-08-01T00:00:00Z").alias("ts"),
+        F.encode(
+            F.when(
+                F.col("doc_id") % 4 == 0, F.concat("text", F.lit("v2"))
+            ).otherwise(F.col("text")),
+            "UTF-8",
+        ).alias("payload"),
+        F.col("doc_id"),
+    )
+    stage = tmp_path / "pages_stage"
+    stage.mkdir()
+    for i in range(3):
+        pages.filter(f"doc_id % 3 = {i}").drop("doc_id").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(stage))
+
+    out = tmp_path / "verdicts_out"
+    q = SE.stream_revisit_classify(
+        spark, str(stage), prev, str(out), "revisit_stream_t"
+    )
+    _drain(q)
+
+    got = {
+        r.url: r.record_type for r in spark.read.parquet(str(out)).collect()
+    }
+    want = {
+        r.url: r.record_type
+        for r in pages.join(prev, "url", "left")
+        .select(
+            "url",
+            F.when(
+                F.col("prev_digest").isNotNull()
+                & (F.md5("payload") == F.col("prev_digest")),
+                F.lit("revisit"),
+            ).otherwise(F.lit("response")).alias("record_type"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) == 120
+    # spot-pin the three verdict classes from the construction
+    assert got["http://r.test/1"] == "revisit"      # unchanged, seen
+    assert got["http://r.test/4"] == "response"     # changed
+    assert got["http://r.test/110"] == "response"   # first-seen

@@ -453,3 +453,54 @@ def stream_feed_discovery(
         .outputMode("complete")
         .start()
     )
+
+
+def stream_revisit_classify(
+    spark: SparkSession, stage_dir: str, prev_digests: DataFrame,
+    out_dir: str, query_name: str,
+) -> "StreamingQuery":
+    """Streaming revisit classification at ingest: each micro-batch of
+    fetched pages joins the PERSISTED previous-capture digest table
+    (``url``, ``prev_digest``, ``prev_ts``) and appends
+    ``(url, ts, record_type)`` verdicts to ``out_dir`` — ``revisit``
+    when the payload digest matches the prior capture, ``response``
+    otherwise — the streaming half of the WARC revisit layer
+    (``sources/warc.revisit_file_blobs``), for archive pipelines that
+    classify while the crawl is still running instead of in one batch.
+
+    Same design as ``stream_neardup_flags``: ``foreachBatch`` against
+    STATIC state (no streaming-join state accumulates), per-document
+    verdicts are batch-split-invariant by construction (each row's
+    verdict depends only on its own digest + the static table), so the
+    drained stream equals the one-shot classification (asserted in
+    tests)."""
+    schema = spark.read.parquet(stage_dir).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+
+    def _classify(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            batch_df.join(prev_digests, "url", "left")
+            .select(
+                "url",
+                "ts",
+                F.when(
+                    F.col("prev_digest").isNotNull()
+                    & (F.md5("payload") == F.col("prev_digest")),
+                    F.lit("revisit"),
+                )
+                .otherwise(F.lit("response"))
+                .alias("record_type"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_classify)
+        .queryName(query_name)
+        .start()
+    )
