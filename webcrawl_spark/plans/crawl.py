@@ -558,11 +558,10 @@ def _frontier_removal(crawler: "SparkCrawler", pattern: str, allow_requeue: bool
         consolidated = seen.join(
             removed_keys, ["host", "url_key"], "left_anti"
         ).localCheckpoint(eager=True)
-        for r in range(k + 1):
-            d = st._dir("seen", r)
-            if os.path.exists(d):
-                shutil.rmtree(d)
-        st.write_table("seen", k, consolidated)
+        # crash-safe wholesale rewrite via the compaction marker flip
+        # (state.replace_table) — the new seen content is published
+        # atomically, never a delete-then-write window
+        st.replace_table("seen", k, consolidated)
         # bloom has no deletes: drop sidecars so the next run() rebuilds
         bdir = os.path.join(st.root, "bloom")
         if os.path.exists(bdir):

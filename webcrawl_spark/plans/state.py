@@ -122,10 +122,9 @@ class CrawlState:
         return self.spark.read.schema(schema).parquet(self._dir(table, rnd))
 
     def read_seen(self, upto_round: int) -> DataFrame:
-        paths = self._paths("seen", upto_round)
-        if not paths:
-            return self.spark.createDataFrame([], schemas.SEEN)
-        return self.spark.read.schema(schemas.SEEN).parquet(*paths)
+        return self._read_delta(
+            "seen", upto_round, schemas.SEEN, "first_round"
+        )
 
     def read_pq(self, upto_round: int) -> DataFrame:
         """(host, path) → distinct-query counts, derived from seen."""
@@ -136,14 +135,117 @@ class CrawlState:
         )
 
     def read_fetch_log(self, upto_round: int) -> DataFrame:
-        paths = self._paths("fetch_log", upto_round)
-        if not paths:
-            return self.spark.createDataFrame([], schemas.FETCH_LOG)
-        return self.spark.read.schema(schemas.FETCH_LOG).parquet(*paths)
+        return self._read_delta(
+            "fetch_log", upto_round, schemas.FETCH_LOG, "round"
+        )
 
-    def _paths(self, table: str, upto_round: int) -> list[str]:
+    def _paths(self, table: str, lo: int, upto_round: int) -> list[str]:
         return [
             self._dir(table, k)
-            for k in range(upto_round + 1)
+            for k in range(lo, upto_round + 1)
             if os.path.exists(self._dir(table, k))
         ]
+
+    def _read_delta(self, table, upto_round, schema, round_col) -> DataFrame:
+        """Marker-aware delta read: the compacted file (if any) serves
+        rounds ≤ its watermark (filtered by the in-row round column, so
+        any ``upto_round`` is correct), per-round dirs ABOVE the
+        watermark union on top. Round dirs at or below the watermark are
+        IGNORED even if present — they are compaction leftovers from a
+        crash between marker flip and cleanup (see :meth:`compact`)."""
+        info = self._compact_info(table)
+        frames = []
+        lo = 0
+        if info is not None:
+            c_upto, gen = info
+            cdf = self.spark.read.schema(schema).parquet(
+                self._compact_dir(table, gen)
+            )
+            frames.append(cdf.filter(F.col(round_col) <= upto_round))
+            lo = c_upto + 1
+        paths = self._paths(table, lo, upto_round)
+        if paths:
+            frames.append(self.spark.read.schema(schema).parquet(*paths))
+        if not frames:
+            return self.spark.createDataFrame([], schema)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    # ---------------- compaction (offline maintenance) ----------------
+    # The Iceberg rewrite_data_files analog: per-round delta dirs merge
+    # into one compacted file set, bounding resume/read cost at O(1)
+    # dirs instead of O(rounds). Crash-safe via a generation marker
+    # written atomically LAST (the manifest pattern): until the marker
+    # flips, reads ignore the new compacted dir; after it flips, reads
+    # ignore the now-stale round dirs, which the next compact() deletes.
+
+    def _compact_dir(self, table: str, gen: int) -> str:
+        return os.path.join(self.root, table, f"compacted-{gen}")
+
+    def _compact_marker_path(self, table: str) -> str:
+        return os.path.join(self.root, "_manifests", f"compact-{table}.json")
+
+    def _compact_info(self, table: str):
+        """(upto_round, generation) of the live compaction, or None."""
+        p = self._compact_marker_path(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            d = json.load(f)
+        return d["upto"], d["gen"]
+
+    def compact(self, table: str, upto_round: int) -> None:
+        """Merge ``table``'s per-round delta dirs 0..``upto_round`` (plus
+        any previous compaction) into one compacted dir. Offline
+        maintenance — run between crawls, never mid-round. Safe at any
+        crash point: data is written first, the marker flips atomically,
+        cleanup of superseded dirs is best-effort and retried by the
+        next compaction."""
+        round_col = {"seen": "first_round", "fetch_log": "round"}[table]
+        schema = {"seen": schemas.SEEN, "fetch_log": schemas.FETCH_LOG}[table]
+        info = self._compact_info(table)
+        gen = 0 if info is None else info[1] + 1
+        merged = self._read_delta(table, upto_round, schema, round_col)
+        merged.write.mode("overwrite").parquet(self._compact_dir(table, gen))
+        tmp = self._compact_marker_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"upto": upto_round, "gen": gen}, f)
+        os.replace(tmp, self._compact_marker_path(table))
+        # best-effort cleanup of superseded storage
+        import shutil
+
+        if info is not None:
+            shutil.rmtree(
+                self._compact_dir(table, info[1]), ignore_errors=True
+            )
+        for k in range(upto_round + 1):
+            d = self._dir(table, k)
+            if os.path.exists(d):
+                shutil.rmtree(d, ignore_errors=True)
+
+    def replace_table(self, table: str, rnd: int, df: DataFrame) -> None:
+        """Rewrite ``table`` wholesale (the requeue/removal path's seen
+        consolidation) via the compaction protocol: the new content
+        becomes the next compacted generation with watermark ``rnd``,
+        published by the atomic marker flip — crash-safe at every point,
+        unlike a delete-then-write of the round dirs (which the previous
+        implementation did and could lose the table between the two)."""
+        import shutil
+
+        info = self._compact_info(table)
+        gen = 0 if info is None else info[1] + 1
+        df.write.mode("overwrite").parquet(self._compact_dir(table, gen))
+        tmp = self._compact_marker_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"upto": rnd, "gen": gen}, f)
+        os.replace(tmp, self._compact_marker_path(table))
+        if info is not None:
+            shutil.rmtree(
+                self._compact_dir(table, info[1]), ignore_errors=True
+            )
+        for k in range(rnd + 1):
+            d = self._dir(table, k)
+            if os.path.exists(d):
+                shutil.rmtree(d, ignore_errors=True)
