@@ -56,6 +56,11 @@ def main(argv=None):
                     "url + rank — e.g. a link_pagerank output); enables "
                     "rank-weighted frontier priority within the html/binary "
                     "class")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the run, merge the per-round seen and "
+                         "fetch_log delta dirs into one compacted "
+                         "generation (state.compact) — bounds resume cost "
+                         "for long crawls; crash-safe marker protocol")
     args = ap.parse_args(argv)
 
     seeds = list(args.seeds)
@@ -117,6 +122,10 @@ def main(argv=None):
         ranks=ranks,
     )
     m = crawler.run(max_rounds=args.max_rounds)
+    if args.compact:
+        crawler.state.compact("seen", m.next_round)
+        if m.next_round > 0:
+            crawler.state.compact("fetch_log", m.next_round - 1)
     print(json.dumps({
         "rounds": m.next_round,
         "urls_fetched_or_errored": m.next_fetch_seq,
