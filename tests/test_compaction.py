@@ -118,3 +118,21 @@ def test_remove_requeue_after_compaction(spark, tmp_path):
     after = _seen(c)
     assert len(after) < len(before)     # queued keys were requeued away
     assert set(after) <= set(before)    # and nothing else changed
+
+
+def test_compacted_read_pushes_round_filter_to_parquet(spark, tmp_path):
+    """The watermark filter on the in-row round column must reach the
+    parquet scan (PushedFilters) — at scale the compacted file is read
+    with rowgroup pruning, not post-scan filtering."""
+    import contextlib
+    import io
+
+    _, _, _, c, m = _crawl(spark, tmp_path, "a")
+    c.state.compact("seen", m.next_round)
+    df = c.state.read_seen(1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "LessThanOrEqual(first_round,1" in pushed[0]
