@@ -136,3 +136,19 @@ def test_compacted_read_pushes_round_filter_to_parquet(spark, tmp_path):
     plan = buf.getvalue()
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed and "LessThanOrEqual(first_round,1" in pushed[0]
+
+
+def test_vacuum_frontier_keeps_live_resume_identical(spark, tmp_path):
+    fx, pages, cfg, c1, m = _crawl(spark, tmp_path, "a", max_rounds=2)
+    assert not m.done
+    removed = c1.state.vacuum_frontier(m.next_round)
+    assert removed == m.next_round  # every superseded snapshot deleted
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "a"), "frontier", f"round={m.next_round}")
+    )
+    c1b = SparkCrawler(spark, pages, fx.seeds, str(tmp_path / "a"), cfg)
+    c1b.run()
+    c2 = SparkCrawler(spark, pages, fx.seeds, str(tmp_path / "b"), cfg)
+    c2.run()
+    assert _trace(c1b) == _trace(c2)
+    assert _seen(c1b) == _seen(c2)

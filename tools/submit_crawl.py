@@ -126,6 +126,7 @@ def main(argv=None):
         crawler.state.compact("seen", m.next_round)
         if m.next_round > 0:
             crawler.state.compact("fetch_log", m.next_round - 1)
+        crawler.state.vacuum_frontier(m.next_round)
     print(json.dumps({
         "rounds": m.next_round,
         "urls_fetched_or_errored": m.next_fetch_seq,

@@ -225,6 +225,22 @@ class CrawlState:
             if os.path.exists(d):
                 shutil.rmtree(d, ignore_errors=True)
 
+    def vacuum_frontier(self, live_round: int) -> int:
+        """Delete frontier snapshots BEFORE ``live_round`` (each round's
+        frontier is a full snapshot — only the live one feeds resume;
+        older ones are superseded, kept only for debugging). Returns the
+        number of snapshot dirs removed. Safe at any point: the live
+        snapshot is never touched, and a re-run re-deletes leftovers."""
+        import shutil
+
+        removed = 0
+        for k in range(live_round):
+            d = self._dir("frontier", k)
+            if os.path.exists(d):
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+        return removed
+
     def replace_table(self, table: str, rnd: int, df: DataFrame) -> None:
         """Rewrite ``table`` wholesale (the requeue/removal path's seen
         consolidation) via the compaction protocol: the new content
