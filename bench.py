@@ -81,7 +81,8 @@ BENCH_QUERIES = [
     "ann_pq_incremental", "curation_pipeline",
     "knn_graph", "semantic_clusters", "tfidf_topk",
     "cluster_balanced_sample", "srp_pairs", "srp_recall",
-    "kmv_vocab_est", "cms_freq_est", "srp_incremental",
+    "kmv_vocab_est", "vocab_growth", "zipf_fit", "cms_freq_est",
+    "srp_incremental",
     "hll_vocab_est", "doclen_quantiles", "ccnet_buckets", "weighted_sample",
     "link_communities", "hybrid_search_rrf",
     "snapshot_overlap_kmv", "host_template_lines", "host_template_clean",

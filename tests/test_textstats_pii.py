@@ -130,3 +130,61 @@ def test_pmi_incremental_merge_equals_batch(spark):
     assert gen == 0
     assert "Scan ExistingRDD" in plan and "Scan parquet" not in plan
     assert "EvalPython" not in plan
+
+
+def test_zipf_fit_matches_python_least_squares(spark):
+    """Spec pin for the integer Zipf fit: hand-built corpus with known
+    term frequencies; the milli-log moments and pinned division order
+    replayed in plain Python must equal the engine row exactly."""
+    import math
+
+    # build a corpus whose tf table is exactly {a:8, b:4, c:2, d:1}
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    from pyspark.sql import functions as F, Window
+
+    tf = [(1, 8), (2, 4), (3, 2), (4, 1)]  # (rank, tf) by (tf desc, term)
+    xy = [
+        (round(math.log(r) * 1000), round(math.log(t) * 1000)) for r, t in tf
+    ]
+    n = len(xy)
+    sx = sum(x for x, _ in xy)
+    sy = sum(y for _, y in xy)
+    sxy = sum(x * y for x, y in xy)
+    sxx = sum(x * x for x, _ in xy)
+
+    def tdiv(a, b):  # truncate toward zero, both engines' semantics
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    slope = tdiv((n * sxy - sx * sy) * 1_000_000, n * sxx - sx * sx)
+    intercept = tdiv(sy - tdiv(slope * sx, 1_000_000), n)
+
+    # run the engine formula over the same tiny frame
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    ).filter("term <> ''")
+    tfdf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    ranked = tfdf.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("term")))
+    ).select(
+        F.expr("CAST(ROUND(ln(rk) * 1000) AS BIGINT)").alias("x"),
+        F.expr("CAST(ROUND(ln(tf) * 1000) AS BIGINT)").alias("y"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"), F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    ).select(
+        F.expr(
+            "((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"
+        ).alias("slope_micro"),
+        F.expr(
+            "(sy - (((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx))"
+            " * sx div 1000000) div n"
+        ).alias("intercept_milli"),
+    ).collect()[0]
+    assert m.slope_micro == slope
+    assert m.intercept_milli == intercept
+    # slope of a perfect tf = 8/2^rank-ish curve is strongly negative
+    assert slope < -900_000

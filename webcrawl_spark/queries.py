@@ -4228,6 +4228,55 @@ SELECT a, b, cos FROM srp
     # kmv_vocab_est / cms_freq_est: deterministic sketches replayed exactly
     # (shared md5 base hash); each entry carries its own measured error
     _kmv_num = (SK.KMV_K - 1) * (1 << 32)
+    # vocab growth: same first-occurrence histogram + cumulative window;
+    # zipf: the identical once-rounded milli-log moments and the same
+    # pinned truncating-division order (both engines truncate toward 0)
+    sql["vocab_growth"] = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE doc_id < {VOCAB_GROWTH_MAX} AND text IS NOT NULL),
+toks AS (
+  SELECT doc_id, unnest(w) AS term FROM w),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+first AS (SELECT term, MIN(doc_id) AS fd FROM t2 GROUP BY term),
+vh AS (SELECT (fd // {VOCAB_GROWTH_STEP} + 1) * {VOCAB_GROWTH_STEP} AS n_docs,
+         COUNT(*) AS new_terms FROM first GROUP BY 1),
+dt AS (SELECT doc_id, COUNT(*) AS nt FROM t2 GROUP BY doc_id),
+th AS (SELECT (doc_id // {VOCAB_GROWTH_STEP} + 1) * {VOCAB_GROWTH_STEP}
+         AS n_docs, SUM(nt) AS bucket_tokens FROM dt GROUP BY 1),
+curve AS (
+  SELECT COALESCE(vh.n_docs, th.n_docs) AS n_docs,
+    CAST(SUM(COALESCE(new_terms, 0))
+      OVER (ORDER BY COALESCE(vh.n_docs, th.n_docs)) AS BIGINT) AS vocab_size,
+    CAST(SUM(COALESCE(bucket_tokens, 0))
+      OVER (ORDER BY COALESCE(vh.n_docs, th.n_docs)) AS BIGINT) AS n_tokens
+  FROM vh FULL OUTER JOIN th ON th.n_docs = vh.n_docs)
+SELECT n_docs, vocab_size, n_tokens,
+  (vocab_size * 1000000) // n_tokens AS ttr_micro
+FROM curve
+"""
+
+    sql["zipf_fit"] = """
+WITH w AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL),
+toks AS (SELECT unnest(w) AS term FROM w),
+tf AS (SELECT term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY term),
+ranked AS (
+  SELECT CAST(ROUND(ln(ROW_NUMBER() OVER (ORDER BY tf DESC, term)) * 1000)
+           AS BIGINT) AS x,
+         CAST(ROUND(ln(tf) * 1000) AS BIGINT) AS y
+  FROM tf),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+        CAST(SUM(x * x) AS BIGINT) AS sxx FROM ranked)
+SELECT n AS n_terms,
+  ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) AS slope_micro,
+  (sy - (((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx))
+     * sx // 1000000) // n AS intercept_milli
+FROM m
+"""
+
     sql["kmv_vocab_est"] = f"""
 WITH sh0 AS (
   SELECT source AS grp,
@@ -6322,6 +6371,99 @@ WS_SCALE = 1 << 20  # priority fixed-point scale (u·SCALE div weight)
 LPA_ITERS = 3      # label-propagation iterations (fixed, deterministic)
 
 
+VOCAB_GROWTH_STEP = 100   # doc-count thresholds: 100, 200, ... 500
+VOCAB_GROWTH_MAX = 500
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve — the corpus-sizing statistic a
+    tokenizer/corpus plan reads (how fast does |V| grow with tokens?):
+    for each doc-count prefix threshold, the distinct-term count, total
+    token count, and integer type-token ratio. ONE corpus pass: each
+    term contributes its FIRST document (min aggregate, vocabulary-
+    bounded keys), each doc its token count; both histogram into
+    threshold buckets and a 5-row cumulative window finishes — no
+    per-threshold corpus rescans, no corpus-sized window."""
+    d = _t(spark, sf_dir, "documents").filter(
+        f"doc_id < {VOCAB_GROWTH_MAX} and text is not null"
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+    ).filter("term <> ''")
+    step = VOCAB_GROWTH_STEP
+    bucket = lambda c: (F.floor(F.col(c) / step) + 1) * step  # noqa: E731
+    first = toks.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    v_hist = first.groupBy(bucket("fd").cast("long").alias("n_docs")).agg(
+        F.count(F.lit(1)).alias("new_terms")
+    )
+    t_hist = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .groupBy(bucket("doc_id").cast("long").alias("n_docs"))
+        .agg(F.sum("nt").alias("bucket_tokens"))
+    )
+    w = Window.orderBy("n_docs").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        v_hist.join(t_hist, "n_docs", "full")
+        .select(
+            "n_docs",
+            F.sum(F.coalesce("new_terms", F.lit(0))).over(w)
+            .cast("long").alias("vocab_size"),
+            F.sum(F.coalesce("bucket_tokens", F.lit(0))).over(w)
+            .cast("long").alias("n_tokens"),
+        )
+    )
+    return curve.select(
+        "n_docs", "vocab_size", "n_tokens",
+        F.expr("(vocab_size * 1000000) div n_tokens").alias("ttr_micro"),
+    )
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency fit — least-squares slope of ln(tf) against
+    ln(rank) over the corpus vocabulary, in EXACT integers: each log
+    rounds ONCE to milli-nats (the unigram_lm_score recipe; milli not
+    micro so every sum-of-products stays far inside BIGINT), all moments
+    are integer sums, and the closed-form slope/intercept divisions
+    truncate in a pinned order both engines share. The ranking window is
+    vocabulary-bounded (a real deployment caps to top-K terms first —
+    topk_terms is that operator); one corpus pass feeds the tf
+    aggregate."""
+    d = _t(spark, sf_dir, "documents").filter("text is not null")
+    tf = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+        )
+        .filter("term <> ''")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ranked = tf.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("term")))
+    ).select(
+        F.expr("CAST(ROUND(ln(rk) * 1000) AS BIGINT)").alias("x"),
+        F.expr("CAST(ROUND(ln(tf) * 1000) AS BIGINT)").alias("y"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.expr(
+            "((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"
+        ).alias("slope_micro"),
+        F.expr(
+            "(sy - (((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx))"
+            " * sx div 1000000) div n"
+        ).alias("intercept_milli"),
+    )
+
+
 def q_kmv_vocab_est(spark, sf_dir):
     """KMV distinct-count sketch (operators/sketches.kmv_distinct,
     Bar-Yossef et al. 2002) over each source's distinct 8-char shingle
@@ -6926,6 +7068,8 @@ QUERIES: dict[str, Callable] = {
     "srp_pairs": q_srp_pairs,
     "srp_recall": q_srp_recall,
     "kmv_vocab_est": q_kmv_vocab_est,
+    "vocab_growth": q_vocab_growth,
+    "zipf_fit": q_zipf_fit,
     "hll_vocab_est": q_hll_vocab_est,
     "doclen_quantiles": q_doclen_quantiles,
     "ccnet_buckets": q_ccnet_buckets,
