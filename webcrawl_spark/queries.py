@@ -353,6 +353,31 @@ def q_host_rank(spark, sf_dir):
     return ranks.select(F.col("h").alias("host"), F.col("r").alias("hrank"))
 
 
+HOST_RANK_DIV = 8   # PageRank mass → fold clamp range (engine AND oracle)
+
+
+def q_host_rank_urls(spark, sf_dir):
+    """The domain-rank rollup (operators/graph.host_ranks_to_url_ranks)
+    oracle-checked end-to-end: host_rank ids rendered as the synthetic
+    hostnames, rolled down onto every page URL as the (url, rank) table
+    the crawler's priority fold consumes. The oracle unrolls the same
+    weighted-PageRank CTE chain and restates the rollup join + integer
+    scaling in SQL — rank production AND consumption-side shaping both
+    hash-checked."""
+    from .operators.graph import host_ranks_to_url_ranks
+
+    hr = q_host_rank(spark, sf_dir).select(
+        F.concat(
+            F.lit("site"), F.col("host").cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.col("hrank"),
+    )
+    urls = _t(spark, sf_dir, "documents").select(
+        F.expr(SW.url_sql("doc_id")).alias("url")
+    )
+    return host_ranks_to_url_ranks(hr, urls, rank_div=HOST_RANK_DIV)
+
+
 def q_trust_rank(spark, sf_dir):
     """Seeded TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004)
     over the same host graph — the spam-demotion signal: restart mass
@@ -2384,6 +2409,20 @@ r0 AS (SELECT h, CAST(1000000 AS BIGINT) AS r FROM hosts),
 {_hr.format(i=3, p=2)}
 SELECT h AS host, r AS hrank FROM r3
 """
+    # rollup oracle: the SAME unrolled host-rank chain, then every page
+    # URL inherits its host's scaled rank via the closed-form host id
+    sql["host_rank_urls"] = f"""
+WITH {SW.edges_sql(600)},
+{_hg},
+r0 AS (SELECT h, CAST(1000000 AS BIGINT) AS r FROM hosts),
+{_hr.format(i=1, p=0)},
+{_hr.format(i=2, p=1)},
+{_hr.format(i=3, p=2)}
+SELECT {SW.url_sql('doc_id')} AS url,
+       (r3.r // {HOST_RANK_DIV}) AS rank
+FROM documents JOIN r3 ON r3.h = {SW.host_id_expr('doc_id')}
+"""
+
     _tr = _hr_iter.replace(
         "{restart}", "(CASE WHEN hosts.h < 4 THEN 150000 ELSE 0 END)"
     )
@@ -6963,6 +7002,7 @@ QUERIES: dict[str, Callable] = {
     "link_pagerank": q_link_pagerank,
     "link_hits": q_link_hits,
     "host_rank": q_host_rank,
+    "host_rank_urls": q_host_rank_urls,
     "trust_rank": q_trust_rank,
     "url_canonicalize": q_url_canonicalize,
     "link_extract": q_link_extract,
