@@ -353,6 +353,22 @@ def q_host_rank(spark, sf_dir):
     return ranks.select(F.col("h").alias("host"), F.col("r").alias("hrank"))
 
 
+def q_trust_demotion(spark, sf_dir):
+    """The TrustRank demotion rule (Gyöngyi et al. 2004 §6 — the paper's
+    actual anti-spam application): per host, the ratio of seeded trust
+    to generic PageRank mass in integer micro-units. A host whose rank
+    comes mostly from spam-farm neighborhoods has trust ≪ rank (low
+    ratio → demote/review); seed-adjacent hosts score high. One
+    uniform-key join of the two 10^8-at-scale rank tables; the division
+    truncates once."""
+    hr = q_host_rank(spark, sf_dir)
+    tr = q_trust_rank(spark, sf_dir)
+    return hr.join(tr, "host").select(
+        "host", "hrank", "trank",
+        F.expr("(trank * 1000000) div hrank").alias("trust_ratio_micro"),
+    )
+
+
 HOST_RANK_DIV = 8   # PageRank mass → fold clamp range (engine AND oracle)
 
 
@@ -2435,6 +2451,30 @@ r0 AS (SELECT h, CAST(CASE WHEN h < 4 THEN 1000000 ELSE 0 END AS BIGINT) AS r
 {_tr.format(i=2, p=1)},
 {_tr.format(i=3, p=2)}
 SELECT h AS host, r AS trank FROM r3
+"""
+
+    # demotion oracle: BOTH unrolled chains in one WITH (trust chain
+    # renamed t*/tc* to avoid CTE collisions), ratio truncates once
+    _trn = (
+        _tr.replace("hosts.h < 4", "hosts.h < 4")
+        .replace("c{i}", "tc{i}").replace("r{i}", "t{i}")
+        .replace("r{p}", "t{p}")
+    )
+    sql["trust_demotion"] = f"""
+WITH {SW.edges_sql(600)},
+{_hg},
+r0 AS (SELECT h, CAST(1000000 AS BIGINT) AS r FROM hosts),
+{_hr.format(i=1, p=0)},
+{_hr.format(i=2, p=1)},
+{_hr.format(i=3, p=2)},
+t0 AS (SELECT h, CAST(CASE WHEN h < 4 THEN 1000000 ELSE 0 END AS BIGINT) AS r
+       FROM hosts),
+{_trn.format(i=1, p=0)},
+{_trn.format(i=2, p=1)},
+{_trn.format(i=3, p=2)}
+SELECT hosts.h AS host, r3.r AS hrank, t3.r AS trank,
+       (t3.r * 1000000) // r3.r AS trust_ratio_micro
+FROM hosts JOIN r3 ON r3.h = hosts.h JOIN t3 ON t3.h = hosts.h
 """
 
     sql["url_canonicalize"] = f"""
@@ -7004,6 +7044,7 @@ QUERIES: dict[str, Callable] = {
     "host_rank": q_host_rank,
     "host_rank_urls": q_host_rank_urls,
     "trust_rank": q_trust_rank,
+    "trust_demotion": q_trust_demotion,
     "url_canonicalize": q_url_canonicalize,
     "link_extract": q_link_extract,
     "mime_infer": q_mime_infer,
