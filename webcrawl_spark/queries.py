@@ -40,6 +40,7 @@ from .kernels.urlnorm import canonicalize
 from .operators import blocklist as BLK
 from .operators import bpe as BPE
 from .operators import graph as GR
+from .operators import psl as PSL
 from .operators import similarity as SIM
 from .operators import sketches as SK
 from .operators import snapshot as SNAP
@@ -5578,6 +5579,73 @@ SELECT u.url, u.host, hits.rule IS NOT NULL AS blocked,
 FROM u LEFT JOIN hits ON hits.url = u.url
 """
 
+    # registrable_domain / domain_rollup: rules VALUES interpolate from
+    # PSL_RULES; the PSL machinery is ONE shared block (candidate keys =
+    # every suffix + its single-* variant; prevailing = exception first,
+    # then most labels, row_number ≡ the engine's min-struct argmax)
+    _psl_values = ", ".join(f"('{r}')" for r in PSL_RULES)
+    _psl_core = f"""
+pr(rule) AS (VALUES {_psl_values}),
+ri AS (SELECT regexp_replace(rule, '^!', '') AS key, rule,
+              rule LIKE '!%' AS is_exc,
+              len(string_split(regexp_replace(rule, '^!', ''), '.'))
+                AS n_labels
+       FROM pr),
+ls AS (SELECT host, string_split(host, '.') AS parts FROM h),
+cand AS (
+  SELECT host, unnest(list_transform(range(1, len(parts) + 1),
+         i -> array_to_string(list_slice(parts, CAST(i AS INT), len(parts)),
+                              '.'))) AS key
+  FROM ls
+  UNION ALL
+  SELECT host, unnest(list_transform(range(1, len(parts)),
+         i -> '*.' || array_to_string(
+                list_slice(parts, CAST(i AS INT) + 1, len(parts)), '.')))
+           AS key
+  FROM ls),
+win AS (
+  SELECT host, rule, is_exc FROM (
+    SELECT c.host, r.rule, r.is_exc,
+           ROW_NUMBER() OVER (PARTITION BY c.host
+                              ORDER BY r.is_exc DESC, r.n_labels DESC,
+                                       r.rule) AS rk
+    FROM cand c JOIN ri r USING (key)) WHERE rk = 1),
+fin AS (
+  SELECT ls.host, ls.parts, w.rule,
+         COALESCE(w.is_exc, FALSE) AS is_exc,
+         CASE WHEN w.rule IS NULL THEN 1
+              ELSE len(string_split(regexp_replace(w.rule, '^!', ''), '.'))
+                   - CASE WHEN w.is_exc THEN 1 ELSE 0 END END AS nps
+  FROM ls LEFT JOIN win w ON w.host = ls.host),
+dom AS (
+  SELECT host,
+         array_to_string(list_slice(parts, len(parts) - nps + 1,
+                                    len(parts)), '.') AS public_suffix,
+         CASE WHEN len(parts) > nps THEN
+           array_to_string(list_slice(parts, len(parts) - nps, len(parts)),
+                           '.') END AS registrable_domain,
+         rule AS matched_rule, is_exc AS is_exception
+  FROM fin)"""
+
+    sql["registrable_domain"] = f"""
+WITH h AS (SELECT DISTINCT {_psl_host_sql('doc_id')} AS host
+           FROM documents),
+{_psl_core}
+SELECT host, public_suffix, registrable_domain, matched_rule, is_exception
+FROM dom
+"""
+
+    sql["domain_rollup"] = f"""
+WITH u AS (SELECT {_psl_host_sql('doc_id')} AS host FROM documents),
+h AS (SELECT DISTINCT host FROM u),
+{_psl_core}
+SELECT COALESCE(dom.registrable_domain, dom.host) AS registrable_domain,
+       CAST(COUNT(DISTINCT u.host) AS BIGINT) AS n_hosts,
+       CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM u JOIN dom ON dom.host = u.host
+GROUP BY 1
+"""
+
     # mixture_weights: the dedup-survivor rule (min doc_id per md5) and the
     # integer permille weights replayed exactly; denominators are window
     # sums over the |sources|-row rollup
@@ -6937,6 +7005,62 @@ def q_url_blocklist_filter(spark, sf_dir):
     return BLK.blocklist_filter(urls, rules)
 
 
+# Public-suffix rules — ONE Python constant; engine table and oracle VALUES
+# both interpolate from it. Covers every grammar branch: plain TLD rule,
+# multi-label rule (co.test nests under test — most-labels-wins), a
+# wildcard rule, and its exception.
+PSL_RULES = ["test", "co.test", "*.wild.test", "!free.wild.test"]
+
+
+def _psl_host_sql(d: str) -> str:
+    """Deterministic host mix per doc — ONE SQL string valid in both Spark
+    SQL and DuckDB — hitting every PSL branch: plain rule, nested
+    multi-label rule, wildcard, exception (directly and via a subdomain),
+    the implicit ``*`` rule (unknown TLD), and a host that IS a public
+    suffix (NULL registrable domain)."""
+    k = f"CAST({d} % 20 AS STRING)"
+    return (
+        f"CASE CAST({d} % 8 AS INT)"
+        f" WHEN 0 THEN 'www.site' || {k} || '.test'"
+        f" WHEN 1 THEN 'a.site' || {k} || '.co.test'"
+        f" WHEN 2 THEN 'x' || {k} || '.w' || {k} || '.wild.test'"
+        f" WHEN 3 THEN 'free.wild.test'"
+        f" WHEN 4 THEN 'sub' || {k} || '.free.wild.test'"
+        f" WHEN 5 THEN 'site' || {k} || '.unknown'"
+        f" WHEN 6 THEN 'co.test'"
+        f" ELSE 'w' || {k} || '.wild.test' END"
+    )
+
+
+def q_registrable_domain(spark, sf_dir):
+    """Registrable-domain (eTLD+1) extraction under full Public-Suffix-List
+    semantics (operators/psl.registrable_domains): wildcard rules,
+    exception rules, most-labels-wins nesting, the implicit ``*`` rule,
+    and public-suffix hosts — the grouping key real crawlers use for
+    per-site politeness and rollups. One row per distinct host."""
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select(F.expr(_psl_host_sql("doc_id")).alias("host"))
+    rules = spark.createDataFrame([(r,) for r in PSL_RULES], "rule string")
+    return PSL.registrable_domains(hosts, rules)
+
+
+def q_domain_rollup(spark, sf_dir):
+    """Per-site URL rollup (operators/psl.domain_rollup): URLs grouped by
+    the registrable domain that owns them — subdomain spray (x{k}.w{k}
+    hosts under one wildcard PS, sub{k} hosts under one exception site)
+    collapses to the site-level budget rows a politeness scheduler keys
+    on; public-suffix hosts budget under their own name."""
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("http://"), F.expr(_psl_host_sql("doc_id")), F.lit("/d"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    rules = spark.createDataFrame([(r,) for r in PSL_RULES], "rule string")
+    return PSL.domain_rollup(urls, rules)
+
+
 BIGRAM_HOLDOUT_MOD = 5  # doc_id % 5 == 0 → held-out scoring split
 
 
@@ -7176,6 +7300,8 @@ QUERIES: dict[str, Callable] = {
     "rel_canonical": q_rel_canonical,
     "meta_refresh": q_meta_refresh,
     "pmi_incremental": q_pmi_incremental,
+    "registrable_domain": q_registrable_domain,
+    "domain_rollup": q_domain_rollup,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
