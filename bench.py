@@ -89,7 +89,7 @@ BENCH_QUERIES = [
     "bigram_lm_score", "url_blocklist_filter", "mixture_weights",
     "decontaminate_semantic", "edu_classifier", "duplicate_span_strip",
     "wet_extract", "mixture_temperature",
-    "registrable_domain", "domain_rollup",
+    "registrable_domain", "domain_rollup", "bloom_dedup_fpr",
 ]
 
 

@@ -267,3 +267,77 @@ def test_hist_grouped_matches_per_group_global(spark):
         }
         for q, e in solo.items():
             assert got[(g, q)] == e, (g, q, got[(g, q)], e)
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership sketch
+# ---------------------------------------------------------------------------
+
+def _bitems(spark, names):
+    return spark.createDataFrame([(n,) for n in names], "item string")
+
+
+def _py_bloom_positions(item: str, k=SK.BLOOM_SK_K, m=SK.BLOOM_SK_M):
+    import hashlib
+
+    h = hashlib.md5(item.encode()).hexdigest()
+    return {int(h[8 * j: 8 * j + 8], 16) % m for j in range(k)}
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every corpus item probed against its own filter must hit — Bloom
+    filters structurally cannot false-negative."""
+    names = [f"doc{i}" for i in range(200)]
+    bloom = SK.bloom_build(_bitems(spark, names))
+    got = {
+        r.item: r.bloom_hit
+        for r in SK.bloom_probe(bloom, _bitems(spark, names)).collect()
+    }
+    assert all(got[n] for n in names)
+
+
+def test_bloom_matches_python_replay(spark):
+    """Engine hits/misses must equal a plain-Python replay of the same
+    md5-chunk construction, probe by probe."""
+    corpus = [f"c{i}" for i in range(150)]
+    probes = [f"p{i}" for i in range(80)] + corpus[:5]
+    bloom = SK.bloom_build(_bitems(spark, corpus))
+    got = {
+        r.item: r.bloom_hit
+        for r in SK.bloom_probe(bloom, _bitems(spark, probes)).collect()
+    }
+    bits = set()
+    for c in corpus:
+        bits |= _py_bloom_positions(c)
+    for p in set(probes):
+        expect = _py_bloom_positions(p) <= bits
+        assert got[p] == expect, (p, got[p], expect)
+
+
+def test_bloom_merge_is_union(spark):
+    """OR of two filters == filter of the union: build(A) ∪ build(B)
+    (distinct) must answer every probe exactly like build(A ∪ B)."""
+    a = [f"a{i}" for i in range(60)]
+    b = [f"b{i}" for i in range(60)]
+    merged = SK.bloom_build(_bitems(spark, a)).union(
+        SK.bloom_build(_bitems(spark, b))
+    ).distinct()
+    whole = SK.bloom_build(_bitems(spark, a + b))
+    probes = _bitems(spark, a[:10] + b[:10] + [f"x{i}" for i in range(50)])
+    got_m = {r.item: r.bloom_hit for r in SK.bloom_probe(merged, probes).collect()}
+    got_w = {r.item: r.bloom_hit for r in SK.bloom_probe(whole, probes).collect()}
+    assert got_m == got_w
+
+
+def test_bloom_plan_shape(spark):
+    """Plan guard: the build+probe pipeline is pure JVM — no Python
+    stages, no cartesian, no window, no driver-side bitset."""
+    corpus = _bitems(spark, ["a", "b"])
+    probes = _bitems(spark, ["a", "c"])
+    plan = (
+        SK.bloom_probe(SK.bloom_build(corpus), probes)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

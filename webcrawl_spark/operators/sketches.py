@@ -359,3 +359,82 @@ def hist_quantiles(
             ).alias("est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership sketch (Bloom 1970) — the measured, battery-visible
+# counterpart of the crawl's seen-set Bloom sidecar (operators/bloom.py:
+# there the filter prunes the frontier anti-join; here the SAME k-position
+# construction is built and probed as DataFrames so its false-positive
+# rate is MEASURED against exact truth, never assumed).
+# ---------------------------------------------------------------------------
+
+BLOOM_SK_K = 4       # hash positions per item (independent md5 32-bit chunks)
+BLOOM_SK_M = 1024    # bits — sized so the battery corpus yields a non-zero
+                     # measurable FPR (the point is the measurement)
+
+
+def bloom_positions_sql(col: str, k: int = BLOOM_SK_K, m: int = BLOOM_SK_M) -> str:
+    """SQL (Spark) array of an item's ``k`` bit positions: the j-th is the
+    j-th 8-hex-char chunk of ``md5(col)`` mod ``m`` (md5's 32 hex chars
+    give 4 independent 32-bit chunks). ``array_distinct`` because two
+    chunks may collide into one position."""
+    if not 1 <= k <= 4:
+        raise ValueError("k must be 1..4 (md5 yields 4 32-bit chunks)")
+    return (
+        f"array_distinct(transform(sequence(0, {k - 1}), "
+        f"j -> cast(conv(substr(md5({col}), cast(1 + j * 8 as int), 8), "
+        f"16, 10) as bigint) % {m}))"
+    )
+
+
+def bloom_build(
+    items: DataFrame, item_col: str = "item",
+    k: int = BLOOM_SK_K, m: int = BLOOM_SK_M,
+) -> DataFrame:
+    """(pos) — the set-bit table of a Bloom filter over ``items``. This IS
+    the distributed representation: ≤ m rows regardless of corpus size,
+    mergeable by plain union+distinct (the OR of two filters), and
+    persistable as the sketch state a later delta probes (the
+    delta-vs-corpus contract shared with KMV/CMS/HLL above).
+
+    100-TB shape: one codegen projection + explode per item, then a
+    distinct on the uniform ``pos`` key bounded by m — the corpus never
+    moves more than its position fan-out, and the filter itself is tiny.
+    """
+    return (
+        items.select(
+            F.explode(F.expr(bloom_positions_sql(item_col, k, m))).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame, probes: DataFrame, item_col: str = "item",
+    k: int = BLOOM_SK_K, m: int = BLOOM_SK_M,
+) -> DataFrame:
+    """(item, bloom_hit) per DISTINCT probe item: hit ⇔ every one of the
+    probe's positions is set in ``bloom``. Never a false negative by
+    construction; false positives are the measured trade.
+
+    100-TB shape: probe positions join the ≤ m-row set-bit table on the
+    uniform ``pos`` key (AQE broadcasts the filter side); the per-item
+    all-positions-present test is a count aggregate on the uniform item
+    key — no filter materialization on the driver, no UDF, no bitset blob.
+    """
+    base = probes.select(F.col(item_col).alias("item")).distinct()
+    pos = base.select(
+        "item", F.expr(bloom_positions_sql("item", k, m)).alias("ps")
+    ).select("item", F.size("ps").alias("n_pos"), F.explode("ps").alias("pos"))
+    hits = (
+        pos.join(bloom, "pos")
+        .groupBy("item", "n_pos")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return base.join(hits, "item", "left").select(
+        "item",
+        F.coalesce(F.col("n_hit") == F.col("n_pos"), F.lit(False)).alias(
+            "bloom_hit"
+        ),
+    )

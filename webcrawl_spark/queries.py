@@ -5646,6 +5646,43 @@ FROM u JOIN dom ON dom.host = u.host
 GROUP BY 1
 """
 
+    # bloom_dedup_fpr: k/m interpolate from the SK constants; positions are
+    # the 4 independent 8-hex-char md5 chunks mod m on both engines
+    _bl_k, _bl_m, _bl_mod = SK.BLOOM_SK_K, SK.BLOOM_SK_M, BLOOM_PROBE_MOD
+    _bl_ps = (
+        f"list_distinct(list_transform(range(0, {_bl_k}), "
+        f"j -> CAST(('0x' || substr(md5(item), CAST(1 + j * 8 AS INT), 8)) "
+        f"AS BIGINT) % {_bl_m}))"
+    )
+    sql["bloom_dedup_fpr"] = f"""
+WITH c AS (SELECT DISTINCT md5(text) AS item FROM documents
+           WHERE doc_id % {_bl_mod} <> 0 AND text IS NOT NULL),
+p AS (SELECT DISTINCT md5(text) AS item FROM documents
+      WHERE doc_id % {_bl_mod} = 0 AND text IS NOT NULL),
+bloom AS (SELECT DISTINCT unnest({_bl_ps}) AS pos FROM c),
+pp AS (SELECT item, {_bl_ps} AS ps FROM p),
+ppos AS (SELECT item, len(ps) AS n_pos, unnest(ps) AS pos FROM pp),
+hits AS (SELECT item, n_pos, COUNT(*) AS n_hit
+         FROM ppos JOIN bloom USING (pos) GROUP BY 1, 2),
+mem AS (
+  SELECT p.item,
+         COALESCE(hits.n_hit = hits.n_pos, FALSE) AS bloom_hit,
+         EXISTS (SELECT 1 FROM c WHERE c.item = p.item) AS in_set
+  FROM p LEFT JOIN hits ON hits.item = p.item),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         CAST(SUM(CASE WHEN in_set THEN 1 ELSE 0 END) AS BIGINT) AS n_in_set,
+         CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         CAST(SUM(CASE WHEN bloom_hit AND NOT in_set THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_pos,
+         CAST(SUM(CASE WHEN in_set AND NOT bloom_hit THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_neg
+  FROM mem)
+SELECT *, CAST(1000000 * n_false_pos // greatest(n_probes - n_in_set, 1)
+               AS BIGINT) AS fpr_ppm
+FROM agg
+"""
+
     # mixture_weights: the dedup-survivor rule (min doc_id per md5) and the
     # integer permille weights replayed exactly; denominators are window
     # sums over the |sources|-row rollup
@@ -7061,6 +7098,52 @@ def q_domain_rollup(spark, sf_dir):
     return PSL.domain_rollup(urls, rules)
 
 
+BLOOM_PROBE_MOD = 4  # doc_id % 4 == 0 → probe split, rest → corpus
+
+
+def q_bloom_dedup_fpr(spark, sf_dir):
+    """Bloom-membership dedup with MEASURED false-positive rate
+    (operators/sketches.bloom_build/bloom_probe): the corpus split's text
+    digests build a deliberately tight filter (m=1024, k=4 — sized to
+    yield a non-zero FPR worth measuring), the probe split tests
+    membership, and exact truth (a digest join) grades every probe in the
+    same row: hits, false positives, false negatives (provably zero), and
+    integer FPR ppm. The battery-visible counterpart of the crawl's
+    seen-set Bloom sidecar — the approximation is measured, not assumed."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = (
+        d.filter(F.col("doc_id") % BLOOM_PROBE_MOD != 0)
+        .filter(F.col("text").isNotNull())
+        .select(F.md5("text").alias("item"))
+    )
+    probes = (
+        d.filter(F.col("doc_id") % BLOOM_PROBE_MOD == 0)
+        .filter(F.col("text").isNotNull())
+        .select(F.md5("text").alias("item"))
+        .distinct()
+    )
+    mem = SK.bloom_probe(SK.bloom_build(corpus), probes)
+    truth = corpus.distinct().withColumn("in_set", F.lit(True))
+    j = mem.join(truth, "item", "left").select(
+        "item", "bloom_hit", F.coalesce("in_set", F.lit(False)).alias("in_set")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.col("in_set").cast("long")).cast("long").alias("n_in_set"),
+        F.sum(F.col("bloom_hit").cast("long")).cast("long").alias("n_hits"),
+        F.sum((F.col("bloom_hit") & ~F.col("in_set")).cast("long"))
+        .cast("long").alias("n_false_pos"),
+        F.sum((~F.col("bloom_hit") & F.col("in_set")).cast("long"))
+        .cast("long").alias("n_false_neg"),
+    ).select(
+        "*",
+        F.expr(
+            "cast(1000000 * n_false_pos div "
+            "greatest(n_probes - n_in_set, 1) as bigint)"
+        ).alias("fpr_ppm"),
+    )
+
+
 BIGRAM_HOLDOUT_MOD = 5  # doc_id % 5 == 0 → held-out scoring split
 
 
@@ -7302,6 +7385,7 @@ QUERIES: dict[str, Callable] = {
     "pmi_incremental": q_pmi_incremental,
     "registrable_domain": q_registrable_domain,
     "domain_rollup": q_domain_rollup,
+    "bloom_dedup_fpr": q_bloom_dedup_fpr,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
