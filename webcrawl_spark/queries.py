@@ -41,6 +41,7 @@ from .operators import blocklist as BLK
 from .operators import bpe as BPE
 from .operators import graph as GR
 from .operators import psl as PSL
+from .operators import urlpatterns as UP
 from .operators import similarity as SIM
 from .operators import sketches as SK
 from .operators import snapshot as SNAP
@@ -5683,6 +5684,32 @@ SELECT *, CAST(1000000 * n_false_pos // greatest(n_probes - n_in_set, 1)
 FROM agg
 """
 
+    # url_pattern_groups: the split regex, the hex/digit template rules,
+    # and the trap threshold all interpolate from the urlpatterns
+    # constants (DuckDB regexp_replace needs the explicit 'g' flag)
+    sql["url_pattern_groups"] = f"""
+WITH u AS (SELECT {_urlpat_url_sql('doc_id')} AS url FROM documents),
+p AS (SELECT url,
+        regexp_extract(url, '{UP.URL_SPLIT_RE}', 1) AS host,
+        regexp_extract(url, '{UP.URL_SPLIT_RE}', 2) AS path,
+        regexp_extract(url, '{UP.URL_SPLIT_RE}', 3) AS query
+      FROM u),
+t AS (SELECT url,
+        host || regexp_replace(regexp_replace(path, '{UP.HEX_RUN_RE}',
+                  '{{hex}}', 'g'), '{UP.NUM_RUN_RE}', '{{n}}', 'g')
+          || CASE WHEN query <> '' THEN '?' || array_to_string(
+               list_sort(list_transform(string_split(query, '&'),
+                                        s -> split_part(s, '=', 1))), '&')
+             ELSE '' END AS template,
+        path || '?' || query AS instance
+      FROM p)
+SELECT template, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT instance) AS BIGINT) AS n_instances,
+       MIN(url) AS sample_url,
+       COUNT(*) >= {UP.TRAP_MIN_URLS} AS trap_candidate
+FROM t GROUP BY 1
+"""
+
     # mixture_weights: the dedup-survivor rule (min doc_id per md5) and the
     # integer permille weights replayed exactly; denominators are window
     # sums over the |sources|-row rollup
@@ -7144,6 +7171,38 @@ def q_bloom_dedup_fpr(spark, sf_dir):
     )
 
 
+def _urlpat_url_sql(d: str) -> str:
+    """Deterministic URL mix per doc — ONE SQL string valid in both Spark
+    SQL and DuckDB: per-host article pages, a single-host calendar trap
+    with session+ref params, query-id pages, a static page, and a
+    single-host hex-id trap."""
+    h = f"'http://h' || CAST({d} % 8 AS STRING) || '.test'"
+    return (
+        f"CASE CAST({d} % 5 AS INT)"
+        f" WHEN 0 THEN {h} || '/a/p' || CAST({d} AS STRING) || '.html'"
+        f" WHEN 1 THEN 'http://trap.test/cal/' || CAST(2000 + {d} % 30 AS STRING)"
+        f"  || '/' || CAST(1 + {d} % 12 AS STRING) || '/idx.html?sid=s'"
+        f"  || CAST({d} AS STRING) || '&ref=r' || CAST({d} % 7 AS STRING)"
+        f" WHEN 2 THEN {h} || '/item?id=' || CAST({d} AS STRING)"
+        f" WHEN 3 THEN {h} || '/static/about.html'"
+        f" ELSE 'http://trap.test/u/' || substr(md5(CAST({d} AS STRING)), 1, 16)"
+        f" END"
+    )
+
+
+def q_url_pattern_groups(spark, sf_dir):
+    """URL template mining (operators/urlpatterns.url_pattern_groups):
+    URLs grouped by structural shape — path digit/hex runs normalized,
+    query strings reduced to sorted param names — surfacing the
+    mega-groups a crawler's trap caps (query_string_cap, depth caps)
+    should be tuned from. The mix plants two single-host traps (calendar
+    with session params, hex ids) among ordinary article/query/static
+    shapes."""
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(F.expr(_urlpat_url_sql("doc_id")).alias("url"))
+    return UP.url_pattern_groups(urls)
+
+
 BIGRAM_HOLDOUT_MOD = 5  # doc_id % 5 == 0 → held-out scoring split
 
 
@@ -7386,6 +7445,7 @@ QUERIES: dict[str, Callable] = {
     "registrable_domain": q_registrable_domain,
     "domain_rollup": q_domain_rollup,
     "bloom_dedup_fpr": q_bloom_dedup_fpr,
+    "url_pattern_groups": q_url_pattern_groups,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
