@@ -344,3 +344,87 @@ def test_phrase_search_topk_and_rank_total_order(spark):
         [(r.n_matches, r.id) for r in rows], key=lambda x: (-x[0], x[1])
     )
     assert rows[0].n_matches == 3 and rows[0].id == 2
+
+
+# ---------------------------------------------------------------------------
+# postings-state BM25 (maintained index)
+# ---------------------------------------------------------------------------
+
+from webcrawl_spark.functions.textstats import (  # noqa: E402
+    bm25_from_postings,
+    bm25_incremental,
+    postings_state,
+)
+
+
+def _bmdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_from_postings_equals_raw_text(spark):
+    """Scoring from the postings table must be bit-identical to scoring
+    from raw text."""
+    docs = _bmdocs(spark, [
+        (1, "spark merge spark window join"),
+        (2, "window window filter"),
+        (3, "merge of the ten streams under one window pane today ok"),
+        (4, "nothing relevant here"),
+    ])
+    raw = sorted(map(tuple, bm25_rank(docs, ["spark", "window"], k=10).collect()))
+    viaidx = sorted(map(tuple, bm25_from_postings(
+        postings_state(docs), ["spark", "window"], k=10
+    ).collect()))
+    assert raw == viaidx
+
+
+def test_bm25_incremental_equals_whole_corpus(spark):
+    """Delta-tokenize + tf-sum merge must answer exactly like a
+    from-scratch build over corpus ∪ delta."""
+    corpus = [(i, f"filler text number {i} about window frames") for i in range(3, 12)]
+    delta = [(0, "spark spark merge"), (1, "window merge spark"), (2, "plain filler")]
+    whole = _bmdocs(spark, corpus + delta)
+    stored = postings_state(_bmdocs(spark, corpus)).localCheckpoint(eager=True)
+    inc = sorted(map(tuple, bm25_incremental(
+        _bmdocs(spark, delta), stored, ["spark", "merge"], k=10
+    ).collect()))
+    batch = sorted(map(tuple, bm25_rank(whole, ["spark", "merge"], k=10).collect()))
+    assert inc == batch
+
+
+def test_bm25_incremental_reappended_doc_accumulates(spark):
+    """A doc id present in BOTH state and delta merges additively — as if
+    its text were the concatenation."""
+    stored = postings_state(
+        _bmdocs(spark, [(1, "spark window"), (2, "other words")])
+    ).localCheckpoint(eager=True)
+    inc = sorted(map(tuple, bm25_incremental(
+        _bmdocs(spark, [(1, "spark spark")]), stored, ["spark"], k=10
+    ).collect()))
+    merged_docs = _bmdocs(
+        spark, [(1, "spark window spark spark"), (2, "other words")]
+    )
+    batch = sorted(map(tuple, bm25_rank(merged_docs, ["spark"], k=10).collect()))
+    assert inc == batch
+
+
+def test_bm25_incremental_plan_never_reads_corpus_text(spark, tmp_path):
+    """Plan guard: with the index state persisted as parquet, the consumer
+    plan's only file scans read (id, term, tf) — corpus TEXT structurally
+    cannot be re-tokenized (the delta, in-memory here, owns every
+    Generate; its subtree repeats textually per consumer branch but
+    exchange reuse dedupes execution)."""
+    p = str(tmp_path / "postings")
+    postings_state(
+        _bmdocs(spark, [(1, "spark window"), (2, "other words")])
+    ).write.parquet(p)
+    plan = bm25_incremental(
+        _bmdocs(spark, [(3, "delta doc")]), spark.read.parquet(p),
+        ["spark"], k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"ReadSchema: ([^\n]*)", plan):
+        assert "text" not in m.group(1), m.group(1)
+    assert "Generate" in plan          # the delta tokenize exists
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

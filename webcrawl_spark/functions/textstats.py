@@ -554,6 +554,115 @@ def bm25_rank(
              "score_micro", "rank")
 
 
+def postings_state(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The PERSISTABLE search-index state: full ``(id, term, tf)``
+    postings under :func:`bm25_rank`'s exact tokenization — the smallest
+    granularity from which every BM25 input is derivable (``dl`` is the
+    per-id tf sum since postings cover EVERY term; ``df``/``N``/``avgdl``
+    follow), and which merges additively across crawls (tf sums). The
+    index-maintenance analog of ``anchors.anchor_counts``: a deployment
+    writes this once per crawl instead of re-tokenizing 100 TB."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_from_postings(
+    postings: DataFrame, query_terms: list[str], k: int = 20
+) -> DataFrame:
+    """:func:`bm25_rank` computed FROM a postings table instead of raw
+    text — same output, bit for bit: ``dl`` is the per-id tf sum, the
+    scoring expression is shared. This is the query path of the
+    maintained index: corpus text is never touched.
+
+    100-TB shape: ``dl`` and the term filter are uniform-key aggregates /
+    map-side filters over the postings table (token-count-bounded, far
+    smaller than text); df/avgdl broadcast as scalars; top-k is
+    TakeOrdered, never a global sort.
+    """
+    terms = [t.lower() for t in query_terms]
+    dl = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("N"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = postings.filter(F.col("term").isin(*terms)).select("id", "term", "tf")
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("c_micro"),
+        )
+    )
+    scored = contrib.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum("c_micro").alias("score_micro"),
+    )
+    top = scored.orderBy(F.desc("score_micro"), F.asc("id")).limit(k)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score_micro"), F.asc("id"))
+        ).cast("long"),
+    ).select("id", F.col("n_hits").cast("long").alias("n_hits"),
+             "score_micro", "rank")
+
+
+def bm25_incremental(
+    delta_docs: DataFrame, stored_postings: DataFrame,
+    query_terms: list[str], k: int = 20,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental search-index maintenance — the SECOND additive-state
+    member of the delta-vs-corpus family (anchor_stats_incremental is the
+    first): tokenize ONLY the delta, merge its postings into the persisted
+    :func:`postings_state` by summing tf (new docs append; a re-appended
+    doc's counts accumulate), and answer queries from the merged index.
+    The corpus text is never re-read; the battery oracle is the
+    WHOLE-CORPUS bm25_search SQL, so a hash match proves the merged index
+    answers exactly like a from-scratch build.
+
+    100-TB shape: the merge is one uniform-key (id, term) aggregate over
+    index-sized inputs (the delta side is small by definition — AQE
+    broadcasts it); scoring inherits :func:`bm25_from_postings`' shape.
+    """
+    merged = (
+        stored_postings.unionByName(
+            postings_state(delta_docs, text_col, id_col)
+        )
+        .groupBy("id", "term")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    return bm25_from_postings(merged, query_terms, k)
+
+
 def inverted_index(
     docs: DataFrame, min_term_len: int = 4, k_postings: int = 5,
     salt: int = 8, text_col: str = "text", id_col: str = "doc_id",

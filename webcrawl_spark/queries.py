@@ -1497,6 +1497,29 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+BM25_SPLIT = 100  # delta = doc_id < BM25_SPLIT; corpus = the rest
+
+
+def q_bm25_incremental(spark, sf_dir):
+    """Incremental search-index maintenance (functions/textstats
+    .bm25_incremental): the second ADDITIVE-STATE member of the
+    delta-vs-corpus family — only the delta's text is tokenized;
+    yesterday's persisted (id, term, tf) postings merge by tf sum and
+    queries answer from the merged index. The oracle is the WHOLE-CORPUS
+    bm25_search SQL, so the hash match proves the maintained index
+    answers exactly like a from-scratch build."""
+    d = _t(spark, sf_dir, "documents")
+    stored = TS.postings_state(
+        d.where(f"doc_id >= {BM25_SPLIT}")
+    ).localCheckpoint(eager=True)  # the persisted state table stand-in
+    return TS.bm25_incremental(
+        d.where(f"doc_id < {BM25_SPLIT}"), stored,
+        list(BM25_QUERY), k=BM25_TOPK,
+    ).select(
+        F.col("id").alias("doc_id"), "n_hits", "score_micro", "rank"
+    )
+
+
 def q_rel_canonical(spark, sf_dir):
     """In-page canonical-URL election (functions/metarobots
     .rel_canonical): ``<link rel="canonical">`` one-hop election +
@@ -3480,6 +3503,8 @@ FROM tot JOIN top USING (target)
     # incremental anchor maintenance: the oracle is the WHOLE-CORPUS
     # anchor profile — a hash match proves the merge is exact
     sql["anchor_stats_incremental"] = sql["anchor_text_stats"]
+    # the merged index must answer exactly like a from-scratch build
+    sql["bm25_incremental"] = sql["bm25_search"]
 
     sql["url_alias_groups"] = f"""
 WITH pages AS (
@@ -7446,6 +7471,7 @@ QUERIES: dict[str, Callable] = {
     "domain_rollup": q_domain_rollup,
     "bloom_dedup_fpr": q_bloom_dedup_fpr,
     "url_pattern_groups": q_url_pattern_groups,
+    "bm25_incremental": q_bm25_incremental,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
