@@ -90,7 +90,7 @@ BENCH_QUERIES = [
     "decontaminate_semantic", "edu_classifier", "duplicate_span_strip",
     "wet_extract", "mixture_temperature",
     "registrable_domain", "domain_rollup", "bloom_dedup_fpr",
-    "url_pattern_groups", "bm25_incremental",
+    "url_pattern_groups", "bm25_incremental", "host_mirror_pairs",
 ]
 
 

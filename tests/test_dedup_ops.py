@@ -362,3 +362,79 @@ def test_dedup_exact_incremental_matches_batch_on_union(spark):
     batch_kept = {r.doc_id for r in union.join(
         drop.select("doc_id"), "doc_id", "left_anti").collect() if r.doc_id >= 100}
     assert inc == batch_kept
+
+
+# ---------------------------------------------------------------------------
+# host mirror pairs
+# ---------------------------------------------------------------------------
+
+def _hostdocs(spark, rows):
+    return spark.createDataFrame(rows, "host string, text string")
+
+
+def test_host_mirror_full_and_subset(spark):
+    from webcrawl_spark.operators.textdedup import host_mirror_pairs
+
+    rows = (
+        [("a.test", f"doc {i}") for i in range(6)]
+        + [("b.test", f"doc {i}") for i in range(6)]       # full mirror of a
+        + [("c.test", f"doc {i}") for i in range(3)]       # subset of a
+        + [("d.test", f"other {i}") for i in range(6)]     # unrelated
+    )
+    got = {
+        (r.host_a, r.host_b): (
+            r.shared, r.size_a, r.size_b, r.containment_permille, r.mirror
+        )
+        for r in host_mirror_pairs(_hostdocs(spark, rows)).collect()
+    }
+    assert got[("a.test", "b.test")] == (6, 6, 6, 1000, True)
+    # a subset host is fully contained -> flagged (that IS the semantics)
+    assert got[("a.test", "c.test")] == (3, 6, 3, 1000, True)
+    assert got[("b.test", "c.test")] == (3, 6, 3, 1000, True)
+    assert not any("d.test" in k for k in got)
+
+
+def test_host_mirror_min_shared_and_threshold(spark):
+    from webcrawl_spark.operators.textdedup import host_mirror_pairs
+
+    rows = (
+        [("a.test", f"a{i}") for i in range(10)]
+        + [("b.test", f"b{i}") for i in range(10)]
+        + [("a.test", "shared-x"), ("b.test", "shared-x")]   # 1 shared digest
+        + [("a.test", "shared-y"), ("b.test", "shared-y")]   # 2nd shared
+    )
+    got = {
+        (r.host_a, r.host_b): (r.shared, r.containment_permille, r.mirror)
+        for r in host_mirror_pairs(_hostdocs(spark, rows)).collect()
+    }
+    # 2 shared of min-size 12 -> 166 permille, not a mirror
+    assert got[("a.test", "b.test")] == (2, 166, False)
+    # with only ONE shared digest the pair drops below min_shared
+    rows1 = rows[:-2]
+    assert host_mirror_pairs(_hostdocs(spark, rows1)).count() == 0
+
+
+def test_host_mirror_cap_is_deterministic(spark):
+    from webcrawl_spark.operators.textdedup import host_mirror_pairs
+
+    # one digest on hosts a<b<c with cap=2 keeps only (a, b)
+    rows = [(h, t) for h in ("a.t", "b.t", "c.t")
+            for t in ("same-1", "same-2")]
+    got = {
+        (r.host_a, r.host_b)
+        for r in host_mirror_pairs(
+            _hostdocs(spark, rows), max_hosts_per_digest=2
+        ).collect()
+    }
+    assert got == {("a.t", "b.t")}
+
+
+def test_host_mirror_plan_shape(spark):
+    from webcrawl_spark.operators.textdedup import host_mirror_pairs
+
+    plan = (
+        host_mirror_pairs(_hostdocs(spark, [("a.t", "x")]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -1129,3 +1129,80 @@ def url_alias_groups(
         "url", "digest", "group_size", "canonical_url",
         (F.col("url") == F.col("canonical_url")).alias("is_canonical"),
     )
+
+
+MIRROR_HOST_CAP = 16          # deterministic cap: hosts kept per digest
+MIRROR_MIN_PERMILLE = 800     # containment threshold for the mirror flag
+MIRROR_MIN_SHARED = 2         # pairs below this shared-digest count drop
+
+
+def host_mirror_pairs(
+    docs: DataFrame, host_col: str = "host", text_col: str = "text",
+    max_hosts_per_digest: int | None = MIRROR_HOST_CAP,
+    min_shared: int = MIRROR_MIN_SHARED,
+) -> DataFrame:
+    """Site-mirror detection — the HOST-granularity member of the dedup
+    family (url_alias_groups canonicalizes identical URLs; this finds
+    whole HOSTS serving largely the same corpus): ``(host_a, host_b,
+    shared, size_a, size_b, containment_permille, mirror)`` for every
+    host pair sharing ≥ ``min_shared`` content digests, ``host_a <
+    host_b``. Containment = shared / min(|a|, |b|) in integer permille;
+    ``mirror`` flags pairs at/above MIRROR_MIN_PERMILLE — the signal a
+    crawler uses to collapse politeness budgets and skip refetching a
+    known mirror.
+
+    100-TB shape: the unit of work is the (host, digest) DISTINCT table
+    (corpus-linear, uniform md5 keys). The pair explosion is the LSH
+    bucket pattern: per-digest self-join AFTER a deterministic
+    ``max_hosts_per_digest`` cap (a boilerplate digest present on every
+    host of the web would otherwise cost |hosts|² pairs — capped, it
+    costs cap², and truly mirrored pairs still meet over their many
+    NON-ubiquitous digests). Host sizes are a partial-combining
+    aggregate; the size join keys on the uniform host. No window over
+    hosts, no cartesian, zero Python.
+    """
+    hd = docs.select(
+        F.col(host_col).alias("host"), F.md5(F.col(text_col)).alias("digest")
+    ).filter(F.col("digest").isNotNull()).distinct()
+    sizes = hd.groupBy("host").agg(F.count(F.lit(1)).alias("sz"))
+    capped = hd
+    if max_hosts_per_digest is not None:
+        w = Window.partitionBy("digest").orderBy("host")
+        capped = (
+            hd.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_hosts_per_digest)
+            .drop("__rn")
+        )
+    pairs = (
+        capped.alias("x")
+        .join(capped.alias("y"), "digest")
+        .filter(F.col("x.host") < F.col("y.host"))
+        .groupBy(
+            F.col("x.host").alias("host_a"), F.col("y.host").alias("host_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("host", "host_a"), "host_a")
+        .withColumnRenamed("sz", "size_a")
+        .join(
+            sizes.withColumnRenamed("host", "host_b").withColumnRenamed(
+                "sz", "size_b"
+            ),
+            "host_b",
+        )
+        .select(
+            "host_a", "host_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            F.expr(
+                "cast(1000 * shared div least(size_a, size_b) as bigint)"
+            ).alias("containment_permille"),
+        )
+        .withColumn(
+            "mirror",
+            F.col("containment_permille") >= MIRROR_MIN_PERMILLE,
+        )
+    )

@@ -5735,6 +5735,43 @@ SELECT template, CAST(COUNT(*) AS BIGINT) AS n_urls,
 FROM t GROUP BY 1
 """
 
+    # host_mirror_pairs: cap/threshold constants interpolate from the TD
+    # constants; the row_number cap replays the engine's deterministic
+    # (digest, host) truncation exactly
+    sql["host_mirror_pairs"] = f"""
+WITH src AS (
+  SELECT 'h' || CAST(doc_id % 8 AS STRING) || '.test' AS host, text
+  FROM documents
+  UNION ALL
+  SELECT 'mirror.test', text FROM documents WHERE doc_id % 8 = 0
+  UNION ALL
+  SELECT 'partial.test', text FROM documents WHERE doc_id % 16 = 1
+  UNION ALL
+  SELECT 'h' || CAST(doc_id % 8 AS STRING) || '.test',
+         'boilerplate-' || (CASE WHEN doc_id % 16 < 8 THEN '0' ELSE '1' END)
+  FROM documents WHERE doc_id < 16),
+hd AS (SELECT DISTINCT host, md5(text) AS digest FROM src
+       WHERE text IS NOT NULL),
+sizes AS (SELECT host, COUNT(*) AS sz FROM hd GROUP BY 1),
+capped AS (SELECT host, digest FROM (
+    SELECT host, digest,
+           ROW_NUMBER() OVER (PARTITION BY digest ORDER BY host) AS rn
+    FROM hd) WHERE rn <= {TD.MIRROR_HOST_CAP}),
+pairs AS (
+  SELECT x.host AS host_a, y.host AS host_b, COUNT(*) AS shared
+  FROM capped x JOIN capped y ON x.digest = y.digest AND x.host < y.host
+  GROUP BY 1, 2 HAVING COUNT(*) >= {TD.MIRROR_MIN_SHARED})
+SELECT host_a, host_b, CAST(shared AS BIGINT) AS shared,
+       CAST(a.sz AS BIGINT) AS size_a, CAST(b.sz AS BIGINT) AS size_b,
+       CAST(1000 * shared // least(a.sz, b.sz) AS BIGINT)
+         AS containment_permille,
+       1000 * shared // least(a.sz, b.sz) >= {TD.MIRROR_MIN_PERMILLE}
+         AS mirror
+FROM pairs
+JOIN sizes a ON a.host = pairs.host_a
+JOIN sizes b ON b.host = pairs.host_b
+"""
+
     # mixture_weights: the dedup-survivor rule (min doc_id per md5) and the
     # integer permille weights replayed exactly; denominators are window
     # sums over the |sources|-row rollup
@@ -7228,6 +7265,42 @@ def q_url_pattern_groups(spark, sf_dir):
     return UP.url_pattern_groups(urls)
 
 
+def q_host_mirror_pairs(spark, sf_dir):
+    """Site-mirror detection (operators/textdedup.host_mirror_pairs):
+    host pairs sharing ≥ MIRROR_MIN_SHARED content digests, containment
+    in integer permille, flagged at MIRROR_MIN_PERMILLE — the signal for
+    collapsing politeness budgets across a known mirror. The fixture
+    plants a full mirror of h0 and a half-mirror of h1 among the 8 base
+    hosts, plus two boilerplate pages shared by EVERY base host — the 28
+    cross-host pairs they create sit far below the containment threshold
+    (shared=2 vs host sizes), exercising the non-mirror branch the way
+    web-wide boilerplate does in production."""
+    d = _t(spark, sf_dir, "documents")
+    host = "'h' || CAST(doc_id % 8 AS STRING) || '.test'"
+    docs = (
+        d.select(F.expr(host).alias("host"), "text")
+        .unionByName(
+            d.where("doc_id % 8 = 0").select(
+                F.lit("mirror.test").alias("host"), "text"
+            )
+        )
+        .unionByName(
+            d.where("doc_id % 16 = 1").select(
+                F.lit("partial.test").alias("host"), "text"
+            )
+        )
+        .unionByName(
+            d.where("doc_id < 16").select(
+                F.expr(host).alias("host"),
+                F.expr(
+                    "'boilerplate-' || (CASE WHEN doc_id % 16 < 8 THEN '0' ELSE '1' END)"
+                ).alias("text"),
+            )
+        )
+    )
+    return TD.host_mirror_pairs(docs)
+
+
 BIGRAM_HOLDOUT_MOD = 5  # doc_id % 5 == 0 → held-out scoring split
 
 
@@ -7472,6 +7545,7 @@ QUERIES: dict[str, Callable] = {
     "bloom_dedup_fpr": q_bloom_dedup_fpr,
     "url_pattern_groups": q_url_pattern_groups,
     "bm25_incremental": q_bm25_incremental,
+    "host_mirror_pairs": q_host_mirror_pairs,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
