@@ -41,7 +41,7 @@ MULT = int(os.environ.get("BENCH_MULT", "8"))
 BENCH_QUERIES = [
     "crawl_frontier_round1",
     "url_canonicalize", "link_extract", "link_pagerank", "link_hits",
-    "host_rank", "host_rank_urls", "trust_rank", "trust_demotion",
+    "host_rank", "host_rank_urls", "trust_rank", "trust_demotion", "link_opic",
     "mime_infer", "server_mime_retype",
     "robots_filter", "robots_wildcard", "robots_parse", "sitemap_parse",
     "nofollow_gate",

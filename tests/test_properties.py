@@ -234,3 +234,49 @@ def test_integer_host_trust_rank_hand_computed():
     got_tr = dict(con.execute(ORACLE_SQL["trust_rank"]).fetchall())
     assert got_pr == pr
     assert got_tr == tr
+
+
+def test_integer_opic_hand_computed():
+    """Independent expectation for the link_opic arithmetic: replay the
+    exact integer OPIC recurrence (Abiteboul et al. 2003) in plain Python
+    on the same generator formula — cash0 = 10^6, three synchronous
+    rounds of distribute-by-truncating-division + bank-into-history, ppm
+    normalization at the end. This is the spec, hand-written; the oracle
+    must reproduce it node for node."""
+    n = 300
+    edges = {}
+    for d in range(n):
+        edges[d] = [(d * 31 + 7 * k + 1) % n for k in range(2 + d % 4)]
+    cash = {d: 1_000_000 for d in range(n)}
+    hist = {d: 0 for d in range(n)}
+    for _ in range(3):
+        contrib = {d: 0 for d in range(n)}
+        for src, outs in edges.items():
+            share = cash[src] // len(outs)
+            for dst in outs:
+                contrib[dst] += share
+        hist = {d: hist[d] + cash[d] for d in range(n)}
+        cash = contrib
+    total = sum(cash[d] + hist[d] for d in range(n))
+    expect = {
+        d: (hist[d], cash[d], (cash[d] + hist[d]) * 1_000_000 // total)
+        for d in range(n)
+    }
+    # structural sanity: history banked exactly 3 rounds of (shrinking)
+    # cash; truncation only ever loses mass
+    assert all(h >= 2_000_000 for h, _, _ in expect.values())
+    assert total <= 4 * n * 1_000_000
+
+    from webcrawl_spark.queries import ORACLE_SQL
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(ORACLE_SQL["link_opic"]).fetchall()
+    }
+    assert got == expect

@@ -214,6 +214,70 @@ def q_link_pagerank(spark, sf_dir):
     return ranks.select(F.col("id").alias("doc_id"), F.col("r").alias("pagerank"))
 
 
+def q_link_opic(spark, sf_dir):
+    """Integer OPIC (Abiteboul et al. 2003, Adaptive On-Line Page
+    Importance Computation; 3 synchronous rounds) over the same synthetic
+    link graph as ``link_pagerank`` — the FOURTH crawl-ordering rank
+    producer (after PageRank, HITS, TrustRank), and the one actually
+    designed for crawlers: each page holds ``cash`` it distributes
+    equally to its out-links each round while banking the distributed
+    amount into ``history``; importance = (history + cash) / total. No
+    damping parameter, no convergence wait — a crawler reads the running
+    estimate whenever it schedules. All-integer (cash0 = 10^6, truncating
+    division; distribution remainders vanish — deterministic), so every
+    engine agrees bit-for-bit. Every node has out-degree ≥ 2, so there is
+    no dangling mass to redistribute. Per round: ONE uniform-key shuffle
+    (groupBy dst) + a left join back to the node set; the final
+    normalizer is a broadcast 1-row scalar."""
+    from .sources.synth_web import LINK_MULT, LINK_STEP
+
+    n = 300
+    docs = _t(spark, sf_dir, "documents").filter(f"doc_id < {n}").select("doc_id")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, 1 + cast(doc_id % 4 as int)), "
+                f"k -> (doc_id * {LINK_MULT} + {LINK_STEP} * k + 1) % {n})"
+            )
+        ).alias("dst"),
+    )
+    state = docs.select(
+        F.col("doc_id").alias("id"),
+        F.lit(1000000).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(
+                state.select(
+                    F.col("id").alias("src"), F.col("cash").alias("cs")
+                ),
+                "src",
+            )
+            .select("dst", F.expr("cs div (2 + src % 4)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        state = (
+            state.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                F.coalesce("contrib", F.lit(0)).cast("long").alias("cash"),
+                (F.col("hist") + F.col("cash")).cast("long").alias("hist"),
+            )
+        )
+    tot = state.agg(F.sum(F.col("cash") + F.col("hist")).alias("s"))
+    return state.crossJoin(F.broadcast(tot)).select(
+        F.col("id").alias("doc_id"),
+        F.col("hist").alias("history"),
+        "cash",
+        F.expr("cast((cash + hist) * 1000000 div s as bigint)").alias(
+            "importance_ppm"
+        ),
+    )
+
+
 def q_link_hits(spark, sf_dir):
     """Integer HITS (hubs & authorities, 2 iterations) over the same
     synthetic link graph as ``link_pagerank`` — the second classic
@@ -2392,6 +2456,31 @@ r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r FROM docs),
 {_pr_iter.format(i=2, p=1)},
 {_pr_iter.format(i=3, p=2)}
 SELECT id AS doc_id, r AS pagerank FROM r3
+"""
+
+    # OPIC: unrolled synchronous rounds — distribute cash over out-links
+    # (truncating //), bank the old cash into history, repeat
+    _opic_iter = """
+o{i} AS (
+  SELECT e.dst AS id, SUM(s{p}.cash // (2 + e.src % 4)) AS contrib
+  FROM edges e JOIN s{p} ON s{p}.id = e.src GROUP BY e.dst),
+s{i} AS (
+  SELECT d.doc_id AS id, CAST(COALESCE(x.contrib, 0) AS BIGINT) AS cash,
+         CAST(s{p}.hist + s{p}.cash AS BIGINT) AS hist
+  FROM docs d LEFT JOIN o{i} x ON x.id = d.doc_id
+  JOIN s{p} ON s{p}.id = d.doc_id)"""
+    sql["link_opic"] = f"""
+WITH {SW.edges_sql(300)},
+s0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS cash,
+              CAST(0 AS BIGINT) AS hist FROM docs),
+{_opic_iter.format(i=1, p=0)},
+{_opic_iter.format(i=2, p=1)},
+{_opic_iter.format(i=3, p=2)}
+SELECT id AS doc_id, hist AS history, cash,
+       CAST((cash + hist) * 1000000
+            // (SELECT SUM(cash + hist) FROM s3) AS BIGINT)
+         AS importance_ppm
+FROM s3
 """
 
     # one HITS iteration = authority half-step (sum of hub mass over
@@ -7546,6 +7635,7 @@ QUERIES: dict[str, Callable] = {
     "url_pattern_groups": q_url_pattern_groups,
     "bm25_incremental": q_bm25_incremental,
     "host_mirror_pairs": q_host_mirror_pairs,
+    "link_opic": q_link_opic,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
