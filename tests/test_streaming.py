@@ -604,3 +604,33 @@ def test_stream_revisit_classify_equals_batch(spark, tmp_path):
     assert got["http://r.test/1"] == "revisit"      # unchanged, seen
     assert got["http://r.test/4"] == "response"     # changed
     assert got["http://r.test/110"] == "response"   # first-seen
+
+
+def test_stream_bloom_positions_equal_batch(spark):
+    """Bloom-at-ingest: the drained streaming set-bit table must equal
+    batch bloom_build over the whole corpus (streaming distinct == the
+    filter's position-set union merge law), hence identical probe
+    answers for any probe set."""
+    from webcrawl_spark.operators import sketches as SK
+
+    q = SE.stream_bloom_positions(spark, SF, "bloom_t")
+    _drain(q)
+    streamed = spark.sql("select pos from bloom_t")
+    got = {r["pos"] for r in streamed.collect()}
+    corpus = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select(F.md5("text").alias("item"))
+    )
+    want = {r["pos"] for r in SK.bloom_build(corpus).collect()}
+    assert got == want and len(got) > 0
+    # probing the streamed filter answers exactly like the batch filter
+    probes = corpus.limit(20).unionByName(
+        spark.createDataFrame([(f"absent-{i}",) for i in range(20)],
+                              "item string")
+    )
+    a = {r.item: r.bloom_hit
+         for r in SK.bloom_probe(streamed, probes).collect()}
+    b = {r.item: r.bloom_hit
+         for r in SK.bloom_probe(SK.bloom_build(corpus), probes).collect()}
+    assert a == b

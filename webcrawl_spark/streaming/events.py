@@ -342,6 +342,40 @@ def stream_hll_registers(
     )
 
 
+def stream_bloom_positions(
+    spark: SparkSession, sf_dir: str, query_name: str
+) -> "StreamingQuery":
+    """Bloom filter at ingest: the seen-set sketch (operators/sketches
+    .bloom_build — the battery-measured twin of the crawl's Bloom
+    sidecar) maintained INCREMENTALLY by the streaming engine. Each
+    micro-batch's content digests explode into their k bit positions and
+    fold into a streaming distinct on the uniform ``pos`` key — state is
+    ≤ m rows FOREVER (the filter's whole point), and the set-bit table is
+    probeable at any instant without rescanning history. The streaming
+    aggregate IS the Bloom merge law (position-set union), exactly as the
+    HLL member's max-agg is cellwise max. Batch-equivalence (tested):
+    once the bounded stream drains, the position set equals
+    ``bloom_build`` over the whole corpus, hence identical probe answers.
+    """
+    from ..operators import sketches as SK
+
+    d = table_stream(spark, sf_dir, "documents")
+    pos = (
+        d.filter(F.col("text").isNotNull())
+        .select(F.md5("text").alias("item"))
+        .select(
+            F.explode(F.expr(SK.bloom_positions_sql("item"))).alias("pos")
+        )
+    )
+    bits = pos.groupBy("pos").agg(F.count(F.lit(1)).alias("n_set"))
+    return (
+        bits.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )
+
+
 def stream_template_counts(
     spark: SparkSession, sf_dir: str, query_name: str
 ) -> "StreamingQuery":
