@@ -438,3 +438,42 @@ def test_host_mirror_plan_shape(spark):
     )
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# normalized (fuzzy-exact) dedup
+# ---------------------------------------------------------------------------
+
+def test_normalized_duplicates_merge_and_split(spark):
+    from webcrawl_spark.operators.textdedup import normalized_duplicates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "  hello   world  "),        # ws + case + punct variant
+            (3, "HELLO WORLD"),              # case variant
+            (4, "hello worlds"),             # real edit: separate
+            (5, None),                       # NULL: excluded
+            (6, "!!! ... ???"),              # normalizes to empty: excluded
+            (7, "?!?! .. !"),                # also empty: must NOT pair with 6
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.keeper: r.n_docs
+        for r in normalized_duplicates(docs).collect()
+    }
+    assert got == {1: 3}
+
+
+def test_normalized_duplicates_plan_shape(spark):
+    from webcrawl_spark.operators.textdedup import normalized_duplicates
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (
+        normalized_duplicates(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan

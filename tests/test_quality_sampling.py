@@ -330,3 +330,43 @@ def test_host_rank_feeds_priority_fold(spark):
     got = {r.url: r.priority for r in fold_rank_priority(frontier, ranks).collect()}
     assert got["http://big.test/a"] < got["http://small.test/a"]
     assert got["http://small.test/r"] < got["http://big.test/a"]
+
+
+def test_host_backoff_thresholds_and_floor(spark):
+    """AIMD politeness: 429/5xx are pushback, plain 4xx is not; each
+    crossed threshold halves the budget; the budget floors at 1."""
+    from webcrawl_spark.operators.snapshot import host_backoff
+
+    rows = (
+        [("a.t", 200)] * 19 + [("a.t", 503)]          # exactly 50 permille
+        + [("b.t", 200)] * 19 + [("b.t", 404)]        # 4xx: no pushback
+        + [("c.t", 429)] * 7 + [("c.t", 200)] * 3     # 700 permille
+        + [("d.t", 500)] * 10                          # 1000 permille
+    )
+    log = spark.createDataFrame(rows, "host string, status int")
+    got = {
+        r.host: (r.err_permille, r.backoff_shift, r.budget)
+        for r in host_backoff(log, base_budget=64).collect()
+    }
+    assert got["a.t"] == (50, 1, 32)    # boundary: >= threshold counts
+    assert got["b.t"] == (0, 0, 64)
+    assert got["c.t"] == (700, 3, 8)
+    assert got["d.t"] == (1000, 3, 8)
+    # floor: a tiny base budget never reaches zero
+    floor = {
+        r.host: r.budget
+        for r in host_backoff(log, base_budget=2).collect()
+    }
+    assert floor["d.t"] == 1
+
+
+def test_host_backoff_plan_shape(spark):
+    from webcrawl_spark.operators.snapshot import host_backoff
+
+    log = spark.createDataFrame([("a.t", 200)], "host string, status int")
+    plan = (
+        host_backoff(log)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan

@@ -194,3 +194,58 @@ def recrawl_ranks(diff: DataFrame, scale: int = RECRAWL_SCALE) -> DataFrame:
             ).cast("long").alias("rank"),
         )
     )
+
+
+# AIMD-style politeness backoff: error-rate thresholds (permille) that
+# each halve the per-host budget once crossed. Server pushback =
+# HTTP 429 or any 5xx; other 4xx are CLIENT errors and do not throttle.
+BACKOFF_THRESHOLDS = (50, 200, 500)
+BACKOFF_BASE_BUDGET = 64
+
+
+def host_backoff(
+    fetch_log: DataFrame,
+    base_budget: int = BACKOFF_BASE_BUDGET,
+    host_col: str = "host",
+    status_col: str = "status",
+) -> DataFrame:
+    """Adaptive politeness from observed pushback — ``(host, n_fetches,
+    n_errors, err_permille, backoff_shift, budget)``: the per-host
+    connection budget for the NEXT crawl round, halved once per crossed
+    error-rate threshold (multiplicative decrease; the budget recovers
+    to ``base_budget`` as soon as the error rate does — additive
+    recovery is the next round's remeasurement). This closes the loop
+    the reference leaves to its operator: its
+    ``max_connections_per_server`` is a static setting
+    (Backend/Crawler.cs connection budgets); here the fetch log TUNES it
+    per host. Output composes with the politeness scheduler's budget
+    parameter the same way rank tables compose with priority.
+
+    100-TB shape: one partial-combining aggregate on the uniform host
+    key — a mega-host's fetch rows collapse map-side; the
+    threshold-to-shift fold and the halving are per-row integer
+    expressions. Zero joins, zero Python.
+    """
+    err = (F.col(status_col) == 429) | (F.col(status_col) >= 500)
+    agg = fetch_log.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum(err.cast("long")).alias("n_errors"),
+    )
+    permille = F.expr("1000 * n_errors div n_fetches")
+    shift = sum(
+        (permille >= t).cast("int") for t in BACKOFF_THRESHOLDS
+    ).cast("long")
+    return agg.select(
+        "host",
+        F.col("n_fetches").cast("long").alias("n_fetches"),
+        F.col("n_errors").cast("long").alias("n_errors"),
+        permille.cast("long").alias("err_permille"),
+        shift.alias("backoff_shift"),
+    ).withColumn(
+        "budget",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"{base_budget} div shiftleft(1, cast(backoff_shift as int))")
+            .cast("long"),
+        ),
+    )

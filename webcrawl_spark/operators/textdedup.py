@@ -1206,3 +1206,55 @@ def host_mirror_pairs(
             F.col("containment_permille") >= MIRROR_MIN_PERMILLE,
         )
     )
+
+
+# text-normalization regexes for fuzzy-exact dedup — written so the SAME
+# pattern TEXT is valid in Java regex (Spark) and RE2 (DuckDB); the oracle
+# interpolates them verbatim
+NORM_STRIP_RE = "[^a-z0-9\\s]"   # drop punctuation/symbols after lowering
+NORM_WS_RE = "\\s+"              # collapse whitespace runs
+
+
+def normalized_text(col):
+    """Column expr: the case/punctuation/whitespace-normalized form of
+    ``col`` — lower, strip non-alphanumerics to spaces, collapse runs,
+    trim. ASCII-deterministic by construction."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), NORM_STRIP_RE, " "),
+            NORM_WS_RE, " ",
+        )
+    )
+
+
+def normalized_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fuzzy-exact dedup (the Dolma/CCNet preprocessing convention):
+    digest the NORMALIZED text — case, punctuation, and whitespace
+    differences no longer defeat exact dedup (headline reflows, smart
+    quotes, trailing-space mirrors), while real edits still split
+    groups. Same output shape as :func:`exact_duplicates`: ``(digest,
+    keeper, n_docs)`` for groups with >1 member; rows whose text is NULL
+    or normalizes to EMPTY are excluded (an all-punctuation page is not
+    a duplicate of every other all-punctuation page — it has no content
+    to match on).
+
+    100-TB shape: normalization is one zero-exchange codegen projection;
+    the group rollup is the same uniform-md5-key partial-combining
+    aggregate as exact dedup. Sits between exact (raw digest) and
+    MinHash (shingle similarity) in the dedup ladder.
+    """
+    norm = normalized_text(F.col(text_col))
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.md5(norm).alias("digest"),
+            F.col(id_col).alias("id"),
+            (F.length(norm) > 0).alias("__ok"),
+        )
+        .filter(F.col("__ok"))
+        .groupBy("digest")
+        .agg(F.min("id").alias("keeper"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )

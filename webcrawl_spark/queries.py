@@ -5861,6 +5861,55 @@ JOIN sizes a ON a.host = pairs.host_a
 JOIN sizes b ON b.host = pairs.host_b
 """
 
+    # dedup_normalized: the normalization regexes interpolate from the TD
+    # constants (same pattern text is valid Java regex and RE2; DuckDB
+    # needs the explicit 'g' flag)
+    sql["dedup_normalized"] = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 40000, '  ' || upper(text) || ' !!!'
+  FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 50000, text || ' extra tail words'
+  FROM documents WHERE doc_id < 20),
+n AS (
+  SELECT doc_id AS id,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '{TD.NORM_STRIP_RE}', ' ', 'g'), '{TD.NORM_WS_RE}', ' ', 'g'))
+           AS norm
+  FROM src WHERE text IS NOT NULL)
+SELECT md5(norm) AS digest, CAST(MIN(id) AS BIGINT) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM n WHERE length(norm) > 0
+GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+    # host_backoff: thresholds/base interpolate from the SNAP constants
+    _bk_shift = " + ".join(
+        f"(CASE WHEN 1000 * n_errors // n_fetches >= {t} THEN 1 ELSE 0 END)"
+        for t in SNAP.BACKOFF_THRESHOLDS
+    )
+    sql["host_backoff"] = f"""
+WITH log AS (
+  SELECT 'h' || CAST(doc_id % 8 AS STRING) || '.test' AS host,
+         {_BACKOFF_STATUS_SQL} AS status
+  FROM documents),
+agg AS (
+  SELECT host, COUNT(*) AS n_fetches,
+         SUM(CASE WHEN status = 429 OR status >= 500 THEN 1 ELSE 0 END)
+           AS n_errors
+  FROM log GROUP BY 1),
+sh AS (SELECT *, {_bk_shift} AS shift FROM agg)
+SELECT host, CAST(n_fetches AS BIGINT) AS n_fetches,
+       CAST(n_errors AS BIGINT) AS n_errors,
+       CAST(1000 * n_errors // n_fetches AS BIGINT) AS err_permille,
+       CAST(shift AS BIGINT) AS backoff_shift,
+       CAST(GREATEST(1, {SNAP.BACKOFF_BASE_BUDGET} // (1 << shift))
+            AS BIGINT) AS budget
+FROM sh
+"""
+
     # mixture_weights: the dedup-survivor rule (min doc_id per md5) and the
     # integer permille weights replayed exactly; denominators are window
     # sums over the |sources|-row rollup
@@ -7390,6 +7439,55 @@ def q_host_mirror_pairs(spark, sf_dir):
     return TD.host_mirror_pairs(docs)
 
 
+def q_dedup_normalized(spark, sf_dir):
+    """Fuzzy-exact dedup on normalized text (operators/textdedup
+    .normalized_duplicates, the Dolma/CCNet preprocessing convention):
+    case, punctuation, and whitespace differences no longer defeat exact
+    dedup. The fixture plants re-cased/re-punctuated/re-spaced copies
+    (must merge into their originals' groups) and genuinely edited
+    copies (must NOT merge)."""
+    d = _t(spark, sf_dir, "documents")
+    docs = (
+        d.select("doc_id", "text")
+        .unionByName(
+            d.where("doc_id < 40").select(
+                (F.col("doc_id") + 40000).alias("doc_id"),
+                F.expr("'  ' || upper(text) || ' !!!'").alias("text"),
+            )
+        )
+        .unionByName(
+            d.where("doc_id < 20").select(
+                (F.col("doc_id") + 50000).alias("doc_id"),
+                F.expr("text || ' extra tail words'").alias("text"),
+            )
+        )
+    )
+    return TD.normalized_duplicates(docs)
+
+
+_BACKOFF_STATUS_SQL = (
+    "CASE WHEN doc_id % 8 = 0 AND doc_id % 9 = 0 THEN 503"
+    " WHEN doc_id % 8 = 1 AND doc_id % 9 < 3 THEN 429"
+    " WHEN doc_id % 8 = 2 AND doc_id % 9 < 6 THEN 500"
+    " WHEN doc_id % 8 = 3 AND doc_id % 9 = 5 THEN 404"
+    " ELSE 200 END"
+)
+
+
+def q_host_backoff(spark, sf_dir):
+    """Adaptive politeness backoff (operators/snapshot.host_backoff):
+    per-host pushback rate (429/5xx — plain 4xx is NOT pushback) folds
+    into a budget halved once per crossed threshold. The host mix plants
+    ~11%/33%/67% error hosts (shift 1/2/3), a 404-only host (no
+    throttle), and healthy hosts at the full base budget."""
+    d = _t(spark, sf_dir, "documents")
+    log = d.select(
+        F.expr("'h' || CAST(doc_id % 8 AS STRING) || '.test'").alias("host"),
+        F.expr(_BACKOFF_STATUS_SQL).cast("int").alias("status"),
+    )
+    return SNAP.host_backoff(log)
+
+
 BIGRAM_HOLDOUT_MOD = 5  # doc_id % 5 == 0 → held-out scoring split
 
 
@@ -7636,6 +7734,8 @@ QUERIES: dict[str, Callable] = {
     "bm25_incremental": q_bm25_incremental,
     "host_mirror_pairs": q_host_mirror_pairs,
     "link_opic": q_link_opic,
+    "dedup_normalized": q_dedup_normalized,
+    "host_backoff": q_host_backoff,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
