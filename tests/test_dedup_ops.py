@@ -477,3 +477,79 @@ def test_normalized_duplicates_plan_shape(spark):
     assert "EvalPython" not in plan
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking dedup
+# ---------------------------------------------------------------------------
+
+def test_cdc_shift_robustness(spark):
+    """The CDC property fixed n-grams lack: inserting words re-segments
+    only the edit's neighborhood; interior segments still match."""
+    from webcrawl_spark.operators.textdedup import cdc_duplicate_segments
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away home tonight under a bright silver moon")
+    docs = spark.createDataFrame(
+        [(1, base), (2, "totally different inserted prefix words " + base)],
+        "doc_id long, text string",
+    )
+    dups = cdc_duplicate_segments(docs, min_words=2).collect()
+    assert len(dups) >= 2                      # interior segments matched
+    assert all(r.n_docs == 2 for r in dups)
+    assert all(r.keeper_id == 1 for r in dups)
+
+
+def test_cdc_segments_cover_whole_doc(spark):
+    """Segments tile the document exactly: start/len reconstruct the
+    token stream, and a doc with no boundary words is ONE segment."""
+    from webcrawl_spark.operators.textdedup import cdc_segments
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = cdc_segments(
+        spark.createDataFrame([(7, text)], "doc_id long, text string")
+    ).orderBy("seg_idx").collect()
+    n_words = len(text.split())
+    assert rows[0].start_word == 1
+    assert sum(r.n_words for r in rows) == n_words
+    for a, b in zip(rows, rows[1:]):
+        assert b.start_word == a.start_word + a.n_words
+    # no-boundary doc: exactly one segment (mod huge -> no boundaries)
+    one = cdc_segments(
+        spark.createDataFrame([(8, text)], "doc_id long, text string"),
+        mod=10**9,
+    ).collect()
+    assert len(one) == 1 and one[0].n_words == n_words
+
+
+def test_cdc_min_words_filter(spark):
+    from webcrawl_spark.operators.textdedup import cdc_duplicate_segments
+
+    # identical tiny docs: every segment < min_words -> nothing reported
+    docs = spark.createDataFrame(
+        [(1, "tiny pair"), (2, "tiny pair")], "doc_id long, text string"
+    )
+    assert cdc_duplicate_segments(docs, min_words=4).count() == 0
+    assert cdc_duplicate_segments(docs, min_words=2).count() == 1
+
+
+def test_cdc_plan_shape(spark):
+    from webcrawl_spark.operators.textdedup import (
+        cdc_duplicate_segments,
+        cdc_segments,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    seg_plan = (
+        cdc_segments(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    # segmentation is zero-exchange map-side work
+    assert "Exchange" not in seg_plan
+    assert "EvalPython" not in seg_plan
+    dup_plan = (
+        cdc_duplicate_segments(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in dup_plan
+    assert "Window" not in dup_plan
+    assert "Join" not in dup_plan

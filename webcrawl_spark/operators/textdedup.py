@@ -1258,3 +1258,98 @@ def normalized_duplicates(
         .agg(F.min("id").alias("keeper"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+# Content-defined chunking constants (engine AND oracle interpolate)
+CDC_MOD = 8        # a word whose hash32 % MOD == 0 STARTS a new segment
+CDC_MIN_WORDS = 4  # segments shorter than this don't enter dedup
+
+
+def cdc_segments(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    mod: int = CDC_MOD,
+) -> DataFrame:
+    """Content-defined segmentation (the rolling-hash/CDC idea of LBFS /
+    restic / archive dedup, at word granularity): a segment boundary
+    opens at every word whose 32-bit md5 hash ≡ 0 (mod ``mod``) — so
+    boundaries depend on CONTENT, not position, and inserting or
+    deleting words re-segments only the neighborhood of the edit while
+    every downstream segment digest survives unchanged. This is what
+    fixed n-gram spans (``duplicate_spans``) cannot do: there an
+    insertion shifts every later gram. Returns ``(id, seg_idx,
+    start_word, n_words, seg_digest)``.
+
+    100-TB shape: ZERO exchanges — tokenize, boundary detection
+    (higher-order filter over md5s), segment slicing, and digesting are
+    all map-side array expressions over the corpus scan (the
+    chunk_by_tokens recipe); output rows ≈ tokens/mod. Average segment
+    length = ``mod`` words.
+    """
+    w = (
+        f"filter(split(trim({text_col}), '\\\\s+'), x -> length(x) > 0)"
+    )
+    h = "cast(conv(substr(md5(element_at(w, cast(i as int))), 1, 8), 16, 10) as bigint)"
+    segs = (
+        f"transform(sequence(1, size(starts)), k -> named_struct("
+        f"'seg_idx', k, "
+        f"'start_word', element_at(starts, k), "
+        f"'n_words', (if(k < size(starts), element_at(starts, k + 1) - 1, "
+        f"size(w))) - element_at(starts, k) + 1, "
+        f"'seg_text', array_join(slice(w, element_at(starts, k), "
+        f"(if(k < size(starts), element_at(starts, k + 1) - 1, size(w))) "
+        f"- element_at(starts, k) + 1), ' ')))"
+    )
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.expr(w).alias("w"))
+        .filter(F.size("w") > 0)
+        .select(
+            "id", "w",
+            F.expr(
+                f"array_union(array(1), filter(sequence(1, size(w)), "
+                f"i -> {h} % {mod} = 0))"
+            ).alias("starts"),
+        )
+        .select("id", F.explode(F.expr(segs)).alias("s"))
+        .select(
+            "id",
+            F.col("s.seg_idx").cast("long").alias("seg_idx"),
+            F.col("s.start_word").cast("long").alias("start_word"),
+            F.col("s.n_words").cast("long").alias("n_words"),
+            F.md5("s.seg_text").alias("seg_digest"),
+        )
+    )
+
+
+def cdc_duplicate_segments(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    mod: int = CDC_MOD, min_words: int = CDC_MIN_WORDS,
+) -> DataFrame:
+    """Cross-document duplicated content segments under content-defined
+    boundaries: ``(seg_digest, n_docs, n_occurrences, n_words, keeper_id,
+    keeper_seg)`` for every ≥ ``min_words`` segment appearing in more
+    than one document — quotation/syndication/boilerplate runs that
+    survive insertions around them. Keeper = lowest (id, seg_idx).
+
+    100-TB shape: the segmentation is zero-exchange (see
+    :func:`cdc_segments`); this adds ONE partial-combining aggregate on
+    the uniform digest key. The short-segment filter is map-side.
+    """
+    s = cdc_segments(docs, text_col, id_col, mod).filter(
+        F.col("n_words") >= min_words
+    )
+    return (
+        s.groupBy("seg_digest")
+        .agg(
+            F.countDistinct("id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("n_words").cast("long").alias("n_words"),
+            F.min(F.struct("id", "seg_idx")).alias("__k"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "seg_digest", "n_docs", "n_occurrences", "n_words",
+            F.col("__k.id").cast("long").alias("keeper_id"),
+            F.col("__k.seg_idx").cast("long").alias("keeper_seg"),
+        )
+    )

@@ -5910,6 +5910,55 @@ SELECT host, CAST(n_fetches AS BIGINT) AS n_fetches,
 FROM sh
 """
 
+    # cdc_dedup: replay the whole content-defined chain (tokenize →
+    # hash-boundary detection → segment slicing → digest → rollup) with
+    # DuckDB list lambdas; mod/min interpolate from the TD constants
+    _cdc_end = (
+        "(CASE WHEN k < len(starts) THEN starts[CAST(k AS INT) + 1] - 1 "
+        "ELSE len(w) END)"
+    )
+    sql["cdc_dedup"] = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 60000,
+         'breaking update ' || CAST(doc_id AS STRING) || ': ' || text
+  FROM documents WHERE doc_id < 30),
+tok AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> length(x) > 0) AS w
+  FROM src WHERE text IS NOT NULL),
+st AS (
+  SELECT id, w,
+         list_sort(list_distinct(list_concat([CAST(1 AS BIGINT)],
+           list_filter(range(1, len(w) + 1),
+             i -> CAST(('0x' || substr(md5(w[CAST(i AS INT)]), 1, 8))
+                       AS BIGINT) % {TD.CDC_MOD} = 0)))) AS starts
+  FROM tok WHERE len(w) > 0),
+segs AS (
+  SELECT id, unnest(list_transform(range(1, len(starts) + 1),
+    k -> struct_pack(
+      seg_idx := k,
+      n_words := {_cdc_end} - starts[CAST(k AS INT)] + 1,
+      seg_text := array_to_string(
+        list_slice(w, CAST(starts[CAST(k AS INT)] AS INT),
+                   CAST({_cdc_end} AS INT)), ' ')))) AS s
+  FROM st),
+f AS (
+  SELECT id, CAST(s.seg_idx AS BIGINT) AS seg_idx,
+         CAST(s.n_words AS BIGINT) AS n_words, md5(s.seg_text) AS seg_digest
+  FROM segs WHERE s.n_words >= {TD.CDC_MIN_WORDS})
+SELECT seg_digest, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MAX(n_words) AS BIGINT) AS n_words,
+       CAST((MIN(struct_pack(i := id, s := seg_idx))).i AS BIGINT)
+         AS keeper_id,
+       CAST((MIN(struct_pack(i := id, s := seg_idx))).s AS BIGINT)
+         AS keeper_seg
+FROM f GROUP BY 1 HAVING COUNT(DISTINCT id) > 1
+"""
+
     # mixture_weights: the dedup-survivor rule (min doc_id per md5) and the
     # integer permille weights replayed exactly; denominators are window
     # sums over the |sources|-row rollup
@@ -7488,6 +7537,27 @@ def q_host_backoff(spark, sf_dir):
     return SNAP.host_backoff(log)
 
 
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined-chunking span dedup (operators/textdedup
+    .cdc_duplicate_segments): segment boundaries open at words whose
+    hash32 ≡ 0 (mod CDC_MOD), so boundaries follow CONTENT and an
+    insertion re-segments only its neighborhood — the shift-robust
+    counterpart of fixed-gram duplicate_spans. The fixture plants
+    syndicated copies with doc-specific prefix insertions ('breaking
+    update N: ...'); their interior segments must still match the
+    originals'."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "text").unionByName(
+        d.where("doc_id < 30").select(
+            (F.col("doc_id") + 60000).alias("doc_id"),
+            F.expr(
+                "'breaking update ' || CAST(doc_id AS STRING) || ': ' || text"
+            ).alias("text"),
+        )
+    )
+    return TD.cdc_duplicate_segments(docs)
+
+
 BIGRAM_HOLDOUT_MOD = 5  # doc_id % 5 == 0 → held-out scoring split
 
 
@@ -7736,6 +7806,7 @@ QUERIES: dict[str, Callable] = {
     "link_opic": q_link_opic,
     "dedup_normalized": q_dedup_normalized,
     "host_backoff": q_host_backoff,
+    "cdc_dedup": q_cdc_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
