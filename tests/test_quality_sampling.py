@@ -370,3 +370,32 @@ def test_host_backoff_plan_shape(spark):
     assert "EvalPython" not in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_focused_crawl_ranks_feed_priority_fold(spark):
+    """The focused-crawl loop closes: edu-classifier buckets shaped as a
+    (url, rank) table steer the crawler's shared priority fold — within
+    a class the predicted-educational URL fetches first, and the base
+    class still dominates the classifier signal."""
+    from webcrawl_spark.functions.rankprio import fold_rank_priority
+    from webcrawl_spark.queries import EDU_RANK_SCALE
+
+    ranks = spark.createDataFrame(
+        [("http://a.test/edu", 5 * EDU_RANK_SCALE),
+         ("http://a.test/junk", 0 * EDU_RANK_SCALE)],
+        "url string, rank long",
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("http://a.test/edu", 3),
+            ("http://a.test/junk", 3),   # same class, zero-bucket page
+            ("http://a.test/seed", 2),   # better class beats any bucket
+        ],
+        "url string, priority long",
+    )
+    got = {
+        r.url: r.priority
+        for r in fold_rank_priority(frontier, ranks).collect()
+    }
+    assert got["http://a.test/edu"] < got["http://a.test/junk"]
+    assert got["http://a.test/seed"] < got["http://a.test/edu"]

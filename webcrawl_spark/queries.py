@@ -2354,6 +2354,27 @@ def q_edu_classifier(spark, sf_dir):
     return SIM.edu_scores(_t(spark, sf_dir, "embeddings"))
 
 
+EDU_RANK_SCALE = 50  # rank units per educational-value bucket
+
+
+def q_focused_crawl_ranks(spark, sf_dir):
+    """Focused crawling for training data (Chakrabarti et al. 1999 meets
+    the FineWeb-Edu gate): the edu classifier's 0..5 buckets become the
+    FIFTH rank producer — a ``(url, rank)`` table with ``rank =
+    edu_score · EDU_RANK_SCALE`` that ``config.rank_priority`` consumes,
+    composing with recrawl/change-rate/domain-rank producers by
+    rank-table sum. Within a politeness class the frontier then fetches
+    predicted-educational pages first — classifier inference steers the
+    crawl, not just the post-hoc filter. Zero exchanges end to end: the
+    classifier is a map-side literal-weights fold and the URL rendering
+    is a projection."""
+    scores = SIM.edu_scores(_t(spark, sf_dir, "embeddings"))
+    return scores.select(
+        F.expr(SW.url_sql("vec_id")).alias("url"),
+        (F.col("edu_score") * EDU_RANK_SCALE).cast("long").alias("rank"),
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column metadata plumbing (decode stubbed, deterministic)."""
     d = (
@@ -6032,6 +6053,20 @@ SELECT vec_id, score, edu_score,
 FROM b
 """
 
+    # focused_crawl_ranks: the same classifier chain, shaped into the
+    # (url, rank) table the priority fold consumes
+    sql["focused_crawl_ranks"] = f"""
+WITH s AS (SELECT vec_id, {_edu_score} AS score FROM embeddings),
+b AS (
+  SELECT vec_id,
+         CAST(least(5, greatest(0, score + {SIM.EDU_SHIFT})
+                       // {SIM.EDU_WIDTH}) AS BIGINT) AS edu_score
+  FROM s)
+SELECT {SW.url_sql('vec_id')} AS url,
+       CAST(edu_score * {EDU_RANK_SCALE} AS BIGINT) AS rank
+FROM b
+"""
+
     return sql
 
 
@@ -7807,6 +7842,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_normalized": q_dedup_normalized,
     "host_backoff": q_host_backoff,
     "cdc_dedup": q_cdc_dedup,
+    "focused_crawl_ranks": q_focused_crawl_ranks,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
