@@ -69,3 +69,47 @@ def test_cc_raises_when_round_budget_exhausted(spark):
     g = spark.createDataFrame([(i, i + 1) for i in range(30)], "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(g, max_iter=2)
+
+
+def test_cocitation_pairs_basic(spark):
+    """Siblings = pages sharing citers; overlap vs the smaller in-degree;
+    a page cited by disjoint sources pairs with nobody."""
+    from webcrawl_spark.operators.graph import cocitation_pairs
+
+    edges = spark.createDataFrame(
+        # s1, s2, s3 cite both a and b; s3 also cites c; d has own citers
+        [("s1", "a"), ("s2", "a"), ("s3", "a"),
+         ("s1", "b"), ("s2", "b"), ("s3", "b"),
+         ("s3", "c"),
+         ("s9", "d"), ("s8", "d")],
+        "src string, dst string",
+    )
+    got = {
+        (r.page_a, r.page_b): (
+            r.common, r.cited_a, r.cited_b, r.overlap_permille, r.related
+        )
+        for r in cocitation_pairs(edges, min_common=2).collect()
+    }
+    assert got == {("a", "b"): (3, 3, 3, 1000, True)}
+    # min_common=1 also surfaces the single-citer (a,c)/(b,c) pairs
+    one = {
+        (r.page_a, r.page_b): r.common
+        for r in cocitation_pairs(edges, min_common=1).collect()
+    }
+    assert one[("a", "c")] == 1 and one[("b", "c")] == 1
+
+
+def test_cocitation_hub_cap(spark):
+    """A hub source citing everything is the ubiquitous-feature case:
+    with cap=2 it contributes only the pair of its 2 lowest pages."""
+    from webcrawl_spark.operators.graph import cocitation_pairs
+
+    edges = spark.createDataFrame(
+        [("hub", p) for p in ("a", "b", "c", "d")],
+        "src string, dst string",
+    )
+    got = {
+        (r.page_a, r.page_b)
+        for r in cocitation_pairs(edges, cap=2, min_common=1).collect()
+    }
+    assert got == {("a", "b")}

@@ -634,3 +634,30 @@ def test_stream_bloom_positions_equal_batch(spark):
     b = {r.item: r.bloom_hit
          for r in SK.bloom_probe(SK.bloom_build(corpus), probes).collect()}
     assert a == b
+
+
+def test_stream_backoff_counts_equal_batch(spark):
+    """Backoff-at-ingest: the drained streaming per-host counters must
+    equal the batch aggregate (counts are additive — the streaming sum
+    IS the merge law), hence identical budgets from host_backoff's
+    fold."""
+    from webcrawl_spark.operators.snapshot import host_backoff
+    from webcrawl_spark.queries import _BACKOFF_STATUS_SQL
+
+    q = SE.stream_backoff_counts(spark, SF, "backoff_t", _BACKOFF_STATUS_SQL)
+    _drain(q)
+    got = {
+        r["host"]: (r["n_fetches"], r["n_errors"])
+        for r in spark.sql("select * from backoff_t").collect()
+    }
+    log = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.expr("'h' || CAST(doc_id % 8 AS STRING) || '.test'").alias("host"),
+        F.expr(_BACKOFF_STATUS_SQL).cast("int").alias("status"),
+    )
+    batch = {
+        r.host: (r.n_fetches, r.n_errors)
+        for r in host_backoff(log).select(
+            "host", "n_fetches", "n_errors"
+        ).collect()
+    }
+    assert got == batch and len(got) == 8

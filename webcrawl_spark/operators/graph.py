@@ -180,3 +180,39 @@ def host_ranks_to_url_ranks(host_ranks: DataFrame, urls: DataFrame,
         )
         .select("url", "rank")
     )
+
+
+# co-citation thresholds (engine AND oracle interpolate)
+COCIT_SRC_CAP = 16       # deterministic cap: co-cited pages kept per source
+COCIT_MIN_COMMON = 2     # pairs below this common-citer count drop
+COCIT_MIN_PERMILLE = 500 # overlap threshold for the related flag
+
+
+def cocitation_pairs(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+    cap: int | None = COCIT_SRC_CAP, min_common: int = COCIT_MIN_COMMON,
+) -> DataFrame:
+    """Related pages by co-citation (Small 1973; Dean & Henzinger 1999's
+    sibling algorithm): two pages are related when many SOURCES link to
+    both — ``(page_a, page_b, common, cited_a, cited_b,
+    overlap_permille, related)`` for pairs sharing ≥ ``min_common``
+    citers, overlap = common citers / min(in-degree) in permille. The
+    link-graph member of the capped set-overlap family
+    (``textdedup.feature_overlap_pairs``): entity = the cited page,
+    feature = the citing source — a hub page linking to everything is
+    exactly the ubiquitous-feature case the per-source cap bounds.
+    """
+    from .textdedup import feature_overlap_pairs
+
+    ef = edges.select(
+        F.col(dst_col).alias("page"), F.col(src_col).alias("citer")
+    )
+    return feature_overlap_pairs(ef, "page", "citer", cap, min_common).select(
+        F.col("a").alias("page_a"),
+        F.col("b").alias("page_b"),
+        "common",
+        F.col("size_a").alias("cited_a"),
+        F.col("size_b").alias("cited_b"),
+        "overlap_permille",
+        (F.col("overlap_permille") >= COCIT_MIN_PERMILLE).alias("related"),
+    )

@@ -1136,6 +1136,68 @@ MIRROR_MIN_PERMILLE = 800     # containment threshold for the mirror flag
 MIRROR_MIN_SHARED = 2         # pairs below this shared-digest count drop
 
 
+def feature_overlap_pairs(
+    ef: DataFrame, entity_col: str, feature_col: str,
+    cap: int | None, min_common: int,
+) -> DataFrame:
+    """The shared capped set-overlap core: from an (entity, feature)
+    table, every entity pair (a < b) sharing ≥ ``min_common`` features —
+    ``(a, b, common, size_a, size_b, overlap_permille)`` with overlap =
+    common / min(|a|, |b|) in integer permille. Consumed by
+    :func:`host_mirror_pairs` (hosts × content digests) and
+    ``graph.cocitation_pairs`` (pages × citing sources).
+
+    100-TB shape: input deduped to DISTINCT (entity, feature); sizes are
+    a partial-combining aggregate; the pair explosion is the LSH bucket
+    pattern — per-feature self-join AFTER a deterministic per-feature
+    entity cap (a feature present on every entity would otherwise cost
+    |entities|² pairs; capped it costs cap², and strongly-overlapping
+    pairs still meet over their many non-ubiquitous features). All keys
+    uniform; no window beyond the bounded per-feature cap; zero Python.
+    """
+    d = (
+        ef.select(
+            F.col(entity_col).alias("e"), F.col(feature_col).alias("f")
+        )
+        .filter(F.col("f").isNotNull())
+        .distinct()
+    )
+    sizes = d.groupBy("e").agg(F.count(F.lit(1)).alias("sz"))
+    capped = d
+    if cap is not None:
+        w = Window.partitionBy("f").orderBy("e")
+        capped = (
+            d.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rn")
+        )
+    pairs = (
+        capped.alias("x")
+        .join(capped.alias("y"), "f")
+        .filter(F.col("x.e") < F.col("y.e"))
+        .groupBy(F.col("x.e").alias("a"), F.col("y.e").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("e", "a"), "a")
+        .withColumnRenamed("sz", "size_a")
+        .join(
+            sizes.withColumnRenamed("e", "b").withColumnRenamed("sz", "size_b"),
+            "b",
+        )
+        .select(
+            "a", "b",
+            F.col("common").cast("long").alias("common"),
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            F.expr(
+                "cast(1000 * common div least(size_a, size_b) as bigint)"
+            ).alias("overlap_permille"),
+        )
+    )
+
+
 def host_mirror_pairs(
     docs: DataFrame, host_col: str = "host", text_col: str = "text",
     max_hosts_per_digest: int | None = MIRROR_HOST_CAP,
@@ -1163,48 +1225,16 @@ def host_mirror_pairs(
     """
     hd = docs.select(
         F.col(host_col).alias("host"), F.md5(F.col(text_col)).alias("digest")
-    ).filter(F.col("digest").isNotNull()).distinct()
-    sizes = hd.groupBy("host").agg(F.count(F.lit(1)).alias("sz"))
-    capped = hd
-    if max_hosts_per_digest is not None:
-        w = Window.partitionBy("digest").orderBy("host")
-        capped = (
-            hd.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= max_hosts_per_digest)
-            .drop("__rn")
-        )
-    pairs = (
-        capped.alias("x")
-        .join(capped.alias("y"), "digest")
-        .filter(F.col("x.host") < F.col("y.host"))
-        .groupBy(
-            F.col("x.host").alias("host_a"), F.col("y.host").alias("host_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= min_shared)
     )
-    return (
-        pairs.join(sizes.withColumnRenamed("host", "host_a"), "host_a")
-        .withColumnRenamed("sz", "size_a")
-        .join(
-            sizes.withColumnRenamed("host", "host_b").withColumnRenamed(
-                "sz", "size_b"
-            ),
-            "host_b",
-        )
-        .select(
-            "host_a", "host_b",
-            F.col("shared").cast("long").alias("shared"),
-            F.col("size_a").cast("long").alias("size_a"),
-            F.col("size_b").cast("long").alias("size_b"),
-            F.expr(
-                "cast(1000 * shared div least(size_a, size_b) as bigint)"
-            ).alias("containment_permille"),
-        )
-        .withColumn(
-            "mirror",
-            F.col("containment_permille") >= MIRROR_MIN_PERMILLE,
-        )
+    return feature_overlap_pairs(
+        hd, "host", "digest", max_hosts_per_digest, min_shared
+    ).select(
+        F.col("a").alias("host_a"),
+        F.col("b").alias("host_b"),
+        F.col("common").alias("shared"),
+        "size_a", "size_b",
+        F.col("overlap_permille").alias("containment_permille"),
+        (F.col("overlap_permille") >= MIRROR_MIN_PERMILLE).alias("mirror"),
     )
 
 

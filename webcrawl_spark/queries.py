@@ -278,6 +278,29 @@ def q_link_opic(spark, sf_dir):
     )
 
 
+def q_cocitation(spark, sf_dir):
+    """Related pages by co-citation (operators/graph.cocitation_pairs,
+    Dean & Henzinger 1999's sibling algorithm) over the same synthetic
+    link graph as link_pagerank: pairs sharing ≥ COCIT_MIN_COMMON citing
+    sources, overlap vs the smaller in-degree in permille, flagged at
+    COCIT_MIN_PERMILLE — the 'users also visit' signal a crawler uses to
+    widen a focused frontier."""
+    from .sources.synth_web import LINK_MULT, LINK_STEP
+
+    n = 300
+    docs = _t(spark, sf_dir, "documents").filter(f"doc_id < {n}").select("doc_id")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, 1 + cast(doc_id % 4 as int)), "
+                f"k -> (doc_id * {LINK_MULT} + {LINK_STEP} * k + 1) % {n})"
+            )
+        ).alias("dst"),
+    )
+    return GR.cocitation_pairs(edges)
+
+
 def q_link_hits(spark, sf_dir):
     """Integer HITS (hubs & authorities, 2 iterations) over the same
     synthetic link graph as ``link_pagerank`` — the second classic
@@ -2502,6 +2525,31 @@ SELECT id AS doc_id, hist AS history, cash,
             // (SELECT SUM(cash + hist) FROM s3) AS BIGINT)
          AS importance_ppm
 FROM s3
+"""
+
+    # cocitation: the capped set-overlap core replayed on the link graph
+    # (entity = cited page, feature = citing source); constants from GR
+    sql["cocitation"] = f"""
+WITH {SW.edges_sql(300)},
+ef AS (SELECT DISTINCT dst AS page, src AS citer FROM edges),
+sizes AS (SELECT page, COUNT(*) AS sz FROM ef GROUP BY 1),
+capped AS (SELECT page, citer FROM (
+    SELECT page, citer,
+           ROW_NUMBER() OVER (PARTITION BY citer ORDER BY page) AS rn
+    FROM ef) WHERE rn <= {GR.COCIT_SRC_CAP}),
+pairs AS (
+  SELECT x.page AS a, y.page AS b, COUNT(*) AS common
+  FROM capped x JOIN capped y ON x.citer = y.citer AND x.page < y.page
+  GROUP BY 1, 2 HAVING COUNT(*) >= {GR.COCIT_MIN_COMMON})
+SELECT a AS page_a, b AS page_b, CAST(common AS BIGINT) AS common,
+       CAST(sa.sz AS BIGINT) AS cited_a, CAST(sb.sz AS BIGINT) AS cited_b,
+       CAST(1000 * common // least(sa.sz, sb.sz) AS BIGINT)
+         AS overlap_permille,
+       1000 * common // least(sa.sz, sb.sz) >= {GR.COCIT_MIN_PERMILLE}
+         AS related
+FROM pairs
+JOIN sizes sa ON sa.page = pairs.a
+JOIN sizes sb ON sb.page = pairs.b
 """
 
     # one HITS iteration = authority half-step (sum of hub mass over
@@ -7843,6 +7891,7 @@ QUERIES: dict[str, Callable] = {
     "host_backoff": q_host_backoff,
     "cdc_dedup": q_cdc_dedup,
     "focused_crawl_ranks": q_focused_crawl_ranks,
+    "cocitation": q_cocitation,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()

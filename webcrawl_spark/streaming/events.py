@@ -376,6 +376,37 @@ def stream_bloom_positions(
     )
 
 
+def stream_backoff_counts(
+    spark: SparkSession, sf_dir: str, query_name: str, status_sql: str
+) -> "StreamingQuery":
+    """Politeness backoff at ingest: the per-host (fetches, pushback)
+    counters that ``operators/snapshot.host_backoff`` folds into budgets,
+    maintained INCREMENTALLY as fetch results stream in — counts are
+    ADDITIVE, so a streaming sum-aggregate on the uniform host key IS the
+    merge law, state is |hosts|-bounded, and the next round's budgets are
+    derivable at any instant without rescanning the fetch log.
+    ``status_sql``: expression deriving the HTTP status from the staged
+    table's rows (the battery's deterministic synthesis). Batch
+    equivalence (tested): the drained counters equal the batch
+    aggregate, hence identical budgets."""
+    d = table_stream(spark, sf_dir, "documents")
+    log = d.select(
+        F.expr("'h' || CAST(doc_id % 8 AS STRING) || '.test'").alias("host"),
+        F.expr(status_sql).cast("int").alias("status"),
+    )
+    err = (F.col("status") == 429) | (F.col("status") >= 500)
+    counts = log.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum(err.cast("long")).alias("n_errors"),
+    )
+    return (
+        counts.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )
+
+
 def stream_template_counts(
     spark: SparkSession, sf_dir: str, query_name: str
 ) -> "StreamingQuery":
