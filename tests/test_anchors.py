@@ -120,3 +120,30 @@ def test_url_alias_groups_shortest_url_wins(spark):
     assert out["http://b.test/y.html"].group_size == 1
     assert out["http://c.test/z0.html"].is_canonical
     assert not out["http://c.test/z1.html"].is_canonical
+
+
+def test_anchor_postings_and_search(spark):
+    """Anchor-field retrieval: targets rank by their INBOUND anchor
+    texts; empty-anchor-only targets are not retrievable; the postings
+    schema plugs straight into the maintained-index scorer."""
+    from webcrawl_spark.functions.anchors import anchor_postings
+    from webcrawl_spark.functions.textstats import bm25_from_postings
+
+    pages = spark.createDataFrame(
+        [
+            ("http://s1.test/", '<a href="http://t/a">deep learning guide</a>'
+                                '<a href="http://t/b">home</a>'),
+            ("http://s2.test/", '<a href="http://t/a">learning notes</a>'
+                                '<a href="http://t/c"></a>'),
+        ],
+        "url string, html string",
+    )
+    p = {(r.id, r.term): r.tf for r in anchor_postings(pages).collect()}
+    assert p[("http://t/a", "learning")] == 2
+    assert p[("http://t/b", "home")] == 1
+    assert not any(k[0] == "http://t/c" for k in p)  # empty anchors only
+    top = bm25_from_postings(
+        anchor_postings(pages), ["learning", "guide"], k=5
+    ).collect()
+    assert top[0].id == "http://t/a" and top[0].n_hits == 2
+    assert all(r.id != "http://t/c" for r in top)

@@ -103,6 +103,38 @@ def anchor_counts(
     )
 
 
+def anchor_postings(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """The anchor FIELD as a search index: ``(id, term, tf)`` postings
+    where ``id`` is the TARGET url and terms come from its inbound
+    anchor texts — the Brin & Page §2.2 signal as a retrieval field
+    (anchors describe the target better than its own boilerplate, and
+    they exist even for unfetchable targets: images, PDFs, dead links).
+    Same schema as ``textstats.postings_state``, so
+    ``textstats.bm25_from_postings`` ranks targets by anchor relevance
+    directly, and the table merges additively across crawls (tf sums).
+    Targets whose every inbound anchor is empty get no postings (no
+    describable text → not retrievable by this field).
+
+    100-TB shape: tag scan + field extraction + tokenization are
+    map-side codegen; the only exchange is the vocabulary-bounded
+    (target, term) aggregate with map-side partial combine.
+    """
+    a = extract_anchors(pages, html_col, url_col)
+    return (
+        a.select(
+            F.col("target").alias("id"),
+            F.explode(
+                F.split(F.lower(F.trim("anchor")), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def anchor_stats_incremental(
     delta_pages: DataFrame, stored_counts: DataFrame,
     html_col: str = "html", url_col: str = "url",

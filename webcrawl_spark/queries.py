@@ -1943,6 +1943,28 @@ def q_anchor_stats_incremental(spark, sf_dir):
     )
 
 
+ANCHOR_QUERY = ("guide", "topic")  # engine AND oracle
+ANCHOR_TOPK = 10
+
+
+def q_anchor_search(spark, sf_dir):
+    """Anchor-field retrieval (functions/anchors.anchor_postings +
+    textstats.bm25_from_postings): targets ranked by BM25 over their
+    INBOUND anchor texts — the Brin & Page signal as a search field,
+    reusing the maintained-index scorer unchanged (the postings schema
+    is shared). Anchor fixture: topical 'guide to topic K' anchors vs
+    the ubiquitous 'home' hub anchor; the query hits the topical
+    field."""
+    pages = _t(spark, sf_dir, "documents").select(
+        F.expr("'http://src' || CAST(doc_id AS STRING) || '.test/'")
+        .alias("url"),
+        F.expr(_anchor_html_sql("doc_id")).alias("html"),
+    )
+    return TS.bm25_from_postings(
+        ANC.anchor_postings(pages), list(ANCHOR_QUERY), k=ANCHOR_TOPK
+    ).select(F.col("id").alias("target"), "n_hits", "score_micro", "rank")
+
+
 ALIAS_N = 50  # docs with a longer mirror URL serving identical content
 
 
@@ -3489,15 +3511,15 @@ FROM e
     # hybrid_search_rrf oracle's lexical leg.
     _bm25_terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
     _k1, _b = TS.BM25_K1, TS.BM25_B
-    _bm25_ctes = f"""toks AS (
-  SELECT doc_id AS id,
-         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
-  FROM documents),
-t2 AS (SELECT id, term FROM toks WHERE term <> ''),
-dl AS (SELECT id, COUNT(*) AS dl FROM t2 GROUP BY id),
+
+    # the scoring chain from a `t2(id, term)` token table to the per-doc
+    # score table `s` — parameterized by the query-term list so the
+    # body-text, anchor-field, and rrf oracles share ONE formula text
+    def _bm25_chain(terms: str) -> str:
+        return f"""dl AS (SELECT id, COUNT(*) AS dl FROM t2 GROUP BY id),
 st AS (SELECT COUNT(*) AS N, SUM(dl) / COUNT(*) AS avgdl FROM dl),
 tf AS (SELECT id, term, COUNT(*) AS tf FROM t2
-       WHERE term IN ({_bm25_terms}) GROUP BY 1, 2),
+       WHERE term IN ({terms}) GROUP BY 1, 2),
 df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
 c AS (
   SELECT tf.id,
@@ -3506,6 +3528,13 @@ c AS (
       * 1e6) AS BIGINT) AS c_micro
   FROM tf JOIN df USING (term) JOIN dl USING (id) CROSS JOIN st),
 s AS (SELECT id, COUNT(*) AS n_hits, SUM(c_micro) AS score_micro FROM c GROUP BY id)"""
+
+    _bm25_ctes = f"""toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+t2 AS (SELECT id, term FROM toks WHERE term <> ''),
+{_bm25_chain(_bm25_terms)}"""
     sql["bm25_search"] = f"""
 WITH {_bm25_ctes},
 r AS (SELECT id, CAST(n_hits AS BIGINT) AS n_hits,
@@ -3663,6 +3692,36 @@ FROM tot JOIN top USING (target)
     sql["anchor_stats_incremental"] = sql["anchor_text_stats"]
     # the merged index must answer exactly like a from-scratch build
     sql["bm25_incremental"] = sql["bm25_search"]
+
+    # anchor_search: the SAME scoring chain (_bm25_chain) over the anchor
+    # field — tokens come from inbound anchor texts, id = the target url
+    _anc_terms = ", ".join(f"'{t}'" for t in ANCHOR_QUERY)
+    sql["anchor_search"] = f"""
+WITH pages AS (
+  SELECT 'http://src' || CAST(doc_id AS STRING) || '.test/' AS src,
+         {_anchor_html_sql("doc_id")} AS html
+  FROM documents),
+tags AS (
+  SELECT src, unnest(regexp_extract_all(html, '{ANC.ANCHOR_TAG_RE}')) AS tag
+  FROM pages),
+a AS (
+  SELECT regexp_extract(tag, '{ANC.ANCHOR_HREF_RE}', 1) AS target,
+         trim(regexp_extract(tag, '{ANC.ANCHOR_TEXT_RE}', 1)) AS anchor
+  FROM tags),
+toks AS (
+  SELECT target AS id,
+         unnest(string_split_regex(lower(trim(anchor)), '\\s+')) AS term
+  FROM a),
+t2 AS (SELECT id, term FROM toks WHERE term <> ''),
+{_bm25_chain(_anc_terms)},
+r AS (SELECT id, CAST(n_hits AS BIGINT) AS n_hits,
+        CAST(score_micro AS BIGINT) AS score_micro,
+        CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, id) AS BIGINT)
+          AS rank
+      FROM s)
+SELECT id AS target, n_hits, score_micro, rank FROM r
+WHERE rank <= {ANCHOR_TOPK}
+"""
 
     sql["url_alias_groups"] = f"""
 WITH pages AS (
@@ -7892,6 +7951,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_dedup": q_cdc_dedup,
     "focused_crawl_ranks": q_focused_crawl_ranks,
     "cocitation": q_cocitation,
+    "anchor_search": q_anchor_search,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
