@@ -92,7 +92,7 @@ BENCH_QUERIES = [
     "registrable_domain", "domain_rollup", "bloom_dedup_fpr",
     "url_pattern_groups", "bm25_incremental", "host_mirror_pairs",
     "dedup_normalized", "host_backoff", "cdc_dedup", "focused_crawl_ranks",
-    "cocitation", "anchor_search",
+    "cocitation", "anchor_search", "sitemap_recrawl",
 ]
 
 

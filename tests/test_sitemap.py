@@ -72,3 +72,37 @@ def test_plan_single_scan_no_exchange(spark):
     plan = parse_sitemaps(bodies)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert len(re.findall(r"\bExchange\b", plan)) == 0
+
+
+def test_sitemap_recrawl_actions(spark):
+    """Every action branch: never-fetched -> new; lastmod newer than our
+    fetch OR absent -> refetch; our copy newer -> fresh."""
+    from webcrawl_spark.operators.sitemap import sitemap_recrawl
+
+    entries = spark.createDataFrame(
+        [
+            ("h", "url", "http://s/a", "2024-05-01", None),
+            ("h", "url", "http://s/b", "2024-05-01", None),
+            ("h", "url", "http://s/c", None, None),
+            ("h", "url", "http://s/d", "2024-05-01", None),
+            ("h", "sitemap", "http://s/map.xml", "2024-05-01", None),
+        ],
+        "host string, kind string, loc string, lastmod string, priority string",
+    )
+    fetched = spark.createDataFrame(
+        [
+            ("http://s/a", "2024-01-01"),   # stale copy -> refetch
+            ("http://s/b", "2024-12-01"),   # newer copy -> fresh
+            ("http://s/c", "2024-12-01"),   # no lastmod claim -> refetch
+        ],
+        "loc string, last_fetch string",
+    )
+    got = {r.loc: r.action for r in sitemap_recrawl(entries, fetched).collect()}
+    assert got == {
+        "http://s/a": "refetch",
+        "http://s/b": "fresh",
+        "http://s/c": "refetch",
+        "http://s/d": "new",
+    }
+    # child sitemaps are discovery edges, not fetch targets
+    assert "http://s/map.xml" not in got

@@ -100,3 +100,36 @@ def parse_sitemaps(bodies: DataFrame) -> DataFrame:
             .alias("priority"),
         )
     )
+
+
+def sitemap_recrawl(
+    entries: DataFrame, fetched: DataFrame
+) -> DataFrame:
+    """Sitemap-driven recrawl classification — what a crawler does with
+    a parsed ``<urlset>`` on the NEXT visit: join each advertised loc
+    against the stored per-URL fetch state and emit ``(loc, lastmod,
+    last_fetch, action)`` with ``action`` ∈ ``new`` (never fetched),
+    ``refetch`` (advertised lastmod is newer than our fetch — or absent:
+    no freshness claim means the conservative policy refetches), and
+    ``fresh`` (our copy postdates the advertised change). Dates compare
+    as ISO-8601 STRINGS (sitemaps advertise W3C datetimes; lexicographic
+    order IS chronological order for them), keeping the decision
+    engine-exact with no timezone arithmetic.
+
+    Composes with the other recrawl producers (snapshot diff, Poisson
+    change-rate): a sitemap is the site ANNOUNCING change, those two are
+    the crawler MEASURING it.
+
+    100-TB shape: one uniform-key left join of the parsed entries
+    against the fetch-state table; the classification is a per-row CASE.
+    """
+    e = entries.filter(F.col("kind") == "url").select("loc", "lastmod")
+    j = e.join(fetched.select("loc", "last_fetch"), "loc", "left")
+    return j.select(
+        "loc", "lastmod", "last_fetch",
+        F.when(F.col("last_fetch").isNull(), F.lit("new"))
+        .when(F.col("lastmod").isNull(), F.lit("refetch"))
+        .when(F.col("lastmod") > F.col("last_fetch"), F.lit("refetch"))
+        .otherwise(F.lit("fresh"))
+        .alias("action"),
+    )

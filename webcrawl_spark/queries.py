@@ -859,6 +859,33 @@ def q_sitemap_parse(spark, sf_dir):
     )
 
 
+def q_sitemap_recrawl(spark, sf_dir):
+    """Sitemap-driven recrawl (operators/sitemap.sitemap_recrawl): the
+    parsed <urlset> entries joined against a stored fetch-state table —
+    never-fetched locs are 'new', lastmod-newer (or lastmod-absent:
+    conservative policy) locs 'refetch', the rest 'fresh'. Fetch state
+    synthesized deterministically: half the locs (md5 parity) carry a
+    fetch date, split between one far older and one far newer than any
+    advertised lastmod, so every action branch is exercised."""
+    base = q_sitemap_parse(spark, sf_dir)
+    h = "cast(conv(substr(md5(loc), 1, 8), 16, 10) as bigint) % 4"
+    fetched = (
+        base.filter(F.col("kind") == "url")
+        .select("loc")
+        .distinct()
+        .filter(F.expr(f"{h} < 2"))
+        .select(
+            "loc",
+            F.expr(
+                f"CASE WHEN {h} = 0 THEN '2000-01-01' ELSE '2030-01-01' END"
+            ).alias("last_fetch"),
+        )
+    )
+    from .operators.sitemap import sitemap_recrawl
+
+    return sitemap_recrawl(base, fetched)
+
+
 def _feed_body_sql(h: str) -> str:
     """Deterministic per-host RSS/Atom feed XML — ONE SQL string valid in
     both Spark SQL and DuckDB. Branches: hid%3=0 hosts serve an Atom feed
@@ -3721,6 +3748,25 @@ r AS (SELECT id, CAST(n_hits AS BIGINT) AS n_hits,
       FROM s)
 SELECT id AS target, n_hits, score_micro, rank FROM r
 WHERE rank <= {ANCHOR_TOPK}
+"""
+
+    # sitemap_recrawl: composed over the sitemap_parse oracle text; the
+    # fetch-state synthesis replays the engine's md5-parity split
+    _sr_h = f"{_duck_hash32('loc')} % 4"
+    sql["sitemap_recrawl"] = f"""
+WITH base AS ({sql["sitemap_parse"]}),
+u AS (SELECT loc, lastmod FROM base WHERE kind = 'url'),
+f AS (SELECT loc,
+        CASE WHEN {_sr_h} = 0 THEN '2000-01-01'
+             ELSE '2030-01-01' END AS last_fetch
+      FROM (SELECT DISTINCT loc FROM base WHERE kind = 'url')
+      WHERE {_sr_h} < 2)
+SELECT u.loc, u.lastmod, f.last_fetch,
+       CASE WHEN f.last_fetch IS NULL THEN 'new'
+            WHEN u.lastmod IS NULL THEN 'refetch'
+            WHEN u.lastmod > f.last_fetch THEN 'refetch'
+            ELSE 'fresh' END AS action
+FROM u LEFT JOIN f ON f.loc = u.loc
 """
 
     sql["url_alias_groups"] = f"""
@@ -7952,6 +7998,7 @@ QUERIES: dict[str, Callable] = {
     "focused_crawl_ranks": q_focused_crawl_ranks,
     "cocitation": q_cocitation,
     "anchor_search": q_anchor_search,
+    "sitemap_recrawl": q_sitemap_recrawl,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
