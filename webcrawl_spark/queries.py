@@ -3769,6 +3769,97 @@ SELECT u.loc, u.lastmod, f.last_fetch,
 FROM u LEFT JOIN f ON f.loc = u.loc
 """
 
+    # sp_unigram_learn: the two Viterbi folds replayed with list_reduce
+    # over the SAME packed representation (cost·2^20 + n_pieces·2^10 +
+    # backpointer); constants interpolate from operators/sptok
+    from .operators import sptok as SPT
+
+    # one-outer-capture fold structure mirroring operators/sptok (DuckDB
+    # v1.0 list_reduce mis-binds two-capture lambdas in some shapes):
+    # cost table first, DP over it, walk over dp emitting packed
+    # (start, len), pieces extracted outside the folds
+    # the cost table is built LAMBDA-FREE (unnest positions/lengths, a
+    # plain LEFT JOIN to the vocab, list(... ORDER BY) re-aggregation):
+    # the natural two-capture lambda (word + prob map) is exactly the
+    # shape DuckDB v1.0 mis-binds
+    _sp_dp = f"""list_reduce(
+  list_prepend([CAST(0 AS BIGINT)],
+               list_transform(range(1, len(ct) + 1), i -> [i])),
+  (acc, x) -> list_append(acc,
+    list_min(list_transform(range(greatest(1, x[1] - {SPT.SP_MAXP} + 1),
+                                  x[1] + 1),
+      j -> (acc[CAST(j AS INT)] // 1048576
+            + ct[CAST(j AS INT)][CAST(x[1] - j + 1 AS INT)]) * 1048576
+           + ((acc[CAST(j AS INT)] % 1048576) // 1024 + 1) * 1024
+           + (j - 1)))))"""
+    _sp_walk = """list_reduce(
+  list_prepend([CAST(len(dp) - 1 AS BIGINT)],
+               list_transform(range(1, len(dp)), i -> [i])),
+  (acc, x) -> CASE WHEN acc[1] <= 0 THEN acc
+    ELSE list_concat(
+      [dp[CAST(acc[1] AS INT) + 1] % 1024],
+      list_append(list_slice(acc, 2, len(acc)),
+        (dp[CAST(acc[1] AS INT) + 1] % 1024 + 1) * 1024
+          + acc[1] - dp[CAST(acc[1] AS INT) + 1] % 1024))
+    END)"""
+    # pieces: unnest the packed list FIRST, then a plain row-wise substr —
+    # no lambda, so nothing to mis-bind (the two-capture transform also
+    # tripped the binder bug)
+    sql["sp_unigram_learn"] = f"""
+WITH w0 AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents),
+words AS (SELECT substr(w, 1, {SPT.SP_WORD_CAP}) AS word,
+                 COUNT(*) AS freq
+          FROM w0 WHERE length(w) > 0 GROUP BY 1),
+subs AS (
+  SELECT freq, unnest(flatten(list_transform(range(1, length(word) + 1),
+    i -> list_transform(
+      range(1, least({SPT.SP_MAXP}, length(word) - i + 1) + 1),
+      l -> substr(word, CAST(i AS INT), CAST(l AS INT)))))) AS piece
+  FROM words),
+counts AS (SELECT piece, SUM(freq) AS count FROM subs GROUP BY 1),
+kept AS (SELECT piece, count FROM counts
+         WHERE length(piece) = 1 OR count >= {SPT.SP_MIN_COUNT}),
+tot AS (SELECT SUM(count) AS total FROM kept),
+vocab AS (SELECT piece,
+            CAST(ROUND(ln(CAST(count AS DOUBLE) / total) * 1000000)
+                 AS BIGINT) AS lp
+          FROM kept CROSS JOIN tot),
+pos AS (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
+        FROM words),
+pl AS (SELECT word, freq, i,
+              unnest(range(1, least({SPT.SP_MAXP},
+                     length(word) - CAST(i AS INT) + 1) + 1)) AS l
+       FROM pos),
+pc AS (SELECT pl.word, pl.freq, pl.i, pl.l,
+              coalesce(-v.lp, CAST({SPT.SP_BIG} AS BIGINT)) AS cost
+       FROM pl LEFT JOIN vocab v
+         ON v.piece = substr(pl.word, CAST(pl.i AS INT), CAST(pl.l AS INT))),
+ctrows AS (SELECT word, freq, i, list(cost ORDER BY l) AS ctrow
+           FROM pc GROUP BY 1, 2, 3),
+c0 AS (SELECT word, freq, list(ctrow ORDER BY i) AS ct
+       FROM ctrows GROUP BY 1, 2),
+d AS (SELECT word, freq, {_sp_dp} AS dp FROM c0),
+r AS (SELECT word, freq, {_sp_walk} AS walk FROM d),
+p0 AS (SELECT word, freq, unnest(list_slice(walk, 2, len(walk))) AS p
+       FROM r),
+pieces AS (SELECT freq,
+                  substr(word, CAST(p // 1024 AS INT),
+                         CAST(p % 1024 AS INT)) AS piece
+           FROM p0),
+cnt AS (SELECT piece, SUM(freq) AS n_tokens FROM pieces GROUP BY 1),
+t2 AS (SELECT SUM(n_tokens) AS total FROM cnt),
+scored AS (SELECT piece, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(ROUND(ln(CAST(n_tokens AS DOUBLE) / total) * 1000000)
+                  AS BIGINT) AS lp_micronat
+           FROM cnt CROSS JOIN t2),
+rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_tokens DESC, piece) AS rank
+       FROM scored)
+SELECT piece, n_tokens, lp_micronat, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {SPT.SP_TOPN}
+"""
+
     sql["url_alias_groups"] = f"""
 WITH pages AS (
   SELECT {SW.url_sql("doc_id")} AS url, text FROM documents
@@ -7746,6 +7837,21 @@ def q_cdc_dedup(spark, sf_dir):
     return TD.cdc_duplicate_segments(docs)
 
 
+def q_sp_unigram_learn(spark, sf_dir):
+    """Unigram-LM subword tokenizer, one EM round (operators/sptok
+    .unigram_learn; Kudo 2018 — the SentencePiece 'unigram' model, the
+    second tokenizer-family member next to BPE): substring candidates →
+    integer micro-nat piece log-probs → per-word Viterbi segmentation as
+    a packed-cost JVM array fold (cost·2²⁰ + n_pieces·2¹⁰ + backpointer;
+    array_min over the packing IS the total-order tie-break) → piece
+    re-count. The DuckDB oracle replays BOTH folds with list_reduce over
+    the identical packed representation — segmentations are bit-equal
+    across engines by construction."""
+    from .operators import sptok as SPT
+
+    return SPT.unigram_learn(_t(spark, sf_dir, "documents"))
+
+
 BIGRAM_HOLDOUT_MOD = 5  # doc_id % 5 == 0 → held-out scoring split
 
 
@@ -7999,6 +8105,7 @@ QUERIES: dict[str, Callable] = {
     "cocitation": q_cocitation,
     "anchor_search": q_anchor_search,
     "sitemap_recrawl": q_sitemap_recrawl,
+    "sp_unigram_learn": q_sp_unigram_learn,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
