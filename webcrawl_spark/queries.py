@@ -3774,51 +3774,39 @@ FROM u LEFT JOIN f ON f.loc = u.loc
     # backpointer); constants interpolate from operators/sptok
     from .operators import sptok as SPT
 
-    # one-outer-capture fold structure mirroring operators/sptok (DuckDB
-    # v1.0 list_reduce mis-binds two-capture lambdas in some shapes):
-    # cost table first, DP over it, walk over dp emitting packed
-    # (start, len), pieces extracted outside the folds
-    # the cost table is built LAMBDA-FREE (unnest positions/lengths, a
-    # plain LEFT JOIN to the vocab, list(... ORDER BY) re-aggregation):
-    # the natural two-capture lambda (word + prob map) is exactly the
-    # shape DuckDB v1.0 mis-binds
-    _sp_dp = f"""list_reduce(
-  list_prepend([CAST(0 AS BIGINT)],
-               list_transform(range(1, len(ct) + 1), i -> [i])),
-  (acc, x) -> list_append(acc,
-    list_min(list_transform(range(greatest(1, x[1] - {SPT.SP_MAXP} + 1),
-                                  x[1] + 1),
-      j -> (acc[CAST(j AS INT)] // 1048576
-            + ct[CAST(j AS INT)][CAST(x[1] - j + 1 AS INT)]) * 1048576
-           + ((acc[CAST(j AS INT)] % 1048576) // 1024 + 1) * 1024
-           + (j - 1)))))"""
-    _sp_walk = """list_reduce(
-  list_prepend([CAST(len(dp) - 1 AS BIGINT)],
-               list_transform(range(1, len(dp)), i -> [i])),
-  (acc, x) -> CASE WHEN acc[1] <= 0 THEN acc
-    ELSE list_concat(
-      [dp[CAST(acc[1] AS INT) + 1] % 1024],
-      list_append(list_slice(acc, 2, len(acc)),
-        (dp[CAST(acc[1] AS INT) + 1] % 1024 + 1) * 1024
-          + acc[1] - dp[CAST(acc[1] AS INT) + 1] % 1024))
-    END)"""
-    # pieces: unnest the packed list FIRST, then a plain row-wise substr —
-    # no lambda, so nothing to mis-bind (the two-capture transform also
-    # tripped the binder bug)
+    # The oracle is fully LAMBDA-FREE: DuckDB v1.0 list_reduce /
+    # list_transform lambdas nondeterministically MIS-BIND outer-column
+    # captures (a word resolved against another row's value, dependent on
+    # vector-chunk layout — observed twice on different words). The DP
+    # and the backpointer walk run as RECURSIVE CTEs instead — plain
+    # scalar SQL per step, one list_append per iteration, no lambdas and
+    # no unrolled-expression blowup. least() over the guarded candidate
+    # CASEs == the engine fold's array_min over the identical packing,
+    # so the tie-break is preserved.
+    _sp_cands = ", ".join(
+        f"CASE WHEN i + 1 >= {o} THEN"
+        f" (dp[i + 2 - {o}] // 1048576 + ct[i + 2 - {o}][{o}]) * 1048576"
+        f" + ((dp[i + 2 - {o}] % 1048576) // 1024 + 1) * 1024"
+        f" + (i + 1 - {o}) END"
+        for o in range(1, SPT.SP_MAXP + 1)
+    )
     sql["sp_unigram_learn"] = f"""
-WITH w0 AS (
+WITH RECURSIVE w0 AS (
   SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
   FROM documents),
 words AS (SELECT substr(w, 1, {SPT.SP_WORD_CAP}) AS word,
                  COUNT(*) AS freq
           FROM w0 WHERE length(w) > 0 GROUP BY 1),
-subs AS (
-  SELECT freq, unnest(flatten(list_transform(range(1, length(word) + 1),
-    i -> list_transform(
-      range(1, least({SPT.SP_MAXP}, length(word) - i + 1) + 1),
-      l -> substr(word, CAST(i AS INT), CAST(l AS INT)))))) AS piece
-  FROM words),
-counts AS (SELECT piece, SUM(freq) AS count FROM subs GROUP BY 1),
+pos AS (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
+        FROM words),
+pl AS (SELECT word, freq, i,
+              unnest(range(1, least({SPT.SP_MAXP},
+                     length(word) - CAST(i AS INT) + 1) + 1)) AS l
+       FROM pos),
+pieces0 AS (SELECT word, freq, i, l,
+                   substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+            FROM pl),
+counts AS (SELECT piece, SUM(freq) AS count FROM pieces0 GROUP BY 1),
 kept AS (SELECT piece, count FROM counts
          WHERE length(piece) = 1 OR count >= {SPT.SP_MIN_COUNT}),
 tot AS (SELECT SUM(count) AS total FROM kept),
@@ -3826,24 +3814,32 @@ vocab AS (SELECT piece,
             CAST(ROUND(ln(CAST(count AS DOUBLE) / total) * 1000000)
                  AS BIGINT) AS lp
           FROM kept CROSS JOIN tot),
-pos AS (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
-        FROM words),
-pl AS (SELECT word, freq, i,
-              unnest(range(1, least({SPT.SP_MAXP},
-                     length(word) - CAST(i AS INT) + 1) + 1)) AS l
-       FROM pos),
-pc AS (SELECT pl.word, pl.freq, pl.i, pl.l,
+pc AS (SELECT p.word, p.freq, p.i, p.l,
               coalesce(-v.lp, CAST({SPT.SP_BIG} AS BIGINT)) AS cost
-       FROM pl LEFT JOIN vocab v
-         ON v.piece = substr(pl.word, CAST(pl.i AS INT), CAST(pl.l AS INT))),
+       FROM pieces0 p LEFT JOIN vocab v ON v.piece = p.piece),
 ctrows AS (SELECT word, freq, i, list(cost ORDER BY l) AS ctrow
            FROM pc GROUP BY 1, 2, 3),
 c0 AS (SELECT word, freq, list(ctrow ORDER BY i) AS ct
        FROM ctrows GROUP BY 1, 2),
-d AS (SELECT word, freq, {_sp_dp} AS dp FROM c0),
-r AS (SELECT word, freq, {_sp_walk} AS walk FROM d),
-p0 AS (SELECT word, freq, unnest(list_slice(walk, 2, len(walk))) AS p
-       FROM r),
+rec AS (
+  SELECT word, freq, ct, 0 AS i, [CAST(0 AS BIGINT)] AS dp FROM c0
+  UNION ALL
+  SELECT word, freq, ct, i + 1,
+         list_append(dp, least({_sp_cands}))
+  FROM rec WHERE i < length(word)),
+d AS (SELECT word, freq, dp FROM rec WHERE i = length(word)),
+wrec AS (
+  SELECT word, freq, dp, CAST(length(word) AS BIGINT) AS wpos,
+         CAST([] AS BIGINT[]) AS pks
+  FROM d
+  UNION ALL
+  SELECT word, freq, dp, dp[CAST(wpos AS INT) + 1] % 1024,
+         list_append(pks,
+           (dp[CAST(wpos AS INT) + 1] % 1024 + 1) * 1024
+           + (wpos - dp[CAST(wpos AS INT) + 1] % 1024))
+  FROM wrec WHERE wpos > 0),
+w1 AS (SELECT word, freq, pks FROM wrec WHERE wpos = 0),
+p0 AS (SELECT word, freq, unnest(pks) AS p FROM w1),
 pieces AS (SELECT freq,
                   substr(word, CAST(p // 1024 AS INT),
                          CAST(p % 1024 AS INT)) AS piece
