@@ -76,7 +76,7 @@ BENCH_QUERIES = [
     "redirect_resolve",
     "fatal_error_routing", "ngram_jaccard_lsh",
     "hash_classifier", "dsir_weights", "semdedup",
-    "bpe_learn", "bpe_vocab", "bpe_encode", "sp_unigram_learn",
+    "bpe_learn", "bpe_vocab", "bpe_encode", "sp_unigram_learn", "sp_unigram_encode",
     "ann_pq_topk", "ann_pq_rerank", "ann_pq_recall",
     "ann_pq_incremental", "curation_pipeline",
     "knn_graph", "semantic_clusters", "tfidf_topk",

@@ -78,3 +78,19 @@ def test_plan_shape(spark):
     )
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_encode_stats_fertility(spark):
+    """Per-doc stats: pieces counted once per occurrence via the
+    distinct-word join; fertility in integer per-100-words."""
+    docs = spark.createDataFrame(
+        [(1, "hello hello world"), (2, "hello")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: (r.n_words, r.n_chars, r.n_pieces, r.pieces_per_100_words)
+        for r in SP.unigram_encode_stats(docs, min_count=2).collect()
+    }
+    # 'hello' count 3 >= 2 -> whole piece; 'world' count 1 -> chars
+    assert got[1] == (3, 15, 1 + 1 + 5, (7 * 100) // 3)
+    assert got[2] == (1, 5, 1, 100)

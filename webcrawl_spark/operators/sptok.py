@@ -211,3 +211,47 @@ def unigram_learn(
             Window.orderBy(F.desc("n_tokens"), F.asc("piece"))
         ).cast("long"),
     )
+
+
+def unigram_encode_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_count: int = SP_MIN_COUNT,
+) -> DataFrame:
+    """The tokenizer APPLIED: per-document piece statistics under the
+    learned unigram vocabulary — ``(id, n_words, n_chars, n_pieces,
+    pieces_per_100_words)``. Fertility (pieces per word) is THE
+    tokenizer-quality number a pipeline tracks per corpus slice.
+
+    The doc→piece join needs no backpointer walk: ``n_pieces`` unpacks
+    straight from the DP's final packed cell, and per-word results join
+    the document token stream on the uniform word key — the Viterbi
+    cost is paid once per DISTINCT word, never per occurrence.
+    """
+    words = word_counts(docs, text_col, id_col)
+    vocab = candidate_vocab(words, min_count)
+    seg = viterbi_segment(words, vocab).select("word", "n_pieces")
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .select("id", F.substring("w", 1, SP_WORD_CAP).alias("word"))
+    )
+    return (
+        toks.join(seg, "word")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+        )
+        .select(
+            "id", "n_words", "n_chars", "n_pieces",
+            F.expr("cast(100 * n_pieces div n_words as bigint)").alias(
+                "pieces_per_100_words"
+            ),
+        )
+    )

@@ -3790,7 +3790,7 @@ FROM u LEFT JOIN f ON f.loc = u.loc
         f" + (i + 1 - {o}) END"
         for o in range(1, SPT.SP_MAXP + 1)
     )
-    sql["sp_unigram_learn"] = f"""
+    _sp_prefix = f"""
 WITH RECURSIVE w0 AS (
   SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
   FROM documents),
@@ -3827,7 +3827,8 @@ rec AS (
   SELECT word, freq, ct, i + 1,
          list_append(dp, least({_sp_cands}))
   FROM rec WHERE i < length(word)),
-d AS (SELECT word, freq, dp FROM rec WHERE i = length(word)),
+d AS (SELECT word, freq, dp FROM rec WHERE i = length(word))"""
+    sql["sp_unigram_learn"] = _sp_prefix + f""",
 wrec AS (
   SELECT word, freq, dp, CAST(length(word) AS BIGINT) AS wpos,
          CAST([] AS BIGINT[]) AS pks
@@ -3854,6 +3855,25 @@ rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_tokens DESC, piece) AS rank
        FROM scored)
 SELECT piece, n_tokens, lp_micronat, CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= {SPT.SP_TOPN}
+"""
+
+    # sp_unigram_encode: the same chain through the DP, no walk —
+    # n_pieces unpacks from the final packed cell; doc tokens join the
+    # per-word results on the uniform word key
+    sql["sp_unigram_encode"] = _sp_prefix + f""",
+seg AS (SELECT word, (dp[length(word) + 1] % 1048576) // 1024
+          AS n_pieces FROM d),
+toks AS (SELECT id, substr(w, 1, {SPT.SP_WORD_CAP}) AS word FROM (
+    SELECT doc_id AS id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents) WHERE length(w) > 0)
+SELECT t.id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(t.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(seg.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(100 * SUM(seg.n_pieces) // COUNT(*) AS BIGINT)
+         AS pieces_per_100_words
+FROM toks t JOIN seg ON seg.word = t.word
+GROUP BY 1
 """
 
     sql["url_alias_groups"] = f"""
@@ -7833,6 +7853,21 @@ def q_cdc_dedup(spark, sf_dir):
     return TD.cdc_duplicate_segments(docs)
 
 
+def q_sp_unigram_encode(spark, sf_dir):
+    """The unigram tokenizer APPLIED (operators/sptok
+    .unigram_encode_stats): per-document fertility under the learned
+    vocabulary — words, chars, pieces, and pieces-per-100-words, the
+    tokenizer-quality number a pipeline tracks per corpus slice. The
+    Viterbi cost is paid once per DISTINCT word; documents join the
+    per-word results on the uniform word key (no backpointer walk —
+    n_pieces unpacks from the DP's final packed cell)."""
+    from .operators import sptok as SPT
+
+    return SPT.unigram_encode_stats(
+        _t(spark, sf_dir, "documents")
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_sp_unigram_learn(spark, sf_dir):
     """Unigram-LM subword tokenizer, one EM round (operators/sptok
     .unigram_learn; Kudo 2018 — the SentencePiece 'unigram' model, the
@@ -8102,6 +8137,7 @@ QUERIES: dict[str, Callable] = {
     "anchor_search": q_anchor_search,
     "sitemap_recrawl": q_sitemap_recrawl,
     "sp_unigram_learn": q_sp_unigram_learn,
+    "sp_unigram_encode": q_sp_unigram_encode,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
