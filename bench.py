@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     "nofollow_gate",
     "rel_canonical", "meta_refresh",
     "feed_parse", "url_discovery", "change_rate",
-    "politeness_topk", "politeness_topk_ranked", "seen_antijoin", "min_depth_merge",
+    "politeness_topk", "politeness_topk_ranked", "politeness_backoff_topk", "seen_antijoin", "min_depth_merge",
     "global_budget_limit", "query_string_cap", "retry_union",
     "pricing_summary", "join_agg_revenue", "window_running_sum",
     "sessionize", "event_tumbling_counts",

@@ -399,3 +399,32 @@ def test_focused_crawl_ranks_feed_priority_fold(spark):
     }
     assert got["http://a.test/edu"] < got["http://a.test/junk"]
     assert got["http://a.test/seed"] < got["http://a.test/edu"]
+
+
+def test_backoff_budgets_feed_politeness_selection(spark):
+    """The AIMD loop closes: per-host budgets from host_backoff drive
+    the REAL select_polite as a Column — the degraded host is throttled
+    to its halved budget, the healthy host fetches in full."""
+    from webcrawl_spark.operators.snapshot import host_backoff
+    from webcrawl_spark.plans.round import select_polite
+
+    log = spark.createDataFrame(
+        [("bad.t", 500)] * 6 + [("bad.t", 200)] * 4 + [("ok.t", 200)] * 10,
+        "host string, status int",
+    )
+    budgets = host_backoff(log, base_budget=4).select("host", "budget")
+    fr = spark.createDataFrame(
+        [(h, p, p, f"{h}/{p}") for h in ("bad.t", "ok.t") for p in range(9)],
+        "host string, priority long, seq long, url_key string",
+    )
+    sel = select_polite(
+        fr.join(budgets, "host"), F.col("budget"), salt_buckets=2,
+        rank_col="rn",
+    )
+    got = {}
+    for r in sel.collect():
+        got.setdefault(r.host, []).append(r.seq)
+    # bad.t: 600 permille -> shift 3 -> budget max(1, 4 div 8) = 1
+    assert sorted(got["bad.t"]) == [0]
+    # ok.t: full base budget 4, lowest priorities first
+    assert sorted(got["ok.t"]) == [0, 1, 2, 3]

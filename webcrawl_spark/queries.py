@@ -6191,6 +6191,36 @@ SELECT host, CAST(n_fetches AS BIGINT) AS n_fetches,
 FROM sh
 """
 
+    # politeness_backoff_topk: the backoff budgets replayed inline, then
+    # a plain per-host top-budget — the hash match proves the engine's
+    # salted selection under PER-HOST Column budgets cross-engine
+    sql["politeness_backoff_topk"] = f"""
+WITH log AS (
+  SELECT 'h' || CAST(doc_id % 8 AS STRING) || '.test' AS host,
+         {_BACKOFF_STATUS_SQL} AS status
+  FROM documents),
+agg AS (
+  SELECT host, COUNT(*) AS n_fetches,
+         SUM(CASE WHEN status = 429 OR status >= 500 THEN 1 ELSE 0 END)
+           AS n_errors
+  FROM log GROUP BY 1),
+sh AS (SELECT host, {_bk_shift} AS shift FROM agg),
+b AS (SELECT host,
+             GREATEST(1, {SNAP.BACKOFF_BASE_BUDGET} // (1 << shift))
+               AS budget
+      FROM sh),
+fr AS (SELECT 'h' || CAST(o_custkey % 8 AS STRING) || '.test' AS host,
+              o_orderdate AS priority, o_orderkey AS seq
+       FROM orders),
+r AS (SELECT fr.host, fr.seq, b.budget,
+             ROW_NUMBER() OVER (PARTITION BY fr.host
+                                ORDER BY fr.priority, fr.seq) AS rn
+      FROM fr JOIN b ON b.host = fr.host)
+SELECT host, CAST(seq AS BIGINT) AS seq, CAST(rn AS BIGINT) AS rn,
+       CAST(budget AS BIGINT) AS budget
+FROM r WHERE rn <= budget
+"""
+
     # cdc_dedup: replay the whole content-defined chain (tokenize →
     # hash-boundary detection → segment slicing → digest → rollup) with
     # DuckDB list lambdas; mod/min interpolate from the TD constants
@@ -7883,6 +7913,37 @@ def q_sp_unigram_learn(spark, sf_dir):
     return SPT.unigram_learn(_t(spark, sf_dir, "documents"))
 
 
+def q_politeness_backoff_topk(spark, sf_dir):
+    """The AIMD loop CLOSED into the scheduler (the rank_priority
+    pattern applied to budgets): host_backoff's per-host budgets join
+    the frontier and drive the ENGINE's actual selection code path
+    (`plans.round.select_polite` — `budget` is a Column, the same
+    per-host form crawl-delay budgets use) with the mega-host salt
+    pre-prune ON. Healthy hosts fetch the full base budget; the
+    planted 11%/33%/67%-error hosts are throttled to 32/16/8 rows —
+    observed pushback tunes the next round's politeness, end to end."""
+    from .plans.round import select_polite
+
+    budgets = q_host_backoff(spark, sf_dir).select("host", "budget")
+    fr = _t(spark, sf_dir, "orders").select(
+        F.expr("'h' || CAST(o_custkey % 8 AS STRING) || '.test'").alias(
+            "host"
+        ),
+        F.col("o_orderdate").alias("priority"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_orderkey").cast("string").alias("url_key"),
+    )
+    sel = select_polite(
+        fr.join(budgets, "host"), F.col("budget"), salt_buckets=4,
+        rank_col="rn",
+    )
+    return sel.select(
+        "host", F.col("seq").cast("long").alias("seq"),
+        F.col("rn").cast("long").alias("rn"),
+        F.col("budget").cast("long").alias("budget"),
+    )
+
+
 BIGRAM_HOLDOUT_MOD = 5  # doc_id % 5 == 0 → held-out scoring split
 
 
@@ -8138,6 +8199,7 @@ QUERIES: dict[str, Callable] = {
     "sitemap_recrawl": q_sitemap_recrawl,
     "sp_unigram_learn": q_sp_unigram_learn,
     "sp_unigram_encode": q_sp_unigram_encode,
+    "politeness_backoff_topk": q_politeness_backoff_topk,
 }
 
 ORACLE_SQL: dict[str, str] = _oracle_sql()
