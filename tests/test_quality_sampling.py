@@ -428,3 +428,18 @@ def test_backoff_budgets_feed_politeness_selection(spark):
     assert sorted(got["bad.t"]) == [0]
     # ok.t: full base budget 4, lowest priorities first
     assert sorted(got["ok.t"]) == [0, 1, 2, 3]
+
+
+def test_host_backoff_null_status_is_not_pushback(spark):
+    from webcrawl_spark.operators.snapshot import host_backoff
+
+    log = spark.createDataFrame(
+        [("a.t", None), ("a.t", None), ("b.t", 503), ("b.t", None)],
+        "host string, status int",
+    )
+    got = {
+        r.host: (r.n_fetches, r.n_errors, r.budget)
+        for r in host_backoff(log, base_budget=8).collect()
+    }
+    assert got["a.t"] == (2, 0, 8)       # all-NULL host: zero errors
+    assert got["b.t"] == (2, 1, 1)       # 500 permille crosses all 3 thresholds

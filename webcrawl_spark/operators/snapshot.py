@@ -226,7 +226,13 @@ def host_backoff(
     threshold-to-shift fold and the halving are per-row integer
     expressions. Zero joins, zero Python.
     """
-    err = (F.col(status_col) == 429) | (F.col(status_col) >= 500)
+    # NULL status (a row logged before any response) is not pushback;
+    # the explicit coalesce also keeps n_errors 0 (not NULL) for a host
+    # whose every status is NULL
+    err = F.coalesce(
+        (F.col(status_col) == 429) | (F.col(status_col) >= 500),
+        F.lit(False),
+    )
     agg = fetch_log.groupBy(F.col(host_col).alias("host")).agg(
         F.count(F.lit(1)).alias("n_fetches"),
         F.sum(err.cast("long")).alias("n_errors"),
